@@ -1,0 +1,249 @@
+"""JPEG encoder: batched TPU device pipeline + host entropy stage.
+
+Pipeline (parity with pixo ``src/jpeg/mod.rs:328-447`` / ``encode_scan``):
+
+  device (jit, one fused program over all blocks of all images):
+    pad -> fixed-point RGB->YCbCr -> level shift -> MCU blockify (scan
+    order) -> AAN f32 DCT -> quantize (round half away) -> zigzag
+  host:
+    [optimize_huffman] symbol histograms -> canonical tables (16-bit
+    overflow falls back to K.3 std tables) -> Huffman bit-pack with 0xFF
+    stuffing + restart markers -> marker framing.
+
+Unlike the reference — which recomputes every coefficient a second time
+when optimize_huffman is on (``src/jpeg/mod.rs:684-824``) — the device
+coefficients are computed once and reused for both the histogram pass and
+the packing pass.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import errors
+from ..color import ColorType
+from ..options import MAX_DIMENSION, JpegOptions, Subsampling
+from ..ops.blockify import blocks_420, blocks_444, blocks_gray, scan_layout
+from ..ops.dct import dct8x8_aan
+from ..ops.quantize import quantize_blocks, zigzag_blocks
+from . import markers, packer
+from .tables import HuffmanTables, QuantizationTables
+
+
+def _validate(options: JpegOptions, data_len: int) -> int:
+    if options.quality == 0 or options.quality > 100:
+        raise errors.InvalidQuality(options.quality)
+    if options.restart_interval is not None and options.restart_interval == 0:
+        raise errors.InvalidRestartInterval(0)
+    w, h = options.width, options.height
+    if w == 0 or h == 0:
+        raise errors.InvalidDimensions(w, h)
+    if w > MAX_DIMENSION or h > MAX_DIMENSION:
+        raise errors.ImageTooLarge(w, h, MAX_DIMENSION)
+    if options.color_type == ColorType.RGB:
+        bpp = 3
+    elif options.color_type == ColorType.GRAY:
+        bpp = 1
+    else:
+        raise errors.UnsupportedColorType("JPEG supports RGB and Gray")
+    expected = w * h * bpp
+    if data_len != expected:
+        raise errors.InvalidDataLength(expected, data_len)
+    return bpp
+
+
+@functools.partial(jax.jit, static_argnames=("color", "subsampling"))
+def _device_coeffs(img, lum_q, chrom_q, *, color: str, subsampling: str):
+    """One image [H, W, C?] uint8 -> [nblocks, 64] int16 zigzag coeffs."""
+    if color == "gray":
+        blocks = blocks_gray(img)
+        qmap = lum_q.reshape(1, 8, 8)
+        bpm = 1
+    elif subsampling == "420":
+        blocks = blocks_420(img)
+        qmap = jnp.stack([lum_q] * 4 + [chrom_q] * 2).reshape(6, 8, 8)
+        bpm = 6
+    else:
+        blocks = blocks_444(img)
+        qmap = jnp.stack([lum_q, chrom_q, chrom_q]).reshape(3, 8, 8)
+        bpm = 3
+    dct = dct8x8_aan(blocks)
+    grouped = dct.reshape(-1, bpm, 8, 8)
+    coeffs = quantize_blocks(grouped, qmap[None])
+    return zigzag_blocks(coeffs).reshape(-1, 64)
+
+
+def compute_coefficients(
+    img: np.ndarray, options: JpegOptions, quant: QuantizationTables
+) -> np.ndarray:
+    """Run the device pipeline for one image; returns host [nblocks, 64] i16."""
+    color = "gray" if options.color_type == ColorType.GRAY else "rgb"
+    sub = "420" if options.subsampling == Subsampling.S420 else "444"
+    lum = jnp.asarray(quant.luminance_table.reshape(8, 8))
+    chrom = jnp.asarray(quant.chrominance_table.reshape(8, 8))
+    zz = _device_coeffs(jnp.asarray(img), lum, chrom, color=color, subsampling=sub)
+    return np.asarray(zz)
+
+
+def _pack(
+    zz: np.ndarray,
+    pattern: Sequence[int],
+    tables: HuffmanTables,
+    restart_interval: Optional[int],
+) -> bytes:
+    from ..native import native_available, native_pack_scan
+
+    if native_available():
+        return native_pack_scan(zz, pattern, tables, restart_interval)
+    return packer.pack_scan(zz, pattern, tables, restart_interval)
+
+
+def _count(
+    zz: np.ndarray, pattern: Sequence[int], restart_interval: Optional[int]
+):
+    from ..native import native_available, native_count_symbols
+
+    if native_available():
+        return native_count_symbols(zz, pattern, restart_interval)
+    return packer.count_symbols(zz, pattern, restart_interval)
+
+
+def _build_tables(
+    zz: np.ndarray,
+    pattern: Sequence[int],
+    options: JpegOptions,
+) -> HuffmanTables:
+    if not options.optimize_huffman:
+        return HuffmanTables()
+    dc_lum, dc_chrom, ac_lum, ac_chrom = _count(zz, pattern, options.restart_interval)
+    is_gray = options.color_type == ColorType.GRAY
+    built = HuffmanTables.optimized_from_counts(
+        dc_lum,
+        None if is_gray else dc_chrom,
+        ac_lum,
+        None if is_gray else ac_chrom,
+    )
+    return built if built is not None else HuffmanTables()
+
+
+def _as_image_array(data, options: JpegOptions, bpp: int) -> np.ndarray:
+    if isinstance(data, np.ndarray) and data.ndim >= 2:
+        arr = data
+    else:
+        arr = np.frombuffer(bytes(data), dtype=np.uint8)
+        shape = (options.height, options.width) if bpp == 1 else (
+            options.height, options.width, bpp)
+        arr = arr.reshape(shape)
+    if arr.dtype != np.uint8:
+        raise errors.UnsupportedColorType("pixel data must be uint8")
+    if bpp == 1 and arr.ndim == 3:
+        arr = arr[..., 0]
+    return np.ascontiguousarray(arr)
+
+
+def encode(data, options: JpegOptions) -> bytes:
+    """Encode one image (flat bytes or [H, W, C] uint8 array) to JPEG bytes."""
+    if isinstance(data, np.ndarray):
+        data_len = data.size
+    else:
+        data_len = len(data)
+    bpp = _validate(options, data_len)
+    img = _as_image_array(data, options, bpp)
+
+    quant = QuantizationTables(options.quality)
+    zz = compute_coefficients(img, options, quant)
+    color = "gray" if options.color_type == ColorType.GRAY else "rgb"
+    sub = "420" if options.subsampling == Subsampling.S420 else "444"
+    _, _, pattern = scan_layout(options.width, options.height, color, sub)
+
+    huff = _build_tables(zz, pattern, options)
+
+    out = bytearray()
+    markers.write_soi(out)
+    markers.write_app0(out)
+    markers.write_dqt(out, quant)
+    if options.progressive:
+        from . import progressive
+
+        markers.write_sof(
+            out, markers.SOF2, options.width, options.height,
+            options.color_type, options.subsampling,
+        )
+        markers.write_dht(out, huff)
+        if options.restart_interval is not None:
+            markers.write_dri(out, options.restart_interval)
+        progressive.encode_progressive(out, zz, pattern, options, huff)
+    else:
+        markers.write_sof(
+            out, markers.SOF0, options.width, options.height,
+            options.color_type, options.subsampling,
+        )
+        markers.write_dht(out, huff)
+        if options.restart_interval is not None:
+            markers.write_dri(out, options.restart_interval)
+        markers.write_sos(out, options.color_type)
+        out += _pack(zz, pattern, huff, options.restart_interval)
+    markers.write_eoi(out)
+    return bytes(out)
+
+
+@functools.partial(jax.jit, static_argnames=("color", "subsampling"))
+def _device_coeffs_batch(imgs, lum_q, chrom_q, *, color: str, subsampling: str):
+    """[B, H, W, C?] uint8 -> [B, nblocks, 64] int16 zigzag coeffs."""
+    fn = functools.partial(
+        _device_coeffs.__wrapped__, color=color, subsampling=subsampling
+    )
+    return jax.vmap(lambda im: fn(im, lum_q, chrom_q))(imgs)
+
+
+def encode_batch(imgs: np.ndarray, options: JpegOptions) -> List[bytes]:
+    """Encode a batch [B, H, W, C] of same-shape images.
+
+    The device computes coefficients for the whole batch in one dispatch
+    (the TPU analog of the reference's rayon block parallelism,
+    ``src/jpeg/mod.rs:1137-1230``); the host packs each stream.
+    """
+    b = imgs.shape[0]
+    bpp = _validate(options, imgs[0].size)
+    del bpp
+    quant = QuantizationTables(options.quality)
+    color = "gray" if options.color_type == ColorType.GRAY else "rgb"
+    sub = "420" if options.subsampling == Subsampling.S420 else "444"
+    lum = jnp.asarray(quant.luminance_table.reshape(8, 8))
+    chrom = jnp.asarray(quant.chrominance_table.reshape(8, 8))
+    zz_all = np.asarray(
+        _device_coeffs_batch(jnp.asarray(imgs), lum, chrom, color=color, subsampling=sub)
+    )
+    _, _, pattern = scan_layout(options.width, options.height, color, sub)
+
+    results = []
+    for i in range(b):
+        zz = zz_all[i]
+        huff = _build_tables(zz, pattern, options)
+        out = bytearray()
+        markers.write_soi(out)
+        markers.write_app0(out)
+        markers.write_dqt(out, quant)
+        markers.write_sof(
+            out,
+            markers.SOF2 if options.progressive else markers.SOF0,
+            options.width, options.height, options.color_type, options.subsampling,
+        )
+        markers.write_dht(out, huff)
+        if options.restart_interval is not None:
+            markers.write_dri(out, options.restart_interval)
+        if options.progressive:
+            from . import progressive
+
+            progressive.encode_progressive(out, zz, pattern, options, huff)
+        else:
+            markers.write_sos(out, options.color_type)
+            out += _pack(zz, pattern, huff, options.restart_interval)
+        markers.write_eoi(out)
+        results.append(bytes(out))
+    return results

@@ -1,0 +1,233 @@
+"""Native (C++) host-stage bindings.
+
+The sequential bit-oriented stages — JPEG entropy packing, DEFLATE/INFLATE,
+JPEG entropy decode — are implemented in C++ (``core.cpp``) and loaded via
+ctypes. This is the TPU build's analog of the reference's native tier: the
+device does the data-parallel math, this library does the byte streams.
+
+The library auto-builds on first import if a compiler is available; every
+entry point has a pure-Python fallback (``pixo_tpu.jpeg.packer``,
+``pixo_tpu.compress``) that must stay byte-identical (tests/test_native.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "core.cpp")
+_LIB_PATH = os.path.join(_HERE, "libpixo_core.so")
+
+_lib = None
+_lock = threading.Lock()
+_build_failed = False
+
+
+def _try_build() -> Optional[str]:
+    if not os.path.exists(_SRC):
+        return None
+    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
+        return _LIB_PATH
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        "-march=native", "-fno-exceptions", "-fvisibility=hidden",
+        _SRC, "-o", _LIB_PATH,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _LIB_PATH
+    except (subprocess.CalledProcessError, OSError, subprocess.TimeoutExpired):
+        return None
+
+
+def _load():
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        path = _try_build()
+        if path is None:
+            _build_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            _build_failed = True
+            return None
+        _configure(lib)
+        _lib = lib
+    return _lib
+
+
+def _configure(lib) -> None:
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+
+    lib.jpeg_pack_scan.restype = ctypes.c_int64
+    lib.jpeg_pack_scan.argtypes = [
+        i16p, ctypes.c_int64,            # zz coeffs, nblocks
+        u8p, ctypes.c_int32,             # pattern, blocks per mcu
+        u16p, u8p, u16p, u8p,            # dc lum codes/lens, dc chrom codes/lens
+        u16p, u8p, u16p, u8p,            # ac lum codes/lens, ac chrom codes/lens
+        ctypes.c_int32,                  # restart interval (0 = off)
+        u8p, ctypes.c_int64,             # out buffer, capacity
+    ]
+
+    lib.jpeg_count_symbols.restype = ctypes.c_int32
+    lib.jpeg_count_symbols.argtypes = [
+        i16p, ctypes.c_int64,
+        u8p, ctypes.c_int32,
+        ctypes.c_int32,
+        i64p, i64p, i64p, i64p,          # dc_lum[12], dc_chrom[12], ac_lum[256], ac_chrom[256]
+    ]
+
+    lib.deflate_compress.restype = ctypes.c_int64
+    lib.deflate_compress.argtypes = [
+        u8p, ctypes.c_int64,             # input
+        ctypes.c_int32,                  # level 1-9
+        ctypes.c_int32,                  # zlib wrap (0/1)
+        u8p, ctypes.c_int64,             # out, capacity
+    ]
+
+    lib.inflate_decompress.restype = ctypes.c_int64
+    lib.inflate_decompress.argtypes = [
+        u8p, ctypes.c_int64,             # input
+        ctypes.c_int32,                  # zlib wrap (0/1)
+        u8p, ctypes.c_int64,             # out, capacity (exact expected size ok)
+    ]
+
+    lib.crc32.restype = ctypes.c_uint32
+    lib.crc32.argtypes = [u8p, ctypes.c_int64, ctypes.c_uint32]
+
+    lib.adler32.restype = ctypes.c_uint32
+    lib.adler32.argtypes = [u8p, ctypes.c_int64, ctypes.c_uint32]
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def _u8(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def native_pack_scan(
+    zz: np.ndarray,
+    pattern: Sequence[int],
+    tables,
+    restart_interval: Optional[int],
+) -> bytes:
+    lib = _load()
+    zz = np.ascontiguousarray(zz, dtype=np.int16)
+    pat = np.asarray(pattern, dtype=np.uint8)
+    nblocks = zz.shape[0]
+    # Worst case ~ 16 bits/symbol * 64 symbols/block + stuffing margin.
+    cap = nblocks * 64 * 4 + 4096
+    out = np.empty(cap, dtype=np.uint8)
+
+    def u16(a):
+        return np.ascontiguousarray(a, dtype=np.uint16).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint16))
+
+    def u8a(a):
+        return np.ascontiguousarray(a, dtype=np.uint8).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8))
+
+    n = lib.jpeg_pack_scan(
+        zz.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), nblocks,
+        _u8(pat), len(pattern),
+        u16(tables.dc_lum_codes), u8a(tables.dc_lum_lengths),
+        u16(tables.dc_chrom_codes), u8a(tables.dc_chrom_lengths),
+        u16(tables.ac_lum_codes), u8a(tables.ac_lum_lengths),
+        u16(tables.ac_chrom_codes), u8a(tables.ac_chrom_lengths),
+        restart_interval or 0,
+        _u8(out), cap,
+    )
+    if n < 0:
+        raise RuntimeError("native jpeg_pack_scan failed")
+    return out[:n].tobytes()
+
+
+def native_count_symbols(
+    zz: np.ndarray,
+    pattern: Sequence[int],
+    restart_interval: Optional[int],
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    lib = _load()
+    zz = np.ascontiguousarray(zz, dtype=np.int16)
+    pat = np.asarray(pattern, dtype=np.uint8)
+    dc_lum = np.zeros(12, dtype=np.int64)
+    dc_chrom = np.zeros(12, dtype=np.int64)
+    ac_lum = np.zeros(256, dtype=np.int64)
+    ac_chrom = np.zeros(256, dtype=np.int64)
+
+    def i64(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    rc = lib.jpeg_count_symbols(
+        zz.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), zz.shape[0],
+        _u8(pat), len(pattern), restart_interval or 0,
+        i64(dc_lum), i64(dc_chrom), i64(ac_lum), i64(ac_chrom),
+    )
+    if rc != 0:
+        raise RuntimeError("native jpeg_count_symbols failed")
+    return dc_lum, dc_chrom, ac_lum, ac_chrom
+
+
+def native_deflate(data: bytes, level: int, zlib_wrap: bool) -> Optional[bytes]:
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    cap = len(data) + (len(data) >> 3) + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.deflate_compress(
+        _u8(src) if len(src) else _u8(np.zeros(1, dtype=np.uint8)),
+        len(src), level, 1 if zlib_wrap else 0, _u8(out), cap,
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def native_inflate(data: bytes, expected_size: int, zlib_wrap: bool) -> Optional[bytes]:
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(max(expected_size, 1), dtype=np.uint8)
+    n = lib.inflate_decompress(
+        _u8(src) if len(src) else _u8(np.zeros(1, dtype=np.uint8)),
+        len(src), 1 if zlib_wrap else 0, _u8(out), expected_size,
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def native_crc32(data: bytes, crc: int = 0) -> Optional[int]:
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    return int(lib.crc32(
+        _u8(src) if len(src) else _u8(np.zeros(1, dtype=np.uint8)), len(src), crc))
+
+
+def native_adler32(data: bytes, adler: int = 1) -> Optional[int]:
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    return int(lib.adler32(
+        _u8(src) if len(src) else _u8(np.zeros(1, dtype=np.uint8)), len(src), adler))
