@@ -1,0 +1,988 @@
+// pixo_tpu native host stage: the sequential byte/bit-stream work that the
+// TPU device pipeline cannot express efficiently.
+//
+// Components (architectural parity with the reference's host-side stack):
+//   - JPEG entropy packing + symbol counting (consumes device-emitted
+//     zigzag coefficient streams; mirrors pixo src/jpeg/huffman.rs:423-481
+//     and the restart logic of src/jpeg/mod.rs:1408-1445).
+//   - From-scratch DEFLATE: hash-chain LZ77 with lazy matching, dynamic /
+//     fixed / stored block selection, code-length RLE, zlib wrapping
+//     (capability parity with pixo src/compress/{lz77,deflate,huffman}.rs).
+//   - From-scratch INFLATE (stored/fixed/dynamic; capability parity with
+//     pixo src/decode/inflate.rs).
+//   - CRC-32 (slicing-by-8) and Adler-32 (NMAX batching), parity with
+//     pixo src/compress/{crc32,adler32}.rs.
+//
+// Exposed as a C ABI consumed through ctypes (pixo_tpu/native/__init__.py).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+#include <algorithm>
+
+#define EXPORT extern "C" __attribute__((visibility("default")))
+
+// ============================== checksums ==================================
+
+static uint32_t crc_table[8][256];
+static bool crc_init_done = false;
+
+static void crc_init() {
+    if (crc_init_done) return;
+    for (uint32_t i = 0; i < 256; i++) {
+        uint32_t c = i;
+        for (int k = 0; k < 8; k++) c = (c >> 1) ^ (0xEDB88320u & (-(c & 1)));
+        crc_table[0][i] = c;
+    }
+    for (int t = 1; t < 8; t++)
+        for (uint32_t i = 0; i < 256; i++)
+            crc_table[t][i] = crc_table[0][crc_table[t - 1][i] & 0xFF] ^ (crc_table[t - 1][i] >> 8);
+    crc_init_done = true;
+}
+
+EXPORT uint32_t crc32(const uint8_t* data, int64_t len, uint32_t crc) {
+    crc_init();
+    uint32_t c = ~crc;
+    int64_t i = 0;
+    for (; i + 8 <= len; i += 8) {
+        c ^= (uint32_t)data[i] | ((uint32_t)data[i + 1] << 8) |
+             ((uint32_t)data[i + 2] << 16) | ((uint32_t)data[i + 3] << 24);
+        c = crc_table[7][c & 0xFF] ^ crc_table[6][(c >> 8) & 0xFF] ^
+            crc_table[5][(c >> 16) & 0xFF] ^ crc_table[4][c >> 24] ^
+            crc_table[3][data[i + 4]] ^ crc_table[2][data[i + 5]] ^
+            crc_table[1][data[i + 6]] ^ crc_table[0][data[i + 7]];
+    }
+    for (; i < len; i++) c = crc_table[0][(c ^ data[i]) & 0xFF] ^ (c >> 8);
+    return ~c;
+}
+
+EXPORT uint32_t adler32(const uint8_t* data, int64_t len, uint32_t adler) {
+    const uint32_t MOD = 65521, NMAX = 5552;
+    uint32_t a = adler & 0xFFFF, b = (adler >> 16) & 0xFFFF;
+    int64_t i = 0;
+    while (i < len) {
+        int64_t n = std::min<int64_t>(NMAX, len - i);
+        for (int64_t j = 0; j < n; j++) { a += data[i + j]; b += a; }
+        a %= MOD; b %= MOD;
+        i += n;
+    }
+    return (b << 16) | a;
+}
+
+// ============================ JPEG packing ==================================
+
+namespace jpeg {
+
+struct MsbWriter {
+    uint8_t* out;
+    int64_t cap, pos;
+    uint64_t acc;      // bits pending, left-aligned within the low `nbits`
+    int nbits;
+    bool overflow;
+
+    MsbWriter(uint8_t* o, int64_t c) : out(o), cap(c), pos(0), acc(0), nbits(0), overflow(false) {}
+
+    inline void put_byte(uint8_t b) {
+        if (pos >= cap) { overflow = true; return; }
+        out[pos++] = b;
+        if (b == 0xFF) {
+            if (pos >= cap) { overflow = true; return; }
+            out[pos++] = 0x00;
+        }
+    }
+
+    inline void write(uint32_t value, int bits) {
+        // accumulate MSB-first
+        acc = (acc << bits) | (value & ((bits == 32) ? 0xFFFFFFFFu : ((1u << bits) - 1)));
+        nbits += bits;
+        while (nbits >= 8) {
+            put_byte((uint8_t)(acc >> (nbits - 8)));
+            nbits -= 8;
+        }
+        acc &= (nbits == 0) ? 0 : ((1ull << nbits) - 1);
+    }
+
+    inline void flush_pad_ones() {
+        if (nbits > 0) {
+            int pad = 8 - nbits;
+            uint8_t b = (uint8_t)((acc << pad) | ((1u << pad) - 1));
+            if (pos >= cap) { overflow = true; return; }
+            out[pos++] = b;
+            if (b == 0xFF) {
+                if (pos >= cap) { overflow = true; return; }
+                out[pos++] = 0x00;
+            }
+            acc = 0; nbits = 0;
+        }
+    }
+
+    inline void raw_bytes(const uint8_t* b, int n) {
+        if (pos + n > cap) { overflow = true; return; }
+        memcpy(out + pos, b, n);
+        pos += n;
+    }
+};
+
+static inline int category(int v) {
+    unsigned a = (v < 0) ? (unsigned)(-v) : (unsigned)v;
+    return a == 0 ? 0 : (32 - __builtin_clz(a));
+}
+
+}  // namespace jpeg
+
+EXPORT int64_t jpeg_pack_scan(
+    const int16_t* zz, int64_t nblocks,
+    const uint8_t* pattern, int32_t bpm,
+    const uint16_t* dc_lum_c, const uint8_t* dc_lum_l,
+    const uint16_t* dc_chrom_c, const uint8_t* dc_chrom_l,
+    const uint16_t* ac_lum_c, const uint8_t* ac_lum_l,
+    const uint16_t* ac_chrom_c, const uint8_t* ac_chrom_l,
+    int32_t restart_interval,
+    uint8_t* out, int64_t out_cap) {
+    jpeg::MsbWriter w(out, out_cap);
+    int prev_dc[3] = {0, 0, 0};
+    int rst_idx = 0;
+    int64_t total_mcus = nblocks / bpm;
+
+    const uint16_t* dc_codes[3] = {dc_lum_c, dc_chrom_c, dc_chrom_c};
+    const uint8_t* dc_lens[3] = {dc_lum_l, dc_chrom_l, dc_chrom_l};
+    const uint16_t* ac_codes[3] = {ac_lum_c, ac_chrom_c, ac_chrom_c};
+    const uint8_t* ac_lens[3] = {ac_lum_l, ac_chrom_l, ac_chrom_l};
+
+    for (int64_t mcu = 0; mcu < total_mcus; mcu++) {
+        const int16_t* base = zz + mcu * bpm * 64;
+        for (int k = 0; k < bpm; k++) {
+            int comp = pattern[k];
+            const int16_t* block = base + (int64_t)k * 64;
+            const uint16_t* dcc = dc_codes[comp];
+            const uint8_t* dcl = dc_lens[comp];
+            const uint16_t* acc = ac_codes[comp];
+            const uint8_t* acl = ac_lens[comp];
+
+            int dc = block[0];
+            int diff = dc - prev_dc[comp];
+            prev_dc[comp] = dc;
+            int cat = jpeg::category(diff);
+            w.write(dcc[cat], dcl[cat]);
+            if (cat > 0) {
+                int bits = (diff < 0) ? diff - 1 : diff;
+                w.write((uint32_t)bits & ((1u << cat) - 1), cat);
+            }
+
+            int zero_run = 0;
+            for (int i = 1; i < 64; i++) {
+                int ac = block[i];
+                if (ac == 0) { zero_run++; continue; }
+                while (zero_run >= 16) {
+                    w.write(acc[0xF0], acl[0xF0]);
+                    zero_run -= 16;
+                }
+                int ac_cat = jpeg::category(ac);
+                int rs = (zero_run << 4) | ac_cat;
+                w.write(acc[rs], acl[rs]);
+                int bits = (ac < 0) ? ac - 1 : ac;
+                w.write((uint32_t)bits & ((1u << ac_cat) - 1), ac_cat);
+                zero_run = 0;
+            }
+            if (zero_run > 0) w.write(acc[0x00], acl[0x00]);
+        }
+        if (restart_interval > 0) {
+            int64_t mcu_count = mcu + 1;
+            if (mcu_count % restart_interval == 0 && mcu_count < total_mcus) {
+                w.flush_pad_ones();
+                uint8_t rst[2] = {0xFF, (uint8_t)(0xD0 + (rst_idx & 7))};
+                w.raw_bytes(rst, 2);
+                rst_idx = (rst_idx + 1) & 7;
+                prev_dc[0] = prev_dc[1] = prev_dc[2] = 0;
+            }
+        }
+    }
+    w.flush_pad_ones();
+    return w.overflow ? -1 : w.pos;
+}
+
+EXPORT int32_t jpeg_count_symbols(
+    const int16_t* zz, int64_t nblocks,
+    const uint8_t* pattern, int32_t bpm,
+    int32_t restart_interval,
+    int64_t* dc_lum, int64_t* dc_chrom, int64_t* ac_lum, int64_t* ac_chrom) {
+    int prev_dc[3] = {0, 0, 0};
+    int64_t total_mcus = nblocks / bpm;
+    int64_t* dc_counts[3] = {dc_lum, dc_chrom, dc_chrom};
+    int64_t* ac_counts[3] = {ac_lum, ac_chrom, ac_chrom};
+
+    for (int64_t mcu = 0; mcu < total_mcus; mcu++) {
+        const int16_t* base = zz + mcu * bpm * 64;
+        for (int k = 0; k < bpm; k++) {
+            int comp = pattern[k];
+            const int16_t* block = base + (int64_t)k * 64;
+            int dc = block[0];
+            int diff = dc - prev_dc[comp];
+            prev_dc[comp] = dc;
+            dc_counts[comp][jpeg::category(diff)]++;
+            int zero_run = 0;
+            for (int i = 1; i < 64; i++) {
+                int ac = block[i];
+                if (ac == 0) { zero_run++; continue; }
+                while (zero_run >= 16) { ac_counts[comp][0xF0]++; zero_run -= 16; }
+                ac_counts[comp][(zero_run << 4) | jpeg::category(ac)]++;
+                zero_run = 0;
+            }
+            if (zero_run > 0) ac_counts[comp][0x00]++;
+        }
+        if (restart_interval > 0) {
+            int64_t mcu_count = mcu + 1;
+            if (mcu_count % restart_interval == 0 && mcu_count < total_mcus)
+                prev_dc[0] = prev_dc[1] = prev_dc[2] = 0;
+        }
+    }
+    return 0;
+}
+
+// =============================== DEFLATE ====================================
+
+namespace deflate {
+
+struct LsbWriter {
+    uint8_t* out;
+    int64_t cap, pos;
+    uint64_t acc;
+    int nbits;
+    bool overflow;
+
+    LsbWriter(uint8_t* o, int64_t c) : out(o), cap(c), pos(0), acc(0), nbits(0), overflow(false) {}
+
+    inline void write(uint32_t value, int bits) {
+        acc |= (uint64_t)(value & ((1u << bits) - 1)) << nbits;
+        nbits += bits;
+        while (nbits >= 8) {
+            if (pos >= cap) { overflow = true; nbits = 0; return; }
+            out[pos++] = (uint8_t)acc;
+            acc >>= 8;
+            nbits -= 8;
+        }
+    }
+
+    inline void flush() {
+        if (nbits > 0) {
+            if (pos >= cap) { overflow = true; return; }
+            out[pos++] = (uint8_t)acc;
+            acc = 0; nbits = 0;
+        }
+    }
+
+    inline void raw_bytes(const uint8_t* b, int64_t n) {
+        if (pos + n > cap) { overflow = true; return; }
+        memcpy(out + pos, b, n);
+        pos += n;
+    }
+};
+
+// length code tables (RFC 1951 3.2.5)
+static const int LEN_BASE[29] = {3,4,5,6,7,8,9,10,11,13,15,17,19,23,27,31,35,43,51,59,
+                                 67,83,99,115,131,163,195,227,258};
+static const int LEN_EXTRA[29] = {0,0,0,0,0,0,0,0,1,1,1,1,2,2,2,2,3,3,3,3,4,4,4,4,5,5,5,5,0};
+static const int DIST_BASE[30] = {1,2,3,4,5,7,9,13,17,25,33,49,65,97,129,193,257,385,513,769,
+                                  1025,1537,2049,3073,4097,6145,8193,12289,16385,24577};
+static const int DIST_EXTRA[30] = {0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,6,7,7,8,8,9,9,10,10,11,11,12,12,13,13};
+
+static uint8_t len_to_sym[259];   // length 3..258 -> symbol 257..285 (stored as sym-257)
+static uint8_t len_extra_bits[259];
+static uint16_t len_extra_val[259];
+static bool tables_init_done = false;
+
+static void tables_init() {
+    if (tables_init_done) return;
+    for (int s = 0; s < 29; s++) {
+        int lo = LEN_BASE[s];
+        int hi = (s == 28) ? 258 : LEN_BASE[s + 1] - 1;
+        for (int l = lo; l <= hi && l <= 258; l++) {
+            len_to_sym[l] = (uint8_t)s;
+            len_extra_bits[l] = (uint8_t)LEN_EXTRA[s];
+            len_extra_val[l] = (uint16_t)(l - lo);
+        }
+    }
+    tables_init_done = true;
+}
+
+static inline int dist_symbol(int d) {
+    int lo = 0, hi = 29;
+    while (lo < hi) {
+        int mid = (lo + hi + 1) >> 1;
+        if (DIST_BASE[mid] <= d) lo = mid; else hi = mid - 1;
+    }
+    return lo;
+}
+
+// ---- canonical huffman with length limit ----
+
+// Build code lengths limited to `max_len` from freqs[0..n). Kraft-fix method.
+static void build_lengths(const uint64_t* freq, int n, int max_len, uint8_t* lengths) {
+    struct Node { uint64_t f; int l, r, sym; };
+    std::vector<Node> nodes;
+    std::vector<int> heap;
+    nodes.reserve(2 * n);
+    for (int i = 0; i < n; i++)
+        if (freq[i]) { nodes.push_back({freq[i], -1, -1, i}); heap.push_back((int)nodes.size() - 1); }
+    memset(lengths, 0, n);
+    if (heap.empty()) return;
+    if (heap.size() == 1) { lengths[nodes[heap[0]].sym] = 1; return; }
+
+    auto cmp = [&](int a, int b) { return nodes[a].f > nodes[b].f || (nodes[a].f == nodes[b].f && a > b); };
+    std::make_heap(heap.begin(), heap.end(), cmp);
+    while (heap.size() > 1) {
+        std::pop_heap(heap.begin(), heap.end(), cmp); int a = heap.back(); heap.pop_back();
+        std::pop_heap(heap.begin(), heap.end(), cmp); int b = heap.back(); heap.pop_back();
+        nodes.push_back({nodes[a].f + nodes[b].f, a, b, -1});
+        heap.push_back((int)nodes.size() - 1);
+        std::push_heap(heap.begin(), heap.end(), cmp);
+    }
+    // compute depths iteratively
+    std::vector<int> depth(nodes.size(), 0);
+    std::vector<int> stack{heap[0]};
+    int bl_count[64] = {0};
+    std::vector<std::pair<uint64_t, int>> leaves;  // (freq, sym) for re-assignment
+    while (!stack.empty()) {
+        int idx = stack.back(); stack.pop_back();
+        const Node& nd = nodes[idx];
+        if (nd.sym >= 0) {
+            int d = depth[idx] == 0 ? 1 : depth[idx];
+            int capd = std::min(d, max_len);
+            bl_count[capd]++;
+            leaves.push_back({nd.f, nd.sym});
+        } else {
+            depth[nd.l] = depth[idx] + 1;
+            depth[nd.r] = depth[idx] + 1;
+            stack.push_back(nd.l);
+            stack.push_back(nd.r);
+        }
+    }
+    // Kraft fix (zlib-style overflow repair)
+    long long kraft = 0;
+    for (int b = 1; b <= max_len; b++) kraft += (long long)bl_count[b] << (max_len - b);
+    long long full = 1ll << max_len;
+    while (kraft > full) {
+        // find a symbol at depth < max_len to push deeper? standard: move one
+        // node from the deepest non-max level
+        int b = max_len - 1;
+        while (b > 0 && bl_count[b] == 0) b--;
+        bl_count[b]--; bl_count[b + 1]++;
+        kraft -= 1ll << (max_len - b - 1);
+    }
+    // (under-full is fine for validity)
+    // assign lengths: most frequent symbols get shortest codes
+    std::sort(leaves.begin(), leaves.end(), [](auto& a, auto& b) {
+        return a.first > b.first || (a.first == b.first && a.second < b.second);
+    });
+    size_t li = 0;
+    for (int b = 1; b <= max_len && li < leaves.size(); b++)
+        for (int c = 0; c < bl_count[b] && li < leaves.size(); c++)
+            lengths[leaves[li++].second] = (uint8_t)b;
+}
+
+static void lengths_to_codes(const uint8_t* lengths, int n, uint16_t* codes) {
+    int bl_count[16] = {0};
+    for (int i = 0; i < n; i++) bl_count[lengths[i]]++;
+    bl_count[0] = 0;
+    uint16_t next[16];
+    uint16_t code = 0;
+    for (int b = 1; b < 16; b++) { code = (uint16_t)((code + bl_count[b - 1]) << 1); next[b] = code; }
+    for (int i = 0; i < n; i++) {
+        if (!lengths[i]) { codes[i] = 0; continue; }
+        uint16_t c = next[lengths[i]]++;
+        // bit-reverse to LSB-first transmission order
+        uint16_t r = 0;
+        for (int b = 0; b < lengths[i]; b++) { r = (uint16_t)((r << 1) | (c & 1)); c >>= 1; }
+        codes[i] = r;
+    }
+}
+
+// fixed tables
+static uint8_t fixed_lit_len[288];
+static uint16_t fixed_lit_code[288];
+static uint8_t fixed_dist_len[30];
+static uint16_t fixed_dist_code[30];
+static bool fixed_init_done = false;
+
+static void fixed_init() {
+    if (fixed_init_done) return;
+    for (int i = 0; i < 288; i++)
+        fixed_lit_len[i] = (i < 144) ? 8 : (i < 256) ? 9 : (i < 280) ? 7 : 8;
+    lengths_to_codes(fixed_lit_len, 288, fixed_lit_code);
+    for (int i = 0; i < 30; i++) fixed_dist_len[i] = 5;
+    lengths_to_codes(fixed_dist_len, 30, fixed_dist_code);
+    fixed_init_done = true;
+}
+
+// token: literal -> 0..255 in low bits with flag; match -> len(9b) dist(15b)
+struct Token { uint32_t v; };  // bit31: is_match; match: len in 30..22? simpler below
+static inline Token lit_token(uint8_t b) { return {b}; }
+static inline Token match_token(int len, int dist) {
+    return {0x80000000u | ((uint32_t)len << 16) | (uint32_t)dist};
+}
+
+struct Lz77Config { int chain, depth_cap, nice, lazy; };
+
+static Lz77Config config_for_level(int level) {
+    // Capability-parity ladder with pixo's level table
+    // (src/compress/lz77.rs:1415-1488): chain length, search depth,
+    // nice-match cutoff, lazy policy all scale with level.
+    switch (level) {
+        case 1: return {4, 4, 32, 0};
+        case 2: return {8, 8, 48, 0};
+        case 3: return {16, 16, 64, 0};
+        case 4: return {24, 24, 96, 1};
+        case 5: return {48, 48, 128, 1};
+        case 6: return {128, 96, 192, 1};
+        case 7: return {256, 160, 258, 2};
+        case 8: return {1024, 320, 258, 2};
+        default: return {4096, 600, 258, 2};
+    }
+}
+
+static const int WINDOW = 32768;
+static const int MIN_MATCH = 3;
+static const int MAX_MATCH = 258;
+static const int HASH_BITS = 16;
+static const int HASH_SIZE = 1 << HASH_BITS;
+
+static inline uint32_t hash4(const uint8_t* p) {
+    uint32_t v;
+    memcpy(&v, p, 4);
+    return (v * 2654435761u) >> (32 - HASH_BITS);
+}
+
+static inline int match_length(const uint8_t* a, const uint8_t* b, int max) {
+    int i = 0;
+    while (i + 8 <= max) {
+        uint64_t x, y;
+        memcpy(&x, a + i, 8);
+        memcpy(&y, b + i, 8);
+        uint64_t diff = x ^ y;
+        if (diff) return i + (__builtin_ctzll(diff) >> 3);
+        i += 8;
+    }
+    while (i < max && a[i] == b[i]) i++;
+    return i;
+}
+
+struct Matcher {
+    std::vector<int32_t> head;   // hash -> most recent pos
+    std::vector<int32_t> prev;   // pos -> previous pos with same hash
+    const uint8_t* data;
+    int64_t n;
+
+    Matcher(const uint8_t* d, int64_t len) : head(HASH_SIZE, -1), prev(len, -1), data(d), n(len) {}
+
+    inline void insert(int64_t pos) {
+        if (pos + 4 > n) return;
+        uint32_t h = hash4(data + pos);
+        prev[pos] = head[h];
+        head[h] = (int32_t)pos;
+    }
+
+    // find best match at pos; returns length (0 if none), sets dist
+    inline int find(int64_t pos, int chain, int nice, int* dist_out) {
+        if (pos + MIN_MATCH > n) return 0;
+        int max_len = (int)std::min<int64_t>(MAX_MATCH, n - pos);
+        uint32_t h = hash4(data + pos);
+        int32_t cand = head[h];
+        int best_len = 0, best_dist = 0;
+        const uint8_t* cur = data + pos;
+        while (cand >= 0 && chain-- > 0) {
+            int64_t dist = pos - cand;
+            if (dist > WINDOW) break;
+            if (dist > 0) {
+                const uint8_t* cp = data + cand;
+                if (best_len == 0 || cp[best_len] == cur[best_len]) {
+                    int len = match_length(cur, cp, max_len);
+                    if (len > best_len) {
+                        best_len = len;
+                        best_dist = (int)dist;
+                        if (len >= nice || len == max_len) break;
+                    }
+                }
+            }
+            cand = prev[cand];
+        }
+        if (best_len < MIN_MATCH) return 0;
+        *dist_out = best_dist;
+        return best_len;
+    }
+};
+
+// emit a block of tokens with the best of (dynamic, fixed) huffman coding
+static void emit_block(LsbWriter& w, const std::vector<Token>& tokens,
+                       const uint8_t* raw, int64_t raw_start, int64_t raw_len,
+                       bool last) {
+    fixed_init();
+    tables_init();
+
+    // histogram
+    uint64_t lit_freq[286] = {0};
+    uint64_t dist_freq[30] = {0};
+    for (const Token& t : tokens) {
+        if (t.v & 0x80000000u) {
+            int len = (t.v >> 16) & 0x1FF;
+            int dist = t.v & 0xFFFF;
+            lit_freq[257 + len_to_sym[len]]++;
+            dist_freq[dist_symbol(dist)]++;
+        } else {
+            lit_freq[t.v & 0xFF]++;
+        }
+    }
+    lit_freq[256]++;  // EOB
+
+    uint8_t lit_len[286], dist_len[30];
+    build_lengths(lit_freq, 286, 15, lit_len);
+    build_lengths(dist_freq, 30, 15, dist_len);
+    // DEFLATE requires at least one distance code slot if HDIST>=1; ensure
+    // at least one non-zero to keep decoders happy when no matches exist.
+    bool any_dist = false;
+    for (int i = 0; i < 30; i++) any_dist |= dist_len[i] != 0;
+    if (!any_dist) dist_len[0] = 1;
+
+    uint16_t lit_code[286], dist_code[30];
+    lengths_to_codes(lit_len, 286, lit_code);
+    lengths_to_codes(dist_len, 30, dist_code);
+
+    // --- cost estimation: dynamic vs fixed vs stored ---
+    auto token_cost = [&](const uint8_t* ll, const uint8_t* dl) -> uint64_t {
+        uint64_t bits = 0;
+        for (int i = 0; i < 286; i++) if (lit_freq[i]) bits += lit_freq[i] * ll[i];
+        for (int s = 0; s < 30; s++) if (dist_freq[s]) bits += dist_freq[s] * (dl[s] + DIST_EXTRA[s]);
+        for (int s = 257; s < 286; s++) if (lit_freq[s]) bits += lit_freq[s] * LEN_EXTRA[s - 257];
+        return bits;
+    };
+
+    // code-length RLE for the dynamic header
+    int hlit = 286; while (hlit > 257 && lit_len[hlit - 1] == 0) hlit--;
+    int hdist = 30; while (hdist > 1 && dist_len[hdist - 1] == 0) hdist--;
+    uint8_t all_lens[286 + 30];
+    memcpy(all_lens, lit_len, hlit);
+    memcpy(all_lens + hlit, dist_len, hdist);
+    int total_lens = hlit + hdist;
+
+    // RLE encode with symbols 16 (repeat prev 3-6), 17 (zeros 3-10), 18 (zeros 11-138)
+    struct ClTok { uint8_t sym; uint8_t extra; };
+    std::vector<ClTok> cl_toks;
+    uint64_t cl_freq[19] = {0};
+    {
+        int i = 0;
+        while (i < total_lens) {
+            uint8_t v = all_lens[i];
+            int run = 1;
+            while (i + run < total_lens && all_lens[i + run] == v) run++;
+            if (v == 0) {
+                int r = run;
+                while (r >= 11) { int take = std::min(r, 138); cl_toks.push_back({18, (uint8_t)(take - 11)}); cl_freq[18]++; r -= take; }
+                while (r >= 3) { int take = std::min(r, 10); cl_toks.push_back({17, (uint8_t)(take - 3)}); cl_freq[17]++; r -= take; }
+                while (r-- > 0) { cl_toks.push_back({0, 0}); cl_freq[0]++; }
+            } else {
+                cl_toks.push_back({v, 0}); cl_freq[v]++;
+                int r = run - 1;
+                while (r >= 3) { int take = std::min(r, 6); cl_toks.push_back({16, (uint8_t)(take - 3)}); cl_freq[16]++; r -= take; }
+                while (r-- > 0) { cl_toks.push_back({v, 0}); cl_freq[v]++; }
+            }
+            i += run;
+        }
+    }
+    uint8_t cl_len[19];
+    build_lengths(cl_freq, 19, 7, cl_len);
+    uint16_t cl_code[19];
+    lengths_to_codes(cl_len, 19, cl_code);
+    static const int CL_ORDER[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1,15};
+    int hclen = 19;
+    while (hclen > 4 && cl_len[CL_ORDER[hclen - 1]] == 0) hclen--;
+
+    uint64_t dyn_header_bits = 14 + hclen * 3;
+    for (const ClTok& t : cl_toks) {
+        dyn_header_bits += cl_len[t.sym];
+        if (t.sym == 16) dyn_header_bits += 2;
+        else if (t.sym == 17) dyn_header_bits += 3;
+        else if (t.sym == 18) dyn_header_bits += 7;
+    }
+    uint64_t dyn_bits = dyn_header_bits + token_cost(lit_len, dist_len);
+    uint64_t fixed_bits = token_cost(fixed_lit_len, fixed_dist_len);
+    uint64_t stored_bits = 8ull * raw_len + 32 + (raw_len / 65535 + 1) * 40;
+
+    if (raw_len > 0 && stored_bits < dyn_bits + 3 && stored_bits < fixed_bits + 3) {
+        // stored blocks
+        int64_t off = 0;
+        while (off < raw_len || raw_len == 0) {
+            int chunk = (int)std::min<int64_t>(65535, raw_len - off);
+            bool final_chunk = (off + chunk == raw_len);
+            w.write((last && final_chunk) ? 1 : 0, 1);
+            w.write(0, 2);
+            w.flush();
+            uint8_t hdr[4] = {(uint8_t)chunk, (uint8_t)(chunk >> 8),
+                              (uint8_t)~chunk, (uint8_t)~(chunk >> 8)};
+            w.raw_bytes(hdr, 4);
+            w.raw_bytes(raw + raw_start + off, chunk);
+            off += chunk;
+            if (raw_len == 0) break;
+        }
+        return;
+    }
+
+    const uint8_t *ll, *dl;
+    const uint16_t *lc, *dc;
+    if (fixed_bits <= dyn_bits) {
+        w.write(last ? 1 : 0, 1);
+        w.write(1, 2);  // fixed
+        ll = fixed_lit_len; dl = fixed_dist_len; lc = fixed_lit_code; dc = fixed_dist_code;
+    } else {
+        w.write(last ? 1 : 0, 1);
+        w.write(2, 2);  // dynamic
+        w.write(hlit - 257, 5);
+        w.write(hdist - 1, 5);
+        w.write(hclen - 4, 4);
+        for (int i = 0; i < hclen; i++) w.write(cl_len[CL_ORDER[i]], 3);
+        for (const ClTok& t : cl_toks) {
+            w.write(cl_code[t.sym], cl_len[t.sym]);
+            if (t.sym == 16) w.write(t.extra, 2);
+            else if (t.sym == 17) w.write(t.extra, 3);
+            else if (t.sym == 18) w.write(t.extra, 7);
+        }
+        ll = lit_len; dl = dist_len; lc = lit_code; dc = dist_code;
+    }
+
+    for (const Token& t : tokens) {
+        if (t.v & 0x80000000u) {
+            int len = (t.v >> 16) & 0x1FF;
+            int dist = t.v & 0xFFFF;
+            int ls = 257 + len_to_sym[len];
+            w.write(lc[ls], ll[ls]);
+            if (len_extra_bits[len]) w.write(len_extra_val[len], len_extra_bits[len]);
+            int ds = dist_symbol(dist);
+            w.write(dc[ds], dl[ds]);
+            if (DIST_EXTRA[ds]) w.write(dist - DIST_BASE[ds], DIST_EXTRA[ds]);
+        } else {
+            w.write(lc[t.v & 0xFF], ll[t.v & 0xFF]);
+        }
+    }
+    w.write(lc[256], ll[256]);  // EOB
+}
+
+}  // namespace deflate
+
+EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
+                                int32_t level, int32_t zlib_wrap,
+                                uint8_t* out, int64_t out_cap) {
+    using namespace deflate;
+    if (level < 1) level = 1;
+    if (level > 9) level = 9;
+    LsbWriter w(out, out_cap);
+
+    if (zlib_wrap) {
+        // CMF/FLG: 32K window, level hint; FCHECK so that (CMF<<8|FLG) % 31 == 0
+        uint8_t cmf = 0x78;
+        int level_hint = (level <= 2) ? 0 : (level <= 5) ? 1 : (level == 6) ? 2 : 3;
+        uint8_t flg = (uint8_t)(level_hint << 6);
+        flg |= 31 - ((cmf << 8) | flg) % 31;
+        uint8_t hdr[2] = {cmf, flg};
+        w.raw_bytes(hdr, 2);
+    }
+
+    if (len == 0) {
+        // empty: single fixed-huffman block with just EOB
+        fixed_init();
+        w.write(1, 1); w.write(1, 2);
+        w.write(fixed_lit_code[256], fixed_lit_len[256]);
+        w.flush();
+    } else {
+        Lz77Config cfg = config_for_level(level);
+        Matcher m(data, len);
+        // Block every ~256 KiB of input for histogram locality.
+        const int64_t BLOCK_INPUT = 256 * 1024;
+        int64_t pos = 0;
+        while (pos < len) {
+            int64_t block_end = std::min(len, pos + BLOCK_INPUT);
+            std::vector<Token> tokens;
+            tokens.reserve((size_t)(block_end - pos) / 2);
+            int64_t block_start = pos;
+
+            // incompressible-mode heuristic state (parity concept with
+            // pixo src/compress/lz77.rs: after a long literal run, throttle)
+            int64_t literal_run = 0;
+
+            while (pos < block_end) {
+                int dist = 0;
+                int chain = cfg.chain;
+                if (literal_run > 512) chain = 1;  // incompressible throttle
+                int best = m.find(pos, chain, cfg.nice, &dist);
+
+                if (best >= MIN_MATCH && cfg.lazy && best < cfg.nice && pos + 1 < block_end) {
+                    // lazy evaluation: check if next position has a better match
+                    m.insert(pos);
+                    int dist2 = 0;
+                    int best2 = m.find(pos + 1, chain, cfg.nice, &dist2);
+                    if (best2 > best + (cfg.lazy >= 2 ? 0 : 1)) {
+                        tokens.push_back(lit_token(data[pos]));
+                        literal_run++;
+                        pos += 1;
+                        continue;
+                    }
+                    // keep original match; insert positions it covers
+                    tokens.push_back(match_token(best, dist));
+                    literal_run = 0;
+                    int64_t end = pos + best;
+                    for (int64_t p = pos + 1; p < end && p < len; p++) m.insert(p);
+                    pos = end;
+                    continue;
+                }
+
+                if (best >= MIN_MATCH) {
+                    tokens.push_back(match_token(best, dist));
+                    literal_run = 0;
+                    int64_t end = pos + best;
+                    for (int64_t p = pos; p < end && p < len; p++) m.insert(p);
+                    pos = end;
+                } else {
+                    tokens.push_back(lit_token(data[pos]));
+                    m.insert(pos);
+                    literal_run++;
+                    pos += 1;
+                }
+            }
+            emit_block(w, tokens, data, block_start, block_end - block_start,
+                       block_end == len);
+        }
+        w.flush();
+    }
+
+    if (zlib_wrap) {
+        uint32_t a = adler32(data, len, 1);
+        uint8_t tail[4] = {(uint8_t)(a >> 24), (uint8_t)(a >> 16), (uint8_t)(a >> 8), (uint8_t)a};
+        w.raw_bytes(tail, 4);
+    }
+    return w.overflow ? -1 : w.pos;
+}
+
+// =============================== INFLATE ====================================
+
+namespace inflate {
+
+struct BitReader {
+    const uint8_t* data;
+    int64_t len, pos;
+    uint64_t acc;
+    int nbits;
+    bool error;
+
+    BitReader(const uint8_t* d, int64_t l) : data(d), len(l), pos(0), acc(0), nbits(0), error(false) {}
+
+    inline void fill() {
+        while (nbits <= 56 && pos < len) {
+            acc |= (uint64_t)data[pos++] << nbits;
+            nbits += 8;
+        }
+    }
+
+    inline uint32_t read(int n) {
+        if (nbits < n) fill();
+        if (nbits < n) { error = true; return 0; }
+        uint32_t v = (uint32_t)(acc & ((1ull << n) - 1));
+        acc >>= n;
+        nbits -= n;
+        return v;
+    }
+
+    inline void align() {
+        int drop = nbits & 7;
+        acc >>= drop;
+        nbits -= drop;
+    }
+};
+
+// canonical decode table: fast 10-bit lookup + slow path
+struct DecTable {
+    static const int FAST_BITS = 10;
+    uint16_t fast_sym[1 << FAST_BITS];
+    uint8_t fast_len[1 << FAST_BITS];
+    // slow path: first code/offset per length
+    uint32_t first_code[16];
+    int first_sym_idx[16];
+    uint16_t sorted_syms[288];
+    int count[16];
+    bool valid;
+
+    void build(const uint8_t* lengths, int n) {
+        valid = true;
+        memset(count, 0, sizeof(count));
+        for (int i = 0; i < n; i++) count[lengths[i]]++;
+        count[0] = 0;
+        int total = 0;
+        for (int b = 1; b < 16; b++) total += count[b];
+        if (total == 0) { valid = false; return; }
+        // canonical first codes
+        uint32_t code = 0;
+        int idx = 0;
+        int offs[16];
+        for (int b = 1; b < 16; b++) {
+            code = (code + count[b - 1]) << 1;
+            first_code[b] = code;
+            first_sym_idx[b] = idx;
+            offs[b] = idx;
+            idx += count[b];
+        }
+        for (int i = 0; i < n; i++)
+            if (lengths[i]) sorted_syms[offs[lengths[i]]++] = (uint16_t)i;
+        // fast table (LSB-first bit order: reverse the code)
+        memset(fast_len, 0, sizeof(fast_len));
+        code = 0;
+        idx = 0;
+        for (int b = 1; b <= FAST_BITS; b++) {
+            uint32_t c = first_code[b];
+            for (int k = 0; k < count[b]; k++, c++) {
+                // reverse b bits of c
+                uint32_t r = 0, x = c;
+                for (int j = 0; j < b; j++) { r = (r << 1) | (x & 1); x >>= 1; }
+                for (uint32_t hi = 0; hi < (1u << (FAST_BITS - b)); hi++) {
+                    uint32_t slot = r | (hi << b);
+                    fast_sym[slot] = sorted_syms[first_sym_idx[b] + k];
+                    fast_len[slot] = (uint8_t)b;
+                }
+            }
+        }
+    }
+
+    inline int decode(BitReader& br) {
+        if (br.nbits < 16) br.fill();
+        uint32_t peek = (uint32_t)(br.acc & ((1 << FAST_BITS) - 1));
+        if (fast_len[peek] && fast_len[peek] <= br.nbits) {
+            int b = fast_len[peek];
+            br.acc >>= b;
+            br.nbits -= b;
+            return fast_sym[peek];
+        }
+        // slow path: accumulate MSB-first code bit by bit
+        uint32_t code = 0;
+        for (int b = 1; b < 16; b++) {
+            if (br.nbits < 1) br.fill();
+            if (br.nbits < 1) { br.error = true; return -1; }
+            code = (code << 1) | (uint32_t)(br.acc & 1);
+            br.acc >>= 1;
+            br.nbits -= 1;
+            if (count[b] && code >= first_code[b] && code < first_code[b] + (uint32_t)count[b])
+                return sorted_syms[first_sym_idx[b] + (code - first_code[b])];
+        }
+        br.error = true;
+        return -1;
+    }
+};
+
+static const int LEN_BASE[29] = {3,4,5,6,7,8,9,10,11,13,15,17,19,23,27,31,35,43,51,59,
+                                 67,83,99,115,131,163,195,227,258};
+static const int LEN_EXTRA[29] = {0,0,0,0,0,0,0,0,1,1,1,1,2,2,2,2,3,3,3,3,4,4,4,4,5,5,5,5,0};
+static const int DIST_BASE[30] = {1,2,3,4,5,7,9,13,17,25,33,49,65,97,129,193,257,385,513,769,
+                                  1025,1537,2049,3073,4097,6145,8193,12289,16385,24577};
+static const int DIST_EXTRA[30] = {0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,6,7,7,8,8,9,9,10,10,11,11,12,12,13,13};
+
+}  // namespace inflate
+
+EXPORT int64_t inflate_decompress(const uint8_t* data, int64_t len,
+                                  int32_t zlib_wrap,
+                                  uint8_t* out, int64_t out_cap) {
+    using namespace inflate;
+    const uint8_t* p = data;
+    int64_t n = len;
+    if (zlib_wrap) {
+        if (n < 6) return -1;
+        if ((p[0] & 0x0F) != 8) return -1;       // deflate method
+        if (((p[0] << 8) | p[1]) % 31 != 0) return -1;
+        if (p[1] & 0x20) return -1;              // FDICT unsupported
+        p += 2;
+        n -= 6;  // leave adler tail out of the bit stream
+    }
+
+    BitReader br(p, n + (zlib_wrap ? 4 : 0));  // tail bytes may be consumed as padding
+    int64_t opos = 0;
+    static thread_local DecTable lit_table, dist_table;
+
+    for (;;) {
+        uint32_t bfinal = br.read(1);
+        uint32_t btype = br.read(2);
+        if (br.error) return -1;
+        if (btype == 0) {
+            br.align();
+            uint32_t lenv = br.read(16);
+            uint32_t nlen = br.read(16);
+            if (br.error || (lenv ^ 0xFFFF) != nlen) return -1;
+            for (uint32_t i = 0; i < lenv; i++) {
+                uint32_t b = br.read(8);
+                if (br.error || opos >= out_cap) return -1;
+                out[opos++] = (uint8_t)b;
+            }
+        } else if (btype == 1 || btype == 2) {
+            if (btype == 1) {
+                uint8_t ll[288];
+                for (int i = 0; i < 288; i++)
+                    ll[i] = (i < 144) ? 8 : (i < 256) ? 9 : (i < 280) ? 7 : 8;
+                uint8_t dl[30];
+                memset(dl, 5, 30);
+                lit_table.build(ll, 288);
+                dist_table.build(dl, 30);
+            } else {
+                uint32_t hlit = br.read(5) + 257;
+                uint32_t hdist = br.read(5) + 1;
+                uint32_t hclen = br.read(4) + 4;
+                if (br.error || hlit > 286 || hdist > 30) return -1;
+                static const int CL_ORDER[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1,15};
+                uint8_t cl_len[19] = {0};
+                for (uint32_t i = 0; i < hclen; i++) cl_len[CL_ORDER[i]] = (uint8_t)br.read(3);
+                DecTable cl_table;
+                cl_table.build(cl_len, 19);
+                if (!cl_table.valid) return -1;
+                uint8_t lens[286 + 30] = {0};
+                uint32_t got = 0;
+                while (got < hlit + hdist) {
+                    int sym = cl_table.decode(br);
+                    if (sym < 0) return -1;
+                    if (sym < 16) lens[got++] = (uint8_t)sym;
+                    else if (sym == 16) {
+                        if (got == 0) return -1;
+                        uint32_t rep = 3 + br.read(2);
+                        uint8_t v = lens[got - 1];
+                        while (rep-- && got < hlit + hdist) lens[got++] = v;
+                    } else if (sym == 17) {
+                        uint32_t rep = 3 + br.read(3);
+                        while (rep-- && got < hlit + hdist) lens[got++] = 0;
+                    } else {
+                        uint32_t rep = 11 + br.read(7);
+                        while (rep-- && got < hlit + hdist) lens[got++] = 0;
+                    }
+                    if (br.error) return -1;
+                }
+                lit_table.build(lens, hlit);
+                dist_table.build(lens + hlit, hdist);
+                if (!lit_table.valid) return -1;
+            }
+            for (;;) {
+                int sym = lit_table.decode(br);
+                if (sym < 0) return -1;
+                if (sym < 256) {
+                    if (opos >= out_cap) return -1;
+                    out[opos++] = (uint8_t)sym;
+                } else if (sym == 256) {
+                    break;
+                } else {
+                    int ls = sym - 257;
+                    if (ls >= 29) return -1;
+                    int mlen = LEN_BASE[ls] + (int)br.read(LEN_EXTRA[ls]);
+                    int ds = dist_table.decode(br);
+                    if (ds < 0 || ds >= 30) return -1;
+                    int dist = DIST_BASE[ds] + (int)br.read(DIST_EXTRA[ds]);
+                    if (br.error || dist > opos || opos + mlen > out_cap) return -1;
+                    // byte-by-byte to support overlapping copies (dist < len)
+                    for (int i = 0; i < mlen; i++, opos++) out[opos] = out[opos - dist];
+                }
+            }
+        } else {
+            return -1;
+        }
+        if (bfinal) break;
+    }
+    return opos;
+}
