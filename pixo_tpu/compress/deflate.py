@@ -1,0 +1,64 @@
+"""DEFLATE front-end: native C++ stack with stdlib fallback.
+
+The production path is the from-scratch C++ DEFLATE in pixo_tpu/native
+(hash-chain LZ77 + lazy matching + dynamic/fixed/stored blocks), the
+architectural rebuild of pixo ``src/compress/{lz77,deflate,huffman}.rs``.
+When the native library is unavailable the Python ``zlib`` module serves
+as the fallback (valid, equivalent-ratio output).
+"""
+
+from __future__ import annotations
+
+import zlib as _zlib
+
+
+def deflate_zlib(data: bytes, level: int = 6) -> bytes:
+    """zlib-wrapped DEFLATE stream at the given level (1-9)."""
+    from ..native import native_deflate
+
+    out = native_deflate(data, level, True)
+    if out is not None:
+        return out
+    return _zlib.compress(data, level)
+
+
+def deflate_raw(data: bytes, level: int = 6) -> bytes:
+    """Raw DEFLATE stream (no zlib wrapper)."""
+    from ..native import native_deflate
+
+    out = native_deflate(data, level, False)
+    if out is not None:
+        return out
+    c = _zlib.compressobj(level, _zlib.DEFLATED, -15)
+    return c.compress(data) + c.flush()
+
+
+def deflate_optimal_zlib(data: bytes, iterations: int = 5) -> bytes:
+    """Zopfli-style iterative refinement slot (pixo ``deflate_optimal_zlib``).
+
+    Current implementation: max-effort single pass (level 9). The iterative
+    cost-model refinement loop lands with the optimal-parse milestone.
+    """
+    del iterations
+    return deflate_zlib(data, 9)
+
+
+def inflate_zlib(data: bytes, expected_size: int | None = None) -> bytes:
+    """Inverse of deflate_zlib; uses the native INFLATE when available."""
+    from ..native import native_inflate
+
+    if expected_size is not None:
+        out = native_inflate(data, expected_size, True)
+        if out is not None:
+            return out
+    return _zlib.decompress(data)
+
+
+def inflate_raw(data: bytes, expected_size: int | None = None) -> bytes:
+    from ..native import native_inflate
+
+    if expected_size is not None:
+        out = native_inflate(data, expected_size, False)
+        if out is not None:
+            return out
+    return _zlib.decompress(data, -15)

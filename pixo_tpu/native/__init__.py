@@ -215,6 +215,25 @@ def native_inflate(data: bytes, expected_size: int, zlib_wrap: bool) -> Optional
     return out[:n].tobytes()
 
 
+def native_dither_fs(rgba, width, height, palette, opaque_lut):
+    """Floyd-Steinberg dithering in C++ (returns None if lib lacks it)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "dither_fs"):
+        return None
+    rgba = np.ascontiguousarray(rgba, dtype=np.uint8)
+    palette = np.ascontiguousarray(palette, dtype=np.uint8)
+    opaque_lut = np.ascontiguousarray(opaque_lut, dtype=np.uint8)
+    out = np.empty(width * height, dtype=np.uint8)
+    rc = lib.dither_fs(
+        _u8(rgba), width, height,
+        _u8(palette), len(palette),
+        _u8(opaque_lut), _u8(out),
+    )
+    if rc != 0:
+        return None
+    return out
+
+
 def native_crc32(data: bytes, crc: int = 0) -> Optional[int]:
     lib = _load()
     if lib is None:

@@ -1,0 +1,233 @@
+"""PNG filter bank: the flagship fused device kernel of the PNG path.
+
+Computes all five PNG filters (None/Sub/Up/Average/Paeth) and their
+selection scores for every row in one fused pass over the whole image —
+the TPU reformulation of the reference's per-row scalar/SIMD filter loop
+(pixo ``src/png/filter.rs``). PNG filtering reads the *raw* previous
+row/pixel, so every row and every filter is independent: the entire
+[5, H, RB] candidate tensor is one data-parallel computation (SURVEY §2.3:
+"this is the flagship Pallas kernel"; Sub/Paeth left-neighbor dependence
+becomes a byte shift of the raw row, not a recurrence).
+
+Strategy selection reproduces the reference's decision rules exactly:
+  - Adaptive / MinSum: try None,Sub,Up,Avg,Paeth in order, keep strict
+    improvements, stop early when the running best reaches
+    row_len/4 + 1 (``adaptive_filter``, ``src/png/filter.rs:302-393``).
+  - AdaptiveFast: Sub,Up,Paeth with early stop at row_len/8 + 1
+    (``adaptive_filter_fast``, ``:474-527``); on the sequential path
+    (height <= 32) the row-0 winner is reused for all rows (the
+    ``last_adaptive_filter`` stickiness of ``:146-166``).
+  - Bigrams: fewest distinct byte pairs (``bigrams_filter``, ``:410-471``).
+  - Small images (area <= 4096) force Sub for adaptive strategies
+    (``:75-86``).
+
+Scores are sum(|byte as i8|) — the signed-absolute "minimum sum of
+absolute differences" heuristic (``score_filter``, ``:614-627``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..options import FilterStrategy
+
+FILTER_NONE, FILTER_SUB, FILTER_UP, FILTER_AVERAGE, FILTER_PAETH = range(5)
+
+_FIXED_IDS = {
+    FilterStrategy.NONE: FILTER_NONE,
+    FilterStrategy.SUB: FILTER_SUB,
+    FilterStrategy.UP: FILTER_UP,
+    FilterStrategy.AVERAGE: FILTER_AVERAGE,
+    FilterStrategy.PAETH: FILTER_PAETH,
+}
+
+
+def _candidates(rows, bpp: int):
+    """[H, RB] uint8 -> [5, H, RB] int32 filtered candidates (mod-256 values).
+
+    All arithmetic in int32; outputs are already wrapped to 0..255.
+    """
+    x = rows.astype(jnp.int32)
+    h, rb = x.shape
+    zero_col = jnp.zeros((h, bpp), jnp.int32)
+    left = jnp.concatenate([zero_col, x[:, :-bpp]], axis=1) if rb > bpp else jnp.zeros_like(x)
+    up = jnp.concatenate([jnp.zeros((1, rb), jnp.int32), x[:-1]], axis=0)
+    ul = jnp.concatenate([jnp.zeros((h, bpp), jnp.int32), up[:, :-bpp]], axis=1) if rb > bpp else jnp.zeros_like(x)
+
+    f_none = x
+    f_sub = (x - left) & 0xFF
+    f_up = (x - up) & 0xFF
+    f_avg = (x - ((left + up) >> 1)) & 0xFF
+
+    p = left + up - ul
+    pa = jnp.abs(p - left)
+    pb = jnp.abs(p - up)
+    pc = jnp.abs(p - ul)
+    pred = jnp.where(
+        (pa <= pb) & (pa <= pc), left, jnp.where(pb <= pc, up, ul)
+    )
+    f_paeth = (x - pred) & 0xFF
+
+    return jnp.stack([f_none, f_sub, f_up, f_avg, f_paeth])
+
+
+def _signed_abs_scores(cands):
+    """[5, H, RB] -> [H, 5] sum of |value as i8| per row per filter."""
+    mag = jnp.minimum(cands, 256 - cands)  # |b as i8|; 0->0, 128->128, 255->1
+    mag = jnp.where(cands == 0, 0, mag)
+    return jnp.sum(mag, axis=2).T.astype(jnp.int32)
+
+
+def _bigram_scores(cands):
+    """[5, H, RB] -> [H, 5] distinct consecutive byte-pair counts per row."""
+    rb = cands.shape[2]
+    if rb < 2:
+        return jnp.zeros((cands.shape[1], 5), jnp.int32)
+    keys = cands[:, :, :-1] * 256 + cands[:, :, 1:]  # [5, H, RB-1]
+    skeys = jnp.sort(keys, axis=2)
+    distinct = 1 + jnp.sum(skeys[:, :, 1:] != skeys[:, :, :-1], axis=2)
+    return distinct.T.astype(jnp.int32)
+
+
+def _select_adaptive(scores, early: int):
+    """Reference adaptive_filter selection over [H, 5] scores."""
+    big = jnp.iinfo(scores.dtype).max
+    prefix = jnp.concatenate(
+        [jnp.full((scores.shape[0], 1), big, scores.dtype),
+         jax.lax.cummin(scores, axis=1)[:, :-1]],
+        axis=1,
+    )
+    is_best = scores < prefix
+    stop = is_best & (scores <= early)
+    any_stop = jnp.any(stop, axis=1)
+    first_stop = jnp.argmax(stop, axis=1)
+    overall = jnp.argmin(scores, axis=1)
+    return jnp.where(any_stop, first_stop, overall).astype(jnp.int32)
+
+
+def _select_adaptive_fast(scores, early: int):
+    """Reference adaptive_filter_fast selection: Sub, Up, Paeth with cutoffs."""
+    s1, s2, s4 = scores[:, FILTER_SUB], scores[:, FILTER_UP], scores[:, FILTER_PAETH]
+    best12 = jnp.where(s2 < s1, FILTER_UP, FILTER_SUB)
+    sb12 = jnp.minimum(s1, s2)
+    best124 = jnp.where(s4 < sb12, FILTER_PAETH, best12)
+    return jnp.where(
+        s1 <= early, FILTER_SUB, jnp.where(sb12 <= early, best12, best124)
+    ).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bpp", "strategy", "small_image", "sticky_fast")
+)
+def filter_image(
+    rows,
+    *,
+    bpp: int,
+    strategy: str,
+    small_image: bool,
+    sticky_fast: bool,
+):
+    """[H, RB] uint8 raw rows -> (filtered [H, RB] uint8, filter ids [H] i32)."""
+    h, rb = rows.shape
+    strat = FilterStrategy(strategy)
+    if small_image and strat in (
+        FilterStrategy.ADAPTIVE, FilterStrategy.ADAPTIVE_FAST, FilterStrategy.BIGRAMS
+    ):
+        strat = FilterStrategy.SUB
+
+    cands = _candidates(rows, bpp)
+
+    if strat in _FIXED_IDS:
+        fid = _FIXED_IDS[strat]
+        ids = jnp.full((h,), fid, jnp.int32)
+        return cands[fid].astype(jnp.uint8), ids
+
+    if strat == FilterStrategy.BIGRAMS:
+        ids = jnp.argmin(_bigram_scores(cands), axis=1).astype(jnp.int32)
+    elif strat in (FilterStrategy.ADAPTIVE, FilterStrategy.MIN_SUM):
+        ids = _select_adaptive(_signed_abs_scores(cands), rb // 4 + 1)
+    else:  # ADAPTIVE_FAST
+        ids = _select_adaptive_fast(_signed_abs_scores(cands), rb // 8 + 1)
+        if sticky_fast:
+            ids = jnp.full((h,), ids[0], jnp.int32)
+
+    chosen = jnp.take_along_axis(cands, ids[None, :, None], axis=0)[0]
+    return chosen.astype(jnp.uint8), ids
+
+
+def apply_filters(
+    data: np.ndarray,
+    width: int,
+    height: int,
+    row_bytes: int,
+    bpp: int,
+    strategy: FilterStrategy,
+    *,
+    verbose_filter_log: bool = False,
+) -> bytes:
+    """Host wrapper: raw bytes -> PNG-filtered bytes with type-byte rows.
+
+    Mirrors ``apply_filters_with_row_bytes`` (``src/png/filter.rs:64-206``).
+    """
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(height, row_bytes)
+    small = width * height <= 4096
+    sticky = height <= 32  # sequential path stickiness for AdaptiveFast
+    filtered, ids = filter_image(
+        jnp.asarray(rows),
+        bpp=bpp,
+        strategy=strategy.value,
+        small_image=small,
+        sticky_fast=sticky,
+    )
+    filtered = np.asarray(filtered)
+    ids = np.asarray(ids)
+    out = np.empty((height, row_bytes + 1), dtype=np.uint8)
+    out[:, 0] = ids.astype(np.uint8)
+    out[:, 1:] = filtered
+    if verbose_filter_log:
+        counts = np.bincount(ids, minlength=5)
+        import sys
+
+        print(
+            f"PNG filters: strategy={strategy.name}, rows={height} "
+            f"counts={{None:{counts[0]}, Sub:{counts[1]}, Up:{counts[2]}, "
+            f"Avg:{counts[3]}, Paeth:{counts[4]}}}",
+            file=sys.stderr,
+        )
+    return out.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# NumPy mirror for kernel-equality tests (the analog of the reference's
+# tests/simd_fallback_equality.rs contract).
+# ---------------------------------------------------------------------------
+
+def candidates_np(rows: np.ndarray, bpp: int) -> np.ndarray:
+    x = rows.astype(np.int32)
+    h, rb = x.shape
+    left = np.zeros_like(x)
+    ul = np.zeros_like(x)
+    up = np.zeros_like(x)
+    up[1:] = x[:-1]
+    if rb > bpp:
+        left[:, bpp:] = x[:, :-bpp]
+        ul[:, bpp:] = up[:, :-bpp]
+    f_none = x
+    f_sub = (x - left) & 0xFF
+    f_up = (x - up) & 0xFF
+    f_avg = (x - ((left + up) >> 1)) & 0xFF
+    p = left + up - ul
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+    f_paeth = (x - pred) & 0xFF
+    return np.stack([f_none, f_sub, f_up, f_avg, f_paeth])
+
+
+def scores_np(cands: np.ndarray) -> np.ndarray:
+    mag = np.minimum(cands, 256 - cands)
+    mag = np.where(cands == 0, 0, mag)
+    return mag.sum(axis=2).T.astype(np.int64)
