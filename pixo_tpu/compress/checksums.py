@@ -87,19 +87,35 @@ def adler32(data: bytes, adler: int = 1) -> int:
 
 
 def adler32_jnp(data_u8, adler: int = 1):
-    """Device Adler-32 over a uint8 jnp array via two reductions.
+    """Device Adler-32 over a uint8 jnp array: chunked reductions + scan.
 
-    Returns a uint32 scalar. Exact for arrays up to ~2^38 bytes (int64 math).
+    Each 2048-byte chunk contributes two weighted sums (int32-safe without
+    x64); a lax.scan carries (a, b) mod 65521 across chunks — the TPU
+    reformulation of the NMAX batching in the reference's adler32.
     """
+    import jax
     import jax.numpy as jnp
 
-    a0 = adler & 0xFFFF
-    b0 = (adler >> 16) & 0xFFFF
-    d = data_u8.astype(jnp.int64)
-    n = d.shape[0]
-    s = jnp.sum(d)
-    weights = n - jnp.arange(n, dtype=jnp.int64)
-    ws = jnp.sum(d * weights)
-    a = (a0 + s) % _ADLER_MOD
-    b = (b0 + a0 * n + ws) % _ADLER_MOD
-    return ((b.astype(jnp.uint32) << 16) | a.astype(jnp.uint32))
+    chunk = 2048
+    n = int(data_u8.shape[0])
+    pad = (-n) % chunk
+    d = jnp.pad(data_u8, (0, pad)).astype(jnp.int32).reshape(-1, chunk)
+    nchunks = d.shape[0]
+    lengths = jnp.minimum(
+        jnp.maximum(n - jnp.arange(nchunks, dtype=jnp.int32) * chunk, 0), chunk
+    )
+    j = jnp.arange(chunk, dtype=jnp.int32)
+    csums = jnp.sum(d, axis=1)  # padding bytes are zero
+    wsums = jnp.sum(d * jnp.maximum(lengths[:, None] - j[None, :], 0), axis=1)
+
+    def step(carry, x):
+        a, b = carry
+        csum, wsum, m = x
+        b = (b + a * m + wsum) % _ADLER_MOD
+        a = (a + csum) % _ADLER_MOD
+        return (a, b), None
+
+    a0 = jnp.int32(adler & 0xFFFF)
+    b0 = jnp.int32((adler >> 16) & 0xFFFF)
+    (a, b), _ = jax.lax.scan(step, (a0, b0), (csums, wsums, lengths))
+    return (b.astype(jnp.uint32) << 16) | a.astype(jnp.uint32)

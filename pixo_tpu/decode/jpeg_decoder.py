@@ -1,0 +1,392 @@
+"""Baseline JPEG decoder.
+
+Behavioral parity with pixo ``src/decode/jpeg.rs``:
+  - marker parse (APP skip, DQT 8/16-bit, SOF0 only — SOF2/progressive
+    raises UnsupportedDecode, DHT, DRI, SOS),
+  - Huffman entropy decode with restart-marker handling and 0xFF00
+    unstuffing,
+  - then the batched device pipeline: dequant + integer IDCT + nearest
+    upsample + fixed-point YCbCr->RGB (pixo_tpu.ops.jpeg_decode).
+
+The entropy stage is host-sequential (per-symbol bit stream); everything
+after it is one fused device dispatch over all blocks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import errors
+from ..color import ColorType
+from ..ops.jpeg_decode import (
+    assemble_plane,
+    dequant_idct_blocks,
+    upsample_nearest,
+    ycbcr_to_rgb_int,
+)
+
+SOF_UNSUPPORTED = {0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF}
+
+
+@dataclasses.dataclass
+class JpegImage:
+    width: int
+    height: int
+    color_type: ColorType
+    pixels: np.ndarray  # [H, W, 3] RGB or [H, W] gray
+
+    @property
+    def data(self) -> bytes:
+        return self.pixels.tobytes()
+
+
+@dataclasses.dataclass
+class _Component:
+    comp_id: int
+    h: int
+    v: int
+    quant_id: int
+    dc_table: int = 0
+    ac_table: int = 0
+
+
+class _HuffTable:
+    """Canonical decode table: per-length (min_code, max_code, value offset)."""
+
+    __slots__ = ("min_code", "max_code", "val_idx", "vals", "lut", "lut_bits")
+
+    LUT_BITS = 8
+
+    def __init__(self, bits: bytes, vals: bytes):
+        self.vals = vals
+        self.min_code = [0] * 17
+        self.max_code = [-1] * 17
+        self.val_idx = [0] * 17
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            count = bits[ln - 1]
+            if count:
+                self.val_idx[ln] = k
+                self.min_code[ln] = code
+                self.max_code[ln] = code + count - 1
+                k += count
+                code += count
+            code <<= 1
+        # fast 8-bit lookahead: (symbol, length) or (-1, 0)
+        self.lut = [(-1, 0)] * (1 << self.LUT_BITS)
+        code = 0
+        k = 0
+        for ln in range(1, self.LUT_BITS + 1):
+            for _ in range(bits[ln - 1]):
+                prefix = code << (self.LUT_BITS - ln)
+                for fill in range(1 << (self.LUT_BITS - ln)):
+                    self.lut[prefix | fill] = (vals[k], ln)
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, reader: "_MsbReader") -> int:
+        peek = reader.peek(self.LUT_BITS)
+        sym, ln = self.lut[peek]
+        if ln and reader.has_bits(ln):
+            reader.consume(ln)
+            return sym
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | reader.read_bit()
+            if self.max_code[ln] >= 0 and code <= self.max_code[ln] and code >= self.min_code[ln]:
+                return self.vals[self.val_idx[ln] + code - self.min_code[ln]]
+        raise errors.InvalidDecode("invalid Huffman code")
+
+
+class _MsbReader:
+    """MSB-first bit reader over unstuffed entropy bytes."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 48 and self.pos < len(self.data):
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+
+    def has_bits(self, n: int) -> bool:
+        if self.nbits < n:
+            self._fill()
+        return self.nbits >= n
+
+    def peek(self, n: int) -> int:
+        if self.nbits < n:
+            self._fill()
+        if self.nbits >= n:
+            return (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        # zero-pad past the end
+        avail = self.nbits
+        return (self.acc << (n - avail)) & ((1 << n) - 1) if avail else 0
+
+    def consume(self, n: int) -> None:
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1 if self.nbits else 0
+
+    def read_bit(self) -> int:
+        if not self.has_bits(1):
+            raise errors.InvalidDecode("out of entropy data")
+        self.nbits -= 1
+        bit = (self.acc >> self.nbits) & 1
+        self.acc &= (1 << self.nbits) - 1 if self.nbits else 0
+        return bit
+
+    def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if not self.has_bits(n):
+            raise errors.InvalidDecode("out of entropy data")
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1 if self.nbits else 0
+        return v
+
+
+def _extend(bits: int, size: int) -> int:
+    """JPEG EXTEND: map `size`-bit magnitude bits to signed value."""
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (2 << (size - 1)) + 1
+    return bits
+
+
+def decode_jpeg(data: bytes) -> JpegImage:
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise errors.InvalidDecode("not a JPEG file (missing SOI)")
+    pos = 2
+    qtables: Dict[int, np.ndarray] = {}
+    dc_tables: Dict[int, _HuffTable] = {}
+    ac_tables: Dict[int, _HuffTable] = {}
+    components: List[_Component] = []
+    width = height = 0
+    restart_interval = 0
+    sof_seen = False
+
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise errors.InvalidDecode("expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise errors.InvalidDecode("no scan data before EOI")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > len(data):
+            raise errors.InvalidDecode("truncated marker segment")
+        seg_len = (data[pos] << 8) | data[pos + 1]
+        if seg_len < 2 or pos + seg_len > len(data):
+            raise errors.InvalidDecode("invalid segment length")
+        seg = data[pos + 2 : pos + seg_len]
+        pos += seg_len
+
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq = seg[i] >> 4
+                tq = seg[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    qtables[tq] = np.frombuffer(seg[i : i + 64], np.uint8).astype(np.uint16)
+                    i += 64
+                else:
+                    qtables[tq] = np.frombuffer(seg[i : i + 128], ">u2").astype(np.uint16)
+                    i += 128
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc = seg[i] >> 4
+                th = seg[i] & 0x0F
+                bits = seg[i + 1 : i + 17]
+                total = sum(bits)
+                vals = seg[i + 17 : i + 17 + total]
+                table = _HuffTable(bits, vals)
+                if tc == 0:
+                    dc_tables[th] = table
+                else:
+                    ac_tables[th] = table
+                i += 17 + total
+        elif marker == 0xC0:  # SOF0 baseline
+            sof_seen = True
+            height = (seg[1] << 8) | seg[2]
+            width = (seg[3] << 8) | seg[4]
+            ncomp = seg[5]
+            if seg[0] != 8:
+                raise errors.UnsupportedDecode("non-8-bit precision")
+            if ncomp not in (1, 3):
+                raise errors.UnsupportedDecode(f"{ncomp} components")
+            components = []
+            for c in range(ncomp):
+                off = 6 + c * 3
+                components.append(
+                    _Component(seg[off], seg[off + 1] >> 4, seg[off + 1] & 0x0F,
+                               seg[off + 2])
+                )
+        elif marker in SOF_UNSUPPORTED:
+            raise errors.UnsupportedDecode(f"SOF marker 0xFF{marker:02X} (progressive or non-baseline)")
+        elif marker == 0xDD:  # DRI
+            restart_interval = (seg[0] << 8) | seg[1]
+        elif marker == 0xDA:  # SOS
+            if not sof_seen:
+                raise errors.InvalidDecode("SOS before SOF")
+            ns = seg[0]
+            for c in range(ns):
+                cid = seg[1 + c * 2]
+                tsel = seg[2 + c * 2]
+                for comp in components:
+                    if comp.comp_id == cid:
+                        comp.dc_table = tsel >> 4
+                        comp.ac_table = tsel & 0x0F
+            scan_data = data[pos:]
+            return _decode_scan(
+                scan_data, width, height, components, qtables,
+                dc_tables, ac_tables, restart_interval,
+            )
+    raise errors.InvalidDecode("no SOS marker found")
+
+
+def _split_entropy(scan_data: bytes) -> Tuple[List[bytes], int]:
+    """Split entropy-coded bytes at RST markers; unstuff 0xFF00.
+
+    Returns (segments, consumed_length_up_to_EOI_or_end).
+    """
+    segments: List[bytes] = []
+    cur = bytearray()
+    i = 0
+    n = len(scan_data)
+    while i < n:
+        b = scan_data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        nxt = scan_data[i + 1]
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # real marker (EOI or otherwise): end of scan
+            break
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def _decode_scan(
+    scan_data: bytes,
+    width: int,
+    height: int,
+    components: List[_Component],
+    qtables: Dict[int, np.ndarray],
+    dc_tables: Dict[int, _HuffTable],
+    ac_tables: Dict[int, _HuffTable],
+    restart_interval: int,
+) -> JpegImage:
+    if width == 0 or height == 0:
+        raise errors.InvalidDecode("zero dimensions")
+    max_h = max(c.h for c in components)
+    max_v = max(c.v for c in components)
+    if max_h == 0 or max_v == 0 or max_h > 4 or max_v > 4:
+        raise errors.InvalidDecode("invalid sampling factors")
+    mcu_w = 8 * max_h
+    mcu_h = 8 * max_v
+    mcu_cols = (width + mcu_w - 1) // mcu_w
+    mcu_rows = (height + mcu_h - 1) // mcu_h
+    total_mcus = mcu_cols * mcu_rows
+
+    for comp in components:
+        if comp.quant_id not in qtables:
+            raise errors.InvalidDecode("missing quantization table")
+        if comp.dc_table not in dc_tables or comp.ac_table not in ac_tables:
+            raise errors.InvalidDecode("missing Huffman table")
+
+    # Per-component coefficient stores over the MCU-padded block grid.
+    coeffs = [
+        np.zeros((mcu_rows * c.v * mcu_cols * c.h, 64), np.int16)
+        for c in components
+    ]
+
+    segments, _ = _split_entropy(scan_data)
+    seg_idx = 0
+    reader = _MsbReader(segments[0]) if segments else _MsbReader(b"")
+    prev_dc = [0] * len(components)
+
+    for mcu in range(total_mcus):
+        if restart_interval and mcu > 0 and mcu % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise errors.InvalidDecode("missing restart segment")
+            reader = _MsbReader(segments[seg_idx])
+            prev_dc = [0] * len(components)
+        my, mx = divmod(mcu, mcu_cols)
+        for ci, comp in enumerate(components):
+            dc_t = dc_tables[comp.dc_table]
+            ac_t = ac_tables[comp.ac_table]
+            for by in range(comp.v):
+                for bx in range(comp.h):
+                    block = np.zeros(64, np.int16)
+                    # DC
+                    s = dc_t.decode(reader)
+                    diff = _extend(reader.read_bits(s), s) if s else 0
+                    prev_dc[ci] += diff
+                    block[0] = prev_dc[ci]
+                    # AC
+                    k = 1
+                    while k < 64:
+                        rs = ac_t.decode(reader)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise errors.InvalidDecode("AC index overflow")
+                        block[k] = _extend(reader.read_bits(s), s)
+                        k += 1
+                    row = my * comp.v + by
+                    col = mx * comp.h + bx
+                    coeffs[ci][row * (mcu_cols * comp.h) + col] = block
+
+    # Device: dequant + IDCT + assemble + upsample + color convert.
+    planes = []
+    for ci, comp in enumerate(components):
+        q = qtables[comp.quant_id].astype(np.int32)
+        blocks = dequant_idct_blocks(jnp.asarray(coeffs[ci]), jnp.asarray(q)[None, :])
+        bw = mcu_cols * comp.h
+        bh = mcu_rows * comp.v
+        plane = assemble_plane(blocks.astype(jnp.int32), bw, bh)
+        plane = upsample_nearest(plane, max_h // comp.h, max_v // comp.v)
+        planes.append(plane)
+
+    if len(components) == 1:
+        gray = np.asarray(planes[0][:height, :width]).astype(np.uint8)
+        return JpegImage(width, height, ColorType.GRAY, gray)
+
+    y = planes[0][:height, :width]
+    cb = planes[1][:height, :width] - 128
+    cr = planes[2][:height, :width] - 128
+    rgb = np.asarray(ycbcr_to_rgb_int(y, cb, cr))
+    return JpegImage(width, height, ColorType.RGB, rgb)

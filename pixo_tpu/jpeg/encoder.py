@@ -90,6 +90,39 @@ def compute_coefficients(
     return np.asarray(zz)
 
 
+@functools.partial(jax.jit, static_argnames=("color", "subsampling"))
+def _device_dct_zz(img, *, color: str, subsampling: str):
+    """One image -> [nblocks, 64] f32 unquantized DCT, zigzag order.
+
+    Feeds the host/native trellis quantizer (preset max path).
+    """
+    if color == "gray":
+        blocks = blocks_gray(img)
+    elif subsampling == "420":
+        blocks = blocks_420(img)
+    else:
+        blocks = blocks_444(img)
+    dct = dct8x8_aan(blocks)
+    return zigzag_blocks(dct.reshape(-1, 64).astype(jnp.float32))
+
+
+def _trellis_coefficients(
+    img: np.ndarray, options: JpegOptions, quant: QuantizationTables,
+    pattern: Sequence[int],
+) -> np.ndarray:
+    from ..jpeg.tables import ZIGZAG
+    from . import trellis
+
+    color = "gray" if options.color_type == ColorType.GRAY else "rgb"
+    sub = "420" if options.subsampling == Subsampling.S420 else "444"
+    dct_zz = np.asarray(
+        _device_dct_zz(jnp.asarray(img), color=color, subsampling=sub)
+    )
+    lum_zz = quant.luminance_table[ZIGZAG]
+    chrom_zz = quant.chrominance_table[ZIGZAG]
+    return trellis.trellis_quantize(dct_zz, pattern, lum_zz, chrom_zz)
+
+
 def _pack(
     zz: np.ndarray,
     pattern: Sequence[int],
@@ -146,6 +179,61 @@ def _as_image_array(data, options: JpegOptions, bpp: int) -> np.ndarray:
     return np.ascontiguousarray(arr)
 
 
+def _emit_jpeg(
+    zz: np.ndarray,
+    img: np.ndarray,
+    options: JpegOptions,
+    quant: QuantizationTables,
+    pattern: Sequence[int],
+) -> bytes:
+    """Frame + entropy-code one image from its device coefficients."""
+    out = bytearray()
+    markers.write_soi(out)
+    markers.write_app0(out)
+    markers.write_dqt(out, quant)
+    if options.progressive:
+        from . import progressive
+
+        # Trellis applies to the progressive coefficient pass only (parity:
+        # the reference's baseline scan never consults use_trellis).
+        zz_scan = (
+            _trellis_coefficients(img, options, quant, pattern)
+            if options.trellis_quant
+            else zz
+        )
+        # Progressive tables are counted over the actual scan symbols so
+        # EOBn codes exist (see progressive.py's divergence note).
+        script = progressive.get_script(options)
+        comp_blocks = progressive.split_components(
+            zz_scan, pattern, options.width, options.height
+        )
+        is_gray = options.color_type == ColorType.GRAY
+        huff = progressive.build_progressive_tables(comp_blocks, script, is_gray)
+        if huff is None:
+            huff = HuffmanTables()
+        markers.write_sof(
+            out, markers.SOF2, options.width, options.height,
+            options.color_type, options.subsampling,
+        )
+        markers.write_dht(out, huff)
+        if options.restart_interval is not None:
+            markers.write_dri(out, options.restart_interval)
+        progressive.encode_progressive(out, zz_scan, pattern, options, huff)
+    else:
+        huff = _build_tables(zz, pattern, options)
+        markers.write_sof(
+            out, markers.SOF0, options.width, options.height,
+            options.color_type, options.subsampling,
+        )
+        markers.write_dht(out, huff)
+        if options.restart_interval is not None:
+            markers.write_dri(out, options.restart_interval)
+        markers.write_sos(out, options.color_type)
+        out += _pack(zz, pattern, huff, options.restart_interval)
+    markers.write_eoi(out)
+    return bytes(out)
+
+
 def encode(data, options: JpegOptions) -> bytes:
     """Encode one image (flat bytes or [H, W, C] uint8 array) to JPEG bytes."""
     if isinstance(data, np.ndarray):
@@ -160,36 +248,7 @@ def encode(data, options: JpegOptions) -> bytes:
     color = "gray" if options.color_type == ColorType.GRAY else "rgb"
     sub = "420" if options.subsampling == Subsampling.S420 else "444"
     _, _, pattern = scan_layout(options.width, options.height, color, sub)
-
-    huff = _build_tables(zz, pattern, options)
-
-    out = bytearray()
-    markers.write_soi(out)
-    markers.write_app0(out)
-    markers.write_dqt(out, quant)
-    if options.progressive:
-        from . import progressive
-
-        markers.write_sof(
-            out, markers.SOF2, options.width, options.height,
-            options.color_type, options.subsampling,
-        )
-        markers.write_dht(out, huff)
-        if options.restart_interval is not None:
-            markers.write_dri(out, options.restart_interval)
-        progressive.encode_progressive(out, zz, pattern, options, huff)
-    else:
-        markers.write_sof(
-            out, markers.SOF0, options.width, options.height,
-            options.color_type, options.subsampling,
-        )
-        markers.write_dht(out, huff)
-        if options.restart_interval is not None:
-            markers.write_dri(out, options.restart_interval)
-        markers.write_sos(out, options.color_type)
-        out += _pack(zz, pattern, huff, options.restart_interval)
-    markers.write_eoi(out)
-    return bytes(out)
+    return _emit_jpeg(zz, img, options, quant, pattern)
 
 
 @functools.partial(jax.jit, static_argnames=("color", "subsampling"))
@@ -221,29 +280,6 @@ def encode_batch(imgs: np.ndarray, options: JpegOptions) -> List[bytes]:
     )
     _, _, pattern = scan_layout(options.width, options.height, color, sub)
 
-    results = []
-    for i in range(b):
-        zz = zz_all[i]
-        huff = _build_tables(zz, pattern, options)
-        out = bytearray()
-        markers.write_soi(out)
-        markers.write_app0(out)
-        markers.write_dqt(out, quant)
-        markers.write_sof(
-            out,
-            markers.SOF2 if options.progressive else markers.SOF0,
-            options.width, options.height, options.color_type, options.subsampling,
-        )
-        markers.write_dht(out, huff)
-        if options.restart_interval is not None:
-            markers.write_dri(out, options.restart_interval)
-        if options.progressive:
-            from . import progressive
-
-            progressive.encode_progressive(out, zz, pattern, options, huff)
-        else:
-            markers.write_sos(out, options.color_type)
-            out += _pack(zz, pattern, huff, options.restart_interval)
-        markers.write_eoi(out)
-        results.append(bytes(out))
-    return results
+    return [
+        _emit_jpeg(zz_all[i], imgs[i], options, quant, pattern) for i in range(b)
+    ]

@@ -91,6 +91,27 @@ def _configure(lib) -> None:
         i64p, i64p, i64p, i64p,          # dc_lum[12], dc_chrom[12], ac_lum[256], ac_chrom[256]
     ]
 
+    lib.png_unfilter.restype = ctypes.c_int32
+    lib.png_unfilter.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, u8p,
+    ]
+
+    lib.jpeg_trellis_quantize.restype = ctypes.c_int32
+    lib.jpeg_trellis_quantize.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        u8p, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_float,
+        i16p,
+    ]
+
+    lib.dither_fs.restype = ctypes.c_int32
+    lib.dither_fs.argtypes = [
+        u8p, ctypes.c_int32, ctypes.c_int32,
+        u8p, ctypes.c_int32,
+        u8p, u8p,
+    ]
+
     lib.deflate_compress.restype = ctypes.c_int64
     lib.deflate_compress.argtypes = [
         u8p, ctypes.c_int64,             # input
@@ -213,6 +234,44 @@ def native_inflate(data: bytes, expected_size: int, zlib_wrap: bool) -> Optional
     if n < 0:
         return None
     return out[:n].tobytes()
+
+
+def native_png_unfilter(rows, bpp: int):
+    """[H, RB+1] uint8 filtered rows -> [H, RB] reconstructed, or None."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "png_unfilter"):
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.uint8)
+    height, rb1 = rows.shape
+    out = np.empty((height, rb1 - 1), dtype=np.uint8)
+    rc = lib.png_unfilter(_u8(rows), height, rb1 - 1, bpp, _u8(out))
+    if rc != 0:
+        return None
+    return out
+
+
+def native_trellis_quantize(dct_zz, pattern, lum_q_zz, chrom_q_zz, lambda_=1.0):
+    """Batched trellis quantization over zigzag DCT blocks; None if no lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    dct_zz = np.ascontiguousarray(dct_zz, dtype=np.float32)
+    pat = np.asarray(pattern, dtype=np.uint8)
+    lum = np.ascontiguousarray(lum_q_zz, dtype=np.float32)
+    chrom = np.ascontiguousarray(chrom_q_zz, dtype=np.float32)
+    out = np.empty((dct_zz.shape[0], 64), dtype=np.int16)
+
+    def f32(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+    rc = lib.jpeg_trellis_quantize(
+        f32(dct_zz), dct_zz.shape[0], _u8(pat), len(pat),
+        f32(lum), f32(chrom), ctypes.c_float(lambda_),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+    )
+    if rc != 0:
+        return None
+    return out
 
 
 def native_dither_fs(rgba, width, height, palette, opaque_lut):

@@ -240,6 +240,296 @@ EXPORT int32_t jpeg_count_symbols(
     return 0;
 }
 
+// ======================== trellis quantization ==============================
+// Viterbi R-D optimization per block (behavioral parity with pixo
+// src/jpeg/trellis.rs): <=5 candidates/coeff, <=8 states, zero-run
+// tracking, ZRL/EOB rate estimates, lambda=1.0, full backtracking.
+// Batched over the device-emitted DCT stream: blocks are independent.
+
+namespace trellis {
+
+struct State {
+    float cost;
+    uint8_t zero_run;
+    uint16_t parent;
+    int16_t value;
+};
+
+static inline int category16(int v) {
+    unsigned a = (v < 0) ? (unsigned)(-v) : (unsigned)v;
+    return a == 0 ? 0 : (32 - __builtin_clz(a));
+}
+
+static inline float est_ac_huffman_length(int rs) {
+    switch (rs) {
+        case 0x00: return 4.0f;
+        case 0x01: return 2.0f;
+        case 0x02: return 2.5f;
+        case 0x03: return 3.0f;
+        case 0x04: return 4.0f;
+        case 0x11: return 3.0f;
+        case 0x12: return 4.0f;
+        case 0x21: return 4.0f;
+        case 0xF0: return 10.0f;
+        default: {
+            float run = (float)(rs >> 4);
+            float size = (float)(rs & 0x0F);
+            return 3.0f + run * 0.5f + size * 0.3f;
+        }
+    }
+}
+
+static inline float est_ac_rate(int16_t value, uint8_t zero_run) {
+    int cat = category16(value);
+    int rs = ((int)zero_run << 4) | cat;
+    return est_ac_huffman_length(rs) + (float)cat;
+}
+
+static inline float round_half_away(float x) {
+    return x >= 0 ? __builtin_floorf(x + 0.5f) : __builtin_ceilf(x - 0.5f);
+}
+
+// Quantize one block of zigzag-ordered DCT coefficients.
+static void trellis_block(const float* dct_zz, const float* q_zz, float lambda,
+                          int16_t* out_zz) {
+    out_zz[0] = (int16_t)round_half_away(dct_zz[0] / q_zz[0]);
+
+    const int MAX_STATES = 8;
+    State cur[64];
+    int ncur = 1;
+    cur[0] = {0.0f, 0, 0, 0};
+
+    // all_states[pos] holds the pruned states after processing zigzag pos
+    static thread_local State all_states[64][64];
+    static thread_local int all_counts[64];
+    all_counts[0] = 1;
+    all_states[0][0] = cur[0];
+
+    for (int zz = 1; zz < 64; zz++) {
+        float coef = dct_zz[zz];
+        float q = q_zz[zz];
+        float fq = coef / q;
+
+        // candidates: 0, floor, round, ceil (+extended), deduped in order
+        int16_t cands[6];
+        int ncands = 0;
+        cands[ncands++] = 0;
+        int16_t fl = (int16_t)__builtin_floorf(fq);
+        int16_t rd = (int16_t)round_half_away(fq);
+        int16_t ce = (int16_t)__builtin_ceilf(fq);
+        auto add = [&](int16_t v) {
+            if (v == 0) return;
+            for (int i = 0; i < ncands; i++)
+                if (cands[i] == v) return;
+            cands[ncands++] = v;
+        };
+        add(fl);
+        add(rd);
+        add(ce);
+        float afq = fq < 0 ? -fq : fq;
+        if (afq > 1.5f) add(fq >= 0.0f ? (int16_t)(ce + 1) : (int16_t)(fl - 1));
+
+        State next[64];
+        int nnext = 0;
+        for (int pi = 0; pi < ncur; pi++) {
+            const State& parent = cur[pi];
+            for (int ci = 0; ci < ncands; ci++) {
+                int16_t cand = cands[ci];
+                float reconstructed = (float)cand * q;
+                float d = coef - reconstructed;
+                float distortion = d * d;
+                float rate;
+                uint8_t new_run;
+                if (cand == 0) {
+                    int nr = parent.zero_run + 1;
+                    if (nr >= 16) { rate = 10.0f; new_run = 0; }  // ZRL estimate
+                    else { rate = 0.0f; new_run = (uint8_t)nr; }
+                } else {
+                    rate = est_ac_rate(cand, parent.zero_run);
+                    new_run = 0;
+                }
+                float cost = parent.cost + rate + lambda * distortion;
+                // merge with same (value, zero_run)
+                int found = -1;
+                for (int si = 0; si < nnext; si++)
+                    if (next[si].value == cand && next[si].zero_run == new_run) { found = si; break; }
+                if (found >= 0) {
+                    if (cost < next[found].cost)
+                        next[found] = {cost, new_run, (uint16_t)pi, cand};
+                } else if (nnext < 64) {
+                    next[nnext++] = {cost, new_run, (uint16_t)pi, cand};
+                }
+            }
+        }
+        std::stable_sort(next, next + nnext,
+                         [](const State& a, const State& b) { return a.cost < b.cost; });
+        if (nnext > MAX_STATES) nnext = MAX_STATES;
+        all_counts[zz] = nnext;
+        memcpy(all_states[zz], next, nnext * sizeof(State));
+        memcpy(cur, next, nnext * sizeof(State));
+        ncur = nnext;
+        if (ncur == 0) break;
+    }
+
+    // EOB cost on trailing-zero states, then pick first minimum
+    float final_costs[64];
+    for (int i = 0; i < ncur; i++) {
+        final_costs[i] = cur[i].cost + (cur[i].zero_run > 0 ? 4.0f : 0.0f);
+    }
+    int16_t path[63] = {0};
+    if (ncur > 0) {
+        int best = 0;
+        for (int i = 1; i < ncur; i++)
+            if (final_costs[i] < final_costs[best]) best = i;
+        int state_idx = best;
+        for (int zz = 63; zz >= 1; zz--) {
+            if (state_idx < all_counts[zz]) {
+                path[zz - 1] = all_states[zz][state_idx].value;
+                state_idx = all_states[zz][state_idx].parent;
+            }
+        }
+    }
+    for (int zz = 1; zz < 64; zz++) out_zz[zz] = path[zz - 1];
+}
+
+}  // namespace trellis
+
+EXPORT int32_t jpeg_trellis_quantize(
+    const float* dct_zz, int64_t nblocks,
+    const uint8_t* pattern, int32_t bpm,
+    const float* lum_q_zz, const float* chrom_q_zz,
+    float lambda,
+    int16_t* out_zz) {
+    for (int64_t blk = 0; blk < nblocks; blk++) {
+        int comp = pattern[blk % bpm];
+        const float* q = (comp == 0) ? lum_q_zz : chrom_q_zz;
+        trellis::trellis_block(dct_zz + blk * 64, q, lambda, out_zz + blk * 64);
+    }
+    return 0;
+}
+
+// ===================== Floyd-Steinberg dithering =============================
+// Sequential 2D error diffusion (parity with pixo src/png/mod.rs:1634-1698):
+// rows coupled through the error buffers, so this stays a host stage.
+
+EXPORT int32_t dither_fs(
+    const uint8_t* rgba, int32_t width, int32_t height,
+    const uint8_t* palette, int32_t palette_len,
+    const uint8_t* opaque_lut,  // 64*64*64 entries
+    uint8_t* out_indices) {
+    std::vector<float> err(3 * (width + 2), 0.0f);
+    std::vector<float> nxt(3 * (width + 2), 0.0f);
+    float* er_ = err.data();
+    float* nx_ = nxt.data();
+
+    auto nearest_alpha = [&](int r, int g, int b, int a) -> int {
+        // redmean distance incl. alpha (parity with perceptual_distance_sq)
+        long long best = -1;
+        int best_idx = 0;
+        for (int i = 0; i < palette_len; i++) {
+            int pr = palette[i * 4], pg = palette[i * 4 + 1],
+                pb = palette[i * 4 + 2], pa = palette[i * 4 + 3];
+            long long dr = r - pr, dg = g - pg, db = b - pb, da = a - pa;
+            long long rm = (r + pr) >> 1;
+            long long dist = (((512 + rm) * dr * dr + 1024 * dg * dg +
+                               (767 - rm) * db * db) >> 8) + da * da;
+            if (best < 0 || dist < best) { best = dist; best_idx = i; }
+        }
+        return best_idx;
+    };
+
+    int64_t pos = 0;
+    for (int y = 0; y < height; y++) {
+        float* e0 = er_, *e1 = er_ + (width + 2), *e2 = er_ + 2 * (width + 2);
+        float* n0 = nx_, *n1 = nx_ + (width + 2), *n2 = nx_ + 2 * (width + 2);
+        for (int x = 0; x < width; x++) {
+            int r = rgba[pos], g = rgba[pos + 1], b = rgba[pos + 2], a = rgba[pos + 3];
+            pos += 4;
+            float fr = (float)r + e0[x + 1];
+            float fg = (float)g + e1[x + 1];
+            float fb = (float)b + e2[x + 1];
+            fr = fr < 0 ? 0 : (fr > 255 ? 255 : fr);
+            fg = fg < 0 ? 0 : (fg > 255 ? 255 : fg);
+            fb = fb < 0 ? 0 : (fb > 255 ? 255 : fb);
+            int ar = (int)fr, ag = (int)fg, ab = (int)fb;
+            int idx;
+            if (a == 255)
+                idx = opaque_lut[((ar >> 2) << 12) | ((ag >> 2) << 6) | (ab >> 2)];
+            else
+                idx = nearest_alpha(ar, ag, ab, a);
+            out_indices[y * (int64_t)width + x] = (uint8_t)idx;
+            float pr = palette[idx * 4], pg = palette[idx * 4 + 1], pb = palette[idx * 4 + 2];
+            float errs[3] = {(float)ar - pr, (float)ag - pg, (float)ab - pb};
+            float* e_rows[3] = {e0, e1, e2};
+            float* n_rows[3] = {n0, n1, n2};
+            for (int c = 0; c < 3; c++) {
+                e_rows[c][x + 2] += errs[c] * (7.0f / 16.0f);
+                n_rows[c][x] += errs[c] * (3.0f / 16.0f);
+                n_rows[c][x + 1] += errs[c] * (5.0f / 16.0f);
+                n_rows[c][x + 2] += errs[c] * (1.0f / 16.0f);
+            }
+        }
+        std::fill(er_, er_ + 3 * (width + 2), 0.0f);
+        std::swap(er_, nx_);
+    }
+    return 0;
+}
+
+// ============================ PNG unfilter ==================================
+// Reverse per-row PNG filtering (parity with pixo src/decode/png.rs row
+// reconstruction). Sub/Average/Paeth carry an intra-row recurrence, so the
+// host handles them; rows arrive as [height, row_bytes+1] with the filter
+// type byte leading each row.
+
+EXPORT int32_t png_unfilter(const uint8_t* rows, int64_t height,
+                            int64_t row_bytes, int32_t bpp, uint8_t* out) {
+    std::vector<uint8_t> zero(row_bytes, 0);
+    const uint8_t* prev = zero.data();
+    for (int64_t y = 0; y < height; y++) {
+        const uint8_t* src = rows + y * (row_bytes + 1);
+        uint8_t ftype = src[0];
+        const uint8_t* f = src + 1;
+        uint8_t* o = out + y * row_bytes;
+        switch (ftype) {
+            case 0:
+                memcpy(o, f, row_bytes);
+                break;
+            case 1:  // Sub
+                for (int64_t i = 0; i < row_bytes; i++) {
+                    uint8_t left = (i >= bpp) ? o[i - bpp] : 0;
+                    o[i] = (uint8_t)(f[i] + left);
+                }
+                break;
+            case 2:  // Up
+                for (int64_t i = 0; i < row_bytes; i++) o[i] = (uint8_t)(f[i] + prev[i]);
+                break;
+            case 3:  // Average
+                for (int64_t i = 0; i < row_bytes; i++) {
+                    int left = (i >= bpp) ? o[i - bpp] : 0;
+                    o[i] = (uint8_t)(f[i] + ((left + prev[i]) >> 1));
+                }
+                break;
+            case 4:  // Paeth
+                for (int64_t i = 0; i < row_bytes; i++) {
+                    int a = (i >= bpp) ? o[i - bpp] : 0;
+                    int b = prev[i];
+                    int c = (i >= bpp) ? prev[i - bpp] : 0;
+                    int p = a + b - c;
+                    int pa = p > a ? p - a : a - p;
+                    int pb = p > b ? p - b : b - p;
+                    int pc = p > c ? p - c : c - p;
+                    int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+                    o[i] = (uint8_t)(f[i] + pred);
+                }
+                break;
+            default:
+                return -1;
+        }
+        prev = o;
+    }
+    return 0;
+}
+
 // =============================== DEFLATE ====================================
 
 namespace deflate {

@@ -179,5 +179,6 @@ def idct8x8(blocks):
     """
     d = jnp.asarray(DCT_MATRIX)
     x = blocks.astype(jnp.float32)
-    t = jnp.einsum("nk,...km->...nm", d, x, preferred_element_type=jnp.float32)
-    return jnp.einsum("...nm,ml->...nl", t, d.T, preferred_element_type=jnp.float32)
+    # x = D^T X D for the orthonormal DCT matrix D (X = D x D^T forward)
+    t = jnp.einsum("kn,...km->...nm", d, x, preferred_element_type=jnp.float32)
+    return jnp.einsum("...nm,ml->...nl", t, d, preferred_element_type=jnp.float32)

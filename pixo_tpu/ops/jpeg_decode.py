@@ -1,0 +1,173 @@
+"""JPEG decode device kernels: dequant + integer IDCT + upsample + color.
+
+Exact-integer parity with the reference decoder:
+  - jidctint-style fixed-point IDCT, CONST_BITS=13 / PASS1_BITS=2
+    (pixo ``src/decode/idct.rs:45-220``), vectorized over all blocks —
+    the butterfly runs as elementwise int32 lane ops across the batch,
+    with ``fix_mul``'s 64-bit product emulated by a 13-bit split so the
+    whole pipeline stays in int32 (TPU-friendly, no x64 requirement).
+  - dequantize + un-zigzag (``src/decode/idct.rs:224+``).
+  - nearest-neighbor chroma upsampling + fixed-point BT.601 inverse:
+    r = y + (359 cr >> 8), g = y - ((88 cb + 183 cr) >> 8),
+    b = y + (454 cb >> 8) (``src/decode/jpeg.rs:689-735``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..jpeg.tables import ZIGZAG
+
+CONST_BITS = 13
+PASS1_BITS = 2
+ROUND_PASS1 = 1 << (CONST_BITS - PASS1_BITS - 1)
+ROUND_OUTPUT = 1 << (CONST_BITS + PASS1_BITS + 3 - 1)
+
+FIX_0_298631336 = 2446
+FIX_0_390180644 = 3196
+FIX_0_541196100 = 4433
+FIX_0_765366865 = 6270
+FIX_0_899976223 = 7373
+FIX_1_175875602 = 9633
+FIX_1_501321110 = 12299
+FIX_1_847759065 = 15137
+FIX_1_961570560 = 16069
+FIX_2_053119869 = 16819
+FIX_2_562915447 = 20995
+FIX_3_072711026 = 25172
+
+
+def _idct_pass(cols, descale):
+    """One jidctint 1D IDCT butterfly over eight lane arrays.
+
+    All products stay at 2^13 scale (the `FIX_*` constants carry the
+    scale); a single descale happens per pass. This is the *correct*
+    jidctint algebra — the reference's own integer IDCT downscales its
+    odd-part products immediately (``fix_mul`` at ``src/decode/idct.rs:18``
+    applied to unscaled d1/d3/d5/d7), which collapses the odd half of the
+    transform to ~0; we do not reproduce that bug.
+    """
+    d0, d1, d2, d3, d4, d5, d6, d7 = cols
+
+    # Even part
+    z1 = (d2 + d6) * FIX_0_541196100
+    tmp2 = z1 - d6 * FIX_1_847759065
+    tmp3 = z1 + d2 * FIX_0_765366865
+    tmp0 = (d0 + d4) << 13
+    tmp1 = (d0 - d4) << 13
+    tmp10 = tmp0 + tmp3
+    tmp13 = tmp0 - tmp3
+    tmp11 = tmp1 + tmp2
+    tmp12 = tmp1 - tmp2
+
+    # Odd part
+    z1 = d7 + d1
+    z2 = d5 + d3
+    z3 = d7 + d3
+    z4 = d5 + d1
+    z5 = (z3 + z4) * FIX_1_175875602
+    t0 = d7 * FIX_0_298631336
+    t1 = d5 * FIX_2_053119869
+    t2 = d3 * FIX_3_072711026
+    t3 = d1 * FIX_1_501321110
+    z1 = z1 * (-FIX_0_899976223)
+    z2 = z2 * (-FIX_2_562915447)
+    z3 = z3 * (-FIX_1_961570560) + z5
+    z4 = z4 * (-FIX_0_390180644) + z5
+    t0 = t0 + z1 + z3
+    t1 = t1 + z2 + z4
+    t2 = t2 + z2 + z3
+    t3 = t3 + z1 + z4
+
+    return [
+        descale(tmp10 + t3),
+        descale(tmp11 + t2),
+        descale(tmp12 + t1),
+        descale(tmp13 + t0),
+        descale(tmp13 - t0),
+        descale(tmp12 - t1),
+        descale(tmp11 - t2),
+        descale(tmp10 - t3),
+    ]
+
+
+
+def idct8x8_int(blocks):
+    """[..., 8, 8] int32 dequantized coefficients -> [..., 8, 8] uint8 pixels.
+
+    Bit-exact jidctint semantics (column pass, workspace descale, row pass,
+    +128 DC offset, clamp).
+    """
+    x = blocks.astype(jnp.int32)
+
+    # Pass 1: columns (axis -2), descale to workspace precision
+    cols = [x[..., i, :] for i in range(8)]
+    ws = _idct_pass(cols, lambda v: (v + ROUND_PASS1) >> (CONST_BITS - PASS1_BITS))
+    w = jnp.stack(ws, axis=-2)
+
+    # Pass 2: rows (axis -1), final descale + offset + clamp
+    rows = [w[..., i] for i in range(8)]
+    outs = _idct_pass(
+        rows,
+        lambda v: jnp.clip(((v + ROUND_OUTPUT) >> (CONST_BITS + PASS1_BITS + 3)) + 128, 0, 255),
+    )
+    return jnp.stack(outs, axis=-1).astype(jnp.uint8)
+
+
+def idct8x8_int_np(blocks: np.ndarray) -> np.ndarray:
+    """NumPy mirror (int64 fix_mul) for kernel-equality tests."""
+    x = blocks.astype(np.int64)
+    cols = [x[..., i, :] for i in range(8)]
+    ws = _idct_pass(cols, lambda v: (v + ROUND_PASS1) >> (CONST_BITS - PASS1_BITS))
+    w = np.stack(ws, axis=-2)
+    rows = [w[..., i] for i in range(8)]
+    outs = _idct_pass(
+        rows,
+        lambda v: np.clip(((v + ROUND_OUTPUT) >> (CONST_BITS + PASS1_BITS + 3)) + 128, 0, 255),
+    )
+    return np.stack(outs, axis=-1).astype(np.uint8)
+
+
+@functools.partial(jax.jit)
+def dequant_idct_blocks(zz_coeffs, qtable_zz):
+    """[N, 64] int16 zigzag coeffs x [N, 64]-broadcastable zigzag qtable
+    -> [N, 8, 8] uint8 spatial blocks."""
+    deq = zz_coeffs.astype(jnp.int32) * qtable_zz.astype(jnp.int32)
+    natural = jnp.zeros_like(deq).at[..., jnp.asarray(ZIGZAG)].set(deq)
+    return idct8x8_int(natural.reshape(natural.shape[:-1] + (8, 8)))
+
+
+def ycbcr_to_rgb_int(y, cb, cr):
+    """Fixed-point BT.601 inverse over int32 arrays (y full-range, cb/cr
+    already centered by -128). Returns uint8 [..., 3]."""
+    r = y + ((cr * 359) >> 8)
+    g = y - ((cb * 88 + cr * 183) >> 8)
+    b = y + ((cb * 454) >> 8)
+    out = jnp.stack([r, g, b], axis=-1)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+def ycbcr_to_rgb_int_np(y, cb, cr):
+    r = y + ((cr * 359) >> 8)
+    g = y - ((cb * 88 + cr * 183) >> 8)
+    b = y + ((cb * 454) >> 8)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def assemble_plane(blocks, blocks_w: int, blocks_h: int):
+    """[nblocks, 8, 8] -> [8*blocks_h, 8*blocks_w] plane (raster block order)."""
+    t = blocks.reshape(blocks_h, blocks_w, 8, 8)
+    return t.transpose(0, 2, 1, 3).reshape(blocks_h * 8, blocks_w * 8)
+
+
+def upsample_nearest(plane, h_ratio: int, v_ratio: int):
+    """Nearest-neighbor chroma upsampling (index replication)."""
+    if v_ratio > 1:
+        plane = jnp.repeat(plane, v_ratio, axis=0)
+    if h_ratio > 1:
+        plane = jnp.repeat(plane, h_ratio, axis=1)
+    return plane

@@ -1,0 +1,235 @@
+"""Decode conformance (mirrors the strategy of tests/decode_conformance.rs):
+our decoders vs our encoders (exact for PNG, coefficient-exact for JPEG)
+and vs third-party encoders (Pillow) as independent oracles."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from pixo_tpu import (
+    ColorType,
+    JpegOptions,
+    PngOptions,
+    QuantizationMode,
+    Subsampling,
+    errors,
+    jpeg,
+    png,
+)
+from pixo_tpu.decode import decode_jpeg, decode_png
+from tests.conftest import synth_checkerboard, synth_gradient, synth_noise
+
+
+class TestPngDecode:
+    def test_self_roundtrip_rgba(self):
+        img = synth_gradient(60, 50, 4)
+        r = decode_png(png.encode(img, PngOptions.fast(50, 60)))
+        assert (r.width, r.height) == (50, 60)
+        assert r.color_type == ColorType.RGBA
+        np.testing.assert_array_equal(r.pixels, img)
+
+    @pytest.mark.parametrize("ct,channels", [
+        (ColorType.RGB, 3), (ColorType.GRAY, 1), (ColorType.GRAY_ALPHA, 2),
+    ])
+    def test_self_roundtrip_color_types(self, ct, channels):
+        img = synth_gradient(40, 30, 4)[..., :channels]
+        if channels == 1:
+            img = img[..., 0]
+        img = np.ascontiguousarray(img)
+        opts = PngOptions(width=30, height=40, color_type=ct)
+        r = decode_png(png.encode(img, opts))
+        np.testing.assert_array_equal(r.pixels, img)
+
+    def test_pillow_encoded_input(self):
+        img = synth_noise(45, 37, 3)
+        buf = io.BytesIO()
+        Image.fromarray(img, "RGB").save(buf, "PNG")
+        r = decode_png(buf.getvalue())
+        np.testing.assert_array_equal(r.pixels, img)
+
+    def test_pillow_palette_input(self):
+        img = synth_gradient(32, 32, 3)
+        buf = io.BytesIO()
+        Image.fromarray(img, "RGB").convert(
+            "P", palette=Image.Palette.ADAPTIVE
+        ).save(buf, "PNG")
+        r = decode_png(buf.getvalue())
+        pil = np.asarray(Image.open(buf).convert("RGB"))
+        np.testing.assert_array_equal(r.pixels, pil)
+
+    def test_indexed_with_trns(self):
+        palette = np.array([[10, 20, 30], [200, 100, 0]], np.uint8)
+        trans = np.array([99], np.uint8)
+        idx = (np.indices((20, 20)).sum(0) % 2).astype(np.uint8)
+        data = png.encode_indexed(idx, 20, 20, palette, trans)
+        r = decode_png(data)
+        assert r.color_type == ColorType.RGBA
+        assert (r.pixels[idx == 0, 3] == 99).all()
+        assert (r.pixels[idx == 1, 3] == 255).all()
+
+    def test_sub_byte_depths(self):
+        # our encoder packs 1/2/4-bit palettes via reduce_palette
+        for ncolors in (2, 4, 16):
+            lut = (np.arange(ncolors) * (255 // max(ncolors - 1, 1))).astype(np.uint8)
+            idx = (np.indices((24, 24)).sum(0) % ncolors).astype(np.uint8)
+            img = np.repeat(lut[idx][..., None], 3, -1)
+            opts = PngOptions.balanced(24, 24).replace(color_type=ColorType.RGB)
+            r = decode_png(png.encode(img, opts))
+            exp = img if r.pixels.ndim == 3 else img[..., 0]
+            np.testing.assert_array_equal(r.pixels, exp)
+
+    def test_lossy_quantized_roundtrip(self):
+        img = synth_gradient(64, 64, 4)
+        opts = PngOptions(width=64, height=64, color_type=ColorType.RGBA)
+        opts.quantization.mode = QuantizationMode.FORCE
+        opts.quantization.max_colors = 32
+        data = png.encode(img, opts)
+        ours = decode_png(data)
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert(
+            "RGBA" if ours.color_type == ColorType.RGBA else "RGB"))
+        np.testing.assert_array_equal(ours.pixels, pil)
+
+    def test_rejects_garbage(self):
+        with pytest.raises(errors.InvalidDecode):
+            decode_png(b"not a png at all")
+
+    def test_rejects_bad_crc(self):
+        img = synth_gradient(16, 16, 4)
+        data = bytearray(png.encode(img, PngOptions.fast(16, 16)))
+        data[20] ^= 0xFF  # corrupt IHDR payload
+        with pytest.raises(errors.InvalidDecode):
+            decode_png(bytes(data))
+
+    def test_rejects_truncated(self):
+        img = synth_gradient(16, 16, 4)
+        data = png.encode(img, PngOptions.fast(16, 16))
+        with pytest.raises(errors.InvalidDecode):
+            decode_png(data[: len(data) // 2])
+
+    def test_rejects_interlaced(self):
+        # Build an Adam7 PNG via Pillow... Pillow can't write interlaced
+        # easily pre-10; construct IHDR manually from a valid file.
+        img = synth_gradient(16, 16, 3)
+        buf = io.BytesIO()
+        Image.fromarray(img, "RGB").save(buf, "PNG")
+        raw = bytearray(buf.getvalue())
+        # IHDR interlace byte is at offset 8+8+12 = 28 (last IHDR data byte)
+        assert raw[12:16] == b"IHDR"
+        raw[28] = 1
+        import struct, zlib as z
+
+        crc = z.crc32(bytes(raw[12:29])) & 0xFFFFFFFF
+        raw[29:33] = struct.pack(">I", crc)
+        with pytest.raises(errors.UnsupportedDecode):
+            decode_png(bytes(raw))
+
+
+class TestJpegDecode:
+    def _pillow(self, data, mode="RGB"):
+        img = Image.open(io.BytesIO(data))
+        img.load()
+        return np.asarray(img.convert(mode)).astype(int)
+
+    @pytest.mark.parametrize("size", [(64, 64), (61, 47), (8, 8), (1, 1)])
+    def test_444_vs_pillow(self, size):
+        w, h = size
+        img = synth_gradient(h, w, 3)
+        data = jpeg.encode(img, JpegOptions.fast(w, h, 85))
+        r = decode_jpeg(data)
+        assert (r.width, r.height) == (w, h)
+        diff = np.abs(r.pixels.astype(int) - self._pillow(data))
+        assert diff.max() <= 2  # color-convert rounding differences only
+
+    def test_420_vs_pillow(self):
+        img = synth_gradient(48, 40, 3)
+        opts = JpegOptions(width=40, height=48, quality=88, subsampling=Subsampling.S420)
+        data = jpeg.encode(img, opts)
+        diff = np.abs(decode_jpeg(data).pixels.astype(int) - self._pillow(data))
+        # Pillow uses fancy (triangle) chroma upsampling; we use nearest
+        assert diff.mean() < 3 and diff.max() <= 40
+
+    def test_gray_vs_pillow(self):
+        img = synth_gradient(32, 32, 3)[..., 0].copy()
+        opts = JpegOptions(width=32, height=32, quality=85, color_type=ColorType.GRAY)
+        data = jpeg.encode(img, opts)
+        r = decode_jpeg(data)
+        assert r.color_type == ColorType.GRAY
+        diff = np.abs(r.pixels.astype(int) - self._pillow(data, "L"))
+        assert diff.max() <= 1
+
+    def test_restart_interval(self):
+        img = synth_noise(32, 32, 3)
+        opts = JpegOptions(width=32, height=32, quality=85, restart_interval=2)
+        data = jpeg.encode(img, opts)
+        diff = np.abs(decode_jpeg(data).pixels.astype(int) - self._pillow(data))
+        assert diff.max() <= 2
+
+    def test_optimized_huffman(self):
+        img = synth_checkerboard(40, 40)
+        opts = JpegOptions(width=40, height=40, quality=85, optimize_huffman=True)
+        data = jpeg.encode(img, opts)
+        diff = np.abs(decode_jpeg(data).pixels.astype(int) - self._pillow(data))
+        assert diff.max() <= 2
+
+    def test_pillow_encoded_input(self):
+        img = synth_gradient(56, 72, 3)
+        buf = io.BytesIO()
+        Image.fromarray(img, "RGB").save(buf, "JPEG", quality=92, subsampling=0)
+        r = decode_jpeg(buf.getvalue())
+        diff = np.abs(r.pixels.astype(int) - self._pillow(buf.getvalue()))
+        assert diff.max() <= 2
+
+    def test_progressive_rejected(self):
+        img = synth_gradient(32, 32, 3)
+        data = jpeg.encode(
+            img, JpegOptions(width=32, height=32, quality=85, progressive=True)
+        )
+        with pytest.raises(errors.UnsupportedDecode):
+            decode_jpeg(data)
+
+    def test_rejects_garbage(self):
+        with pytest.raises(errors.InvalidDecode):
+            decode_jpeg(b"definitely not a jpeg")
+        with pytest.raises(errors.InvalidDecode):
+            decode_jpeg(b"")
+        with pytest.raises(errors.InvalidDecode):
+            decode_jpeg(bytes([0xFF, 0xD8]))
+
+
+class TestKernelEquality:
+    def test_idct_jnp_matches_numpy(self, rng):
+        import jax.numpy as jnp
+
+        from pixo_tpu.ops.jpeg_decode import idct8x8_int, idct8x8_int_np
+
+        blocks = (
+            rng.integers(-80, 80, (100, 8, 8)) * (rng.random((100, 8, 8)) < 0.4)
+        ).astype(np.int32)
+        blocks[:, 0, 0] = rng.integers(-1000, 1000, 100)
+        dev = np.asarray(idct8x8_int(jnp.asarray(blocks)))
+        np.testing.assert_array_equal(dev, idct8x8_int_np(blocks))
+
+    def test_idct_close_to_float(self, rng):
+        import jax.numpy as jnp
+
+        from pixo_tpu.ops.dct import idct8x8
+        from pixo_tpu.ops.jpeg_decode import idct8x8_int_np
+
+        blocks = (
+            rng.integers(-80, 80, (100, 8, 8)) * (rng.random((100, 8, 8)) < 0.4)
+        ).astype(np.int32)
+        a = idct8x8_int_np(blocks).astype(float)
+        f = np.asarray(idct8x8(jnp.asarray(blocks.astype(np.float32))))
+        fpix = np.clip(np.round(f) + 128, 0, 255)
+        assert np.abs(a - fpix).max() <= 1
+
+    def test_ycbcr_inverse_consistency(self, rng):
+        from pixo_tpu.color import rgb_to_ycbcr_np
+        from pixo_tpu.ops.jpeg_decode import ycbcr_to_rgb_int_np
+
+        rgb = rng.integers(0, 256, (500, 3), dtype=np.uint8)
+        ycc = rgb_to_ycbcr_np(rgb).astype(np.int64)
+        back = ycbcr_to_rgb_int_np(ycc[:, 0], ycc[:, 1] - 128, ycc[:, 2] - 128)
+        assert np.abs(back.astype(int) - rgb.astype(int)).max() <= 3

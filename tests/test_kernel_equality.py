@@ -1,0 +1,145 @@
+"""Device-kernel vs NumPy-mirror equality (the SIMD-vs-fallback analog).
+
+The reference asserts every SIMD kernel byte-identical to its scalar
+fallback (tests/simd_fallback_equality.rs). Here the contract is: every
+JAX device kernel is bit-identical to its NumPy mirror.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pixo_tpu.ops.dct import dct8x8_aan, dct8x8_aan_np, dct8x8_matmul, idct8x8
+from pixo_tpu.ops.png_filters import (
+    candidates_np,
+    filter_image,
+    scores_np,
+    _candidates,
+    _signed_abs_scores,
+)
+from pixo_tpu.ops.quantize import (
+    quantize_blocks,
+    quantize_blocks_np,
+    round_half_away,
+    round_half_away_np,
+    zigzag_blocks,
+    zigzag_blocks_np,
+)
+
+
+class TestDct:
+    def test_aan_matches_numpy_bitexact(self, rng):
+        blocks = rng.uniform(-128, 127, (257, 8, 8)).astype(np.float32)
+        dev = np.asarray(dct8x8_aan(jnp.asarray(blocks)))
+        ref = dct8x8_aan_np(blocks)
+        np.testing.assert_array_equal(dev, ref)
+
+    def test_aan_dc_of_constant_block(self):
+        block = np.full((1, 8, 8), 12.0, np.float32)
+        out = dct8x8_aan_np(block)
+        # DC of constant c is 8c for orthonormal scaling
+        assert abs(out[0, 0, 0] - 96.0) < 1e-3
+        assert np.abs(out[0][np.nonzero(1 - np.eye(8) * 0 + 0)]).max() >= 0  # smoke
+
+    def test_aan_matches_orthonormal_dct(self, rng):
+        """AAN with S-scaling equals the textbook orthonormal DCT (to fp tol)."""
+        blocks = rng.uniform(-128, 127, (16, 8, 8)).astype(np.float32)
+        aan = dct8x8_aan_np(blocks)
+        mm = np.asarray(dct8x8_matmul(jnp.asarray(blocks)))
+        np.testing.assert_allclose(aan, mm, atol=1e-1)
+
+    def test_idct_inverts_dct(self, rng):
+        blocks = rng.uniform(-128, 127, (16, 8, 8)).astype(np.float32)
+        coeffs = np.asarray(dct8x8_matmul(jnp.asarray(blocks)))
+        back = np.asarray(idct8x8(jnp.asarray(coeffs)))
+        np.testing.assert_allclose(back, blocks, atol=1e-2)
+
+
+class TestQuantize:
+    def test_round_half_away_semantics(self):
+        x = np.array(
+            [0.5, -0.5, 1.5, -1.5, 2.5, -2.5, 0.49, -0.49, 16.5, 0.0], np.float32
+        )
+        expect = np.array([1, -1, 2, -2, 3, -3, 0, 0, 17, 0], np.float32)
+        np.testing.assert_array_equal(round_half_away_np(x), expect)
+        np.testing.assert_array_equal(np.asarray(round_half_away(jnp.asarray(x))), expect)
+
+    def test_quantize_matches_numpy(self, rng):
+        dct = rng.uniform(-2000, 2000, (100, 8, 8)).astype(np.float32)
+        q = rng.integers(1, 255, (8, 8)).astype(np.float32)
+        dev = np.asarray(quantize_blocks(jnp.asarray(dct), jnp.asarray(q)))
+        ref = quantize_blocks_np(dct, q)
+        np.testing.assert_array_equal(dev, ref)
+
+    def test_zigzag(self):
+        block = np.arange(64, dtype=np.int16).reshape(1, 8, 8)
+        zz = zigzag_blocks_np(block)[0]
+        assert zz[0] == 0 and zz[1] == 1 and zz[2] == 8 and zz[3] == 16
+        assert zz[4] == 9 and zz[5] == 2
+        assert sorted(zz.tolist()) == list(range(64))
+        dev = np.asarray(zigzag_blocks(jnp.asarray(block)))
+        np.testing.assert_array_equal(dev, zz[None])
+
+
+class TestPngFilters:
+    @pytest.mark.parametrize("bpp", [1, 2, 3, 4])
+    def test_candidates_match_numpy(self, rng, bpp):
+        rows = rng.integers(0, 256, (23, 17 * bpp), dtype=np.uint8)
+        dev = np.asarray(_candidates(jnp.asarray(rows), bpp))
+        ref = candidates_np(rows, bpp)
+        np.testing.assert_array_equal(dev, ref)
+
+    def test_scores_match_numpy(self, rng):
+        rows = rng.integers(0, 256, (9, 40), dtype=np.uint8)
+        cands = candidates_np(rows, 4)
+        dev = np.asarray(_signed_abs_scores(jnp.asarray(cands)))
+        np.testing.assert_array_equal(dev, scores_np(cands))
+
+    def test_paeth_scalar_semantics(self):
+        # paeth_predictor(a, b, c) tie-breaking: a wins, then b
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            return b if pb <= pc else c
+
+        rows = np.zeros((2, 6), np.uint8)
+        rows[0] = [10, 20, 30, 40, 50, 60]
+        rows[1] = [15, 25, 35, 45, 55, 65]
+        cands = candidates_np(rows, 1)
+        for x in range(6):
+            a = int(rows[1, x - 1]) if x >= 1 else 0
+            b = int(rows[0, x])
+            c = int(rows[0, x - 1]) if x >= 1 else 0
+            expect = (int(rows[1, x]) - paeth(a, b, c)) & 0xFF
+            assert cands[4, 1, x] == expect
+
+    def test_fixed_strategy_filters(self, rng):
+        rows = rng.integers(0, 256, (8, 12), dtype=np.uint8)
+        filtered, ids = filter_image(
+            jnp.asarray(rows), bpp=3, strategy="sub",
+            small_image=False, sticky_fast=False,
+        )
+        assert (np.asarray(ids) == 1).all()
+        ref = candidates_np(rows, 3)[1]
+        np.testing.assert_array_equal(np.asarray(filtered), ref)
+
+    def test_small_image_forces_sub(self, rng):
+        rows = rng.integers(0, 256, (8, 12), dtype=np.uint8)
+        _, ids = filter_image(
+            jnp.asarray(rows), bpp=3, strategy="adaptive",
+            small_image=True, sticky_fast=False,
+        )
+        assert (np.asarray(ids) == 1).all()
+
+    def test_adaptive_picks_up_for_constant_rows(self):
+        # identical rows: Up filter gives all zeros from row 1 on
+        rows = np.tile(np.arange(48, dtype=np.uint8) * 5, (10, 1))
+        _, ids = filter_image(
+            jnp.asarray(rows), bpp=3, strategy="adaptive",
+            small_image=False, sticky_fast=False,
+        )
+        ids = np.asarray(ids)
+        assert (ids[1:] == 2).all()  # Up wins on all repeated rows

@@ -1,0 +1,107 @@
+"""Native C++ host stage vs Python fallback parity, and zlib oracles."""
+
+import zlib
+
+import numpy as np
+import pytest
+
+from pixo_tpu import native
+from pixo_tpu.compress.deflate import deflate_raw, deflate_zlib, inflate_raw, inflate_zlib
+from pixo_tpu.jpeg import packer, tables
+
+needs_native = pytest.mark.skipif(
+    not native.native_available(), reason="native library unavailable"
+)
+
+
+@needs_native
+class TestJpegPackerParity:
+    @pytest.mark.parametrize(
+        "pattern,restart",
+        [((0, 1, 2), None), ((0, 0, 0, 0, 1, 2), 3), ((0,), None), ((0, 1, 2), 1)],
+    )
+    def test_pack_scan_identical(self, rng, pattern, restart):
+        huff = tables.HuffmanTables()
+        nblocks = 40 * len(pattern)
+        zz = (
+            rng.integers(-300, 300, (nblocks, 64))
+            * (rng.random((nblocks, 64)) < 0.25)
+        ).astype(np.int16)
+        py = packer.pack_scan(zz, pattern, huff, restart)
+        nat = native.native_pack_scan(zz, pattern, huff, restart)
+        assert py == nat
+
+    def test_count_symbols_identical(self, rng):
+        pattern = (0, 1, 2)
+        zz = (
+            rng.integers(-300, 300, (60, 64)) * (rng.random((60, 64)) < 0.25)
+        ).astype(np.int16)
+        py = packer.count_symbols(zz, pattern, 4)
+        nat = native.native_count_symbols(zz, pattern, 4)
+        for a, b in zip(py, nat):
+            np.testing.assert_array_equal(a, b)
+
+    def test_extreme_coefficients(self):
+        huff = tables.HuffmanTables()
+        zz = np.zeros((3, 64), np.int16)
+        zz[0, 0] = 1023
+        zz[1, 0] = -1023
+        zz[2, 63] = 7
+        py = packer.pack_scan(zz, (0, 1, 2), huff, None)
+        nat = native.native_pack_scan(zz, (0, 1, 2), huff, None)
+        assert py == nat
+
+
+@needs_native
+class TestDeflate:
+    CASES = [
+        b"",
+        b"a",
+        b"abcabcabcabc" * 100,
+        bytes(50000),
+        bytes(range(256)) * 300,
+    ]
+
+    @pytest.mark.parametrize("level", [1, 4, 6, 9])
+    def test_roundtrip_zlib_oracle(self, rng, level):
+        cases = list(self.CASES) + [rng.integers(0, 256, 131072, dtype=np.uint8).tobytes()]
+        for data in cases:
+            c = deflate_zlib(data, level)
+            assert zlib.decompress(c) == data
+            r = deflate_raw(data, level)
+            assert zlib.decompress(r, -15) == data
+
+    def test_own_inflate_roundtrip(self, rng):
+        data = rng.integers(0, 256, 70000, dtype=np.uint8).tobytes()
+        for level in (1, 6, 9):
+            c = deflate_zlib(data, level)
+            assert inflate_zlib(c, len(data)) == data
+
+    def test_inflate_decodes_zlib_output(self, rng):
+        """Our INFLATE must decode third-party (zlib) streams."""
+        for data in [b"hello world" * 1000, rng.integers(0, 256, 30000, dtype=np.uint8).tobytes()]:
+            for level in (1, 6, 9):
+                c = zlib.compress(data, level)
+                assert inflate_zlib(c, len(data)) == data
+                craw = zlib.compressobj(level, zlib.DEFLATED, -15)
+                raw = craw.compress(data) + craw.flush()
+                assert inflate_raw(raw, len(data)) == data
+
+    def test_incompressible_close_to_stored(self, rng):
+        data = rng.integers(0, 256, 100000, dtype=np.uint8).tobytes()
+        c = deflate_zlib(data, 6)
+        assert len(c) < len(data) * 1.01  # stored-block bail keeps overhead tiny
+
+    def test_compression_improves_with_level(self):
+        # moderately compressible data with long-range structure
+        data = (b"x" * 50 + bytes(range(200))) * 300
+        sizes = [len(deflate_zlib(data, lv)) for lv in (1, 6, 9)]
+        assert sizes[2] <= sizes[1] <= sizes[0]
+
+
+@needs_native
+class TestChecksumsNative:
+    def test_crc_adler_match_zlib(self, rng):
+        data = rng.integers(0, 256, 99999, dtype=np.uint8).tobytes()
+        assert native.native_crc32(data) == (zlib.crc32(data) & 0xFFFFFFFF)
+        assert native.native_adler32(data) == (zlib.adler32(data) & 0xFFFFFFFF)
