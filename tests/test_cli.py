@@ -1,0 +1,94 @@
+"""CLI tests (mirrors the reference CLI's behavior contract)."""
+
+import io
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from pixo_tpu.cli import detect_format_from_bytes, load_image, main
+from tests.conftest import synth_gradient
+
+
+@pytest.fixture
+def png_file(tmp_path):
+    img = synth_gradient(32, 32, 3)
+    p = tmp_path / "in.png"
+    Image.fromarray(img, "RGB").save(p)
+    return p, img
+
+
+class TestDetect:
+    def test_magic_bytes(self):
+        assert detect_format_from_bytes(b"\x89PNG\r\n\x1a\n rest") == "png"
+        assert detect_format_from_bytes(b"\xff\xd8\xff\xe0") == "jpeg"
+        assert detect_format_from_bytes(b"P6\n1 1\n255\n\x00\x00\x00") == "ppm"
+        assert detect_format_from_bytes(b"P5\n1 1\n255\n\x00") == "pgm"
+        with pytest.raises(ValueError):
+            detect_format_from_bytes(b"GIF89a")
+
+
+class TestLoadImage:
+    def test_ppm(self):
+        img = synth_gradient(4, 5, 3)
+        data = b"P6\n# comment\n5 4\n255\n" + img.tobytes()
+        px, w, h, ct = load_image(data)
+        assert (w, h) == (5, 4)
+        np.testing.assert_array_equal(px, img)
+
+    def test_pgm(self):
+        img = synth_gradient(4, 5, 3)[..., 0].copy()
+        data = b"P5\n5 4\n255\n" + img.tobytes()
+        px, w, h, ct = load_image(data)
+        np.testing.assert_array_equal(px[..., 0], img)
+
+
+class TestMain:
+    def test_png_to_jpeg(self, png_file, tmp_path):
+        src, img = png_file
+        out = tmp_path / "out.jpg"
+        rc = main([str(src), "-o", str(out), "-q", "90", "--quiet"])
+        assert rc == 0
+        dec = np.asarray(Image.open(out).convert("RGB")).astype(int)
+        assert np.abs(dec - img.astype(int)).mean() < 8
+
+    def test_png_recompress_json(self, png_file, tmp_path, capsys):
+        src, img = png_file
+        out = tmp_path / "out.png"
+        rc = main([str(src), "-o", str(out), "--preset", "balanced", "--json"])
+        assert rc == 0
+        info = json.loads(capsys.readouterr().out)
+        assert info["format"] == "png"
+        assert info["width"] == 32
+        dec = np.asarray(Image.open(out).convert("RGB"))
+        np.testing.assert_array_equal(dec, img)
+
+    def test_dry_run_writes_nothing(self, png_file, tmp_path):
+        src, _ = png_file
+        out = tmp_path / "never.png"
+        rc = main([str(src), "-o", str(out), "--dry-run", "--quiet"])
+        assert rc == 0
+        assert not out.exists()
+
+    def test_grayscale(self, png_file, tmp_path):
+        src, img = png_file
+        out = tmp_path / "gray.png"
+        rc = main([str(src), "-o", str(out), "--grayscale", "--quiet"])
+        assert rc == 0
+        assert Image.open(out).mode in ("L", "P")
+
+    def test_resize(self, png_file, tmp_path):
+        src, _ = png_file
+        out = tmp_path / "small.png"
+        rc = main([str(src), "-o", str(out), "--resize", "16x16", "--quiet"])
+        assert rc == 0
+        assert Image.open(out).size == (16, 16)
+
+    def test_bad_input(self, tmp_path):
+        bad = tmp_path / "bad.bin"
+        bad.write_bytes(b"not an image")
+        assert main([str(bad), "-o", str(tmp_path / "x.png"), "--quiet"]) == 1
+
+    def test_missing_file(self, tmp_path):
+        assert main([str(tmp_path / "nope.png"), "--quiet"]) == 1
