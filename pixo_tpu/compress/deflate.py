@@ -34,13 +34,16 @@ def deflate_raw(data: bytes, level: int = 6) -> bytes:
 
 
 def deflate_optimal_zlib(data: bytes, iterations: int = 5) -> bytes:
-    """Zopfli-style iterative refinement slot (pixo ``deflate_optimal_zlib``).
+    """Zopfli-style iterative optimal parse (pixo ``deflate_optimal_zlib``):
+    per-position sublen match tables + entropy cost model + shortest-path
+    DP, iterated. Falls back to max-level greedy when native unavailable."""
+    from ..native import native_deflate_optimal
 
-    Current implementation: max-effort single pass (level 9). The iterative
-    cost-model refinement loop lands with the optimal-parse milestone.
-    """
-    del iterations
-    return deflate_zlib(data, 9)
+    out = native_deflate_optimal(data, iterations, True)
+    greedy = deflate_zlib(data, 9)
+    if out is not None and len(out) < len(greedy):
+        return out
+    return greedy
 
 
 def inflate_zlib(data: bytes, expected_size: int | None = None) -> bytes:

@@ -175,6 +175,8 @@ def decode_jpeg(data: bytes) -> JpegImage:
     qtables: Dict[int, np.ndarray] = {}
     dc_tables: Dict[int, _HuffTable] = {}
     ac_tables: Dict[int, _HuffTable] = {}
+    dc_specs: Dict[int, tuple] = {}
+    ac_specs: Dict[int, tuple] = {}
     components: List[_Component] = []
     width = height = 0
     restart_interval = 0
@@ -220,8 +222,10 @@ def decode_jpeg(data: bytes) -> JpegImage:
                 table = _HuffTable(bits, vals)
                 if tc == 0:
                     dc_tables[th] = table
+                    dc_specs[th] = (bits, vals)
                 else:
                     ac_tables[th] = table
+                    ac_specs[th] = (bits, vals)
                 i += 17 + total
         elif marker == 0xC0:  # SOF0 baseline
             sof_seen = True
@@ -257,7 +261,7 @@ def decode_jpeg(data: bytes) -> JpegImage:
             scan_data = data[pos:]
             return _decode_scan(
                 scan_data, width, height, components, qtables,
-                dc_tables, ac_tables, restart_interval,
+                dc_tables, ac_tables, dc_specs, ac_specs, restart_interval,
             )
     raise errors.InvalidDecode("no SOS marker found")
 
@@ -301,6 +305,8 @@ def _decode_scan(
     qtables: Dict[int, np.ndarray],
     dc_tables: Dict[int, _HuffTable],
     ac_tables: Dict[int, _HuffTable],
+    dc_specs: Dict[int, tuple],
+    ac_specs: Dict[int, tuple],
     restart_interval: int,
 ) -> JpegImage:
     if width == 0 or height == 0:
@@ -328,6 +334,38 @@ def _decode_scan(
     ]
 
     segments, _ = _split_entropy(scan_data)
+
+    from ..native import native_jpeg_decode_segment
+
+    native_ok = True
+    prev_dc_arr = np.zeros(len(components), np.int32)
+    comp_h = [c.h for c in components]
+    comp_v = [c.v for c in components]
+    dcs = [dc_specs[c.dc_table] for c in components]
+    acs = [ac_specs[c.ac_table] for c in components]
+    for si, seg in enumerate(segments):
+        if restart_interval:
+            m0 = si * restart_interval
+            m1 = min((si + 1) * restart_interval, total_mcus)
+        else:
+            m0, m1 = 0, total_mcus
+        if m0 >= m1:
+            continue
+        prev_dc_arr[:] = 0
+        ok = native_jpeg_decode_segment(
+            seg, m0, m1, mcu_cols, comp_h, comp_v, dcs, acs, coeffs, prev_dc_arr
+        )
+        if not ok:
+            native_ok = False
+            break
+        if restart_interval and m1 < total_mcus and si + 1 >= len(segments):
+            raise errors.InvalidDecode("missing restart segment")
+    if native_ok and restart_interval and len(segments) < -(-total_mcus // restart_interval):
+        raise errors.InvalidDecode("missing restart segment")
+    if native_ok:
+        return _finish_scan(coeffs, width, height, components, qtables,
+                            mcu_cols, mcu_rows, max_h, max_v)
+
     seg_idx = 0
     reader = _MsbReader(segments[0]) if segments else _MsbReader(b"")
     prev_dc = [0] * len(components)
@@ -370,7 +408,13 @@ def _decode_scan(
                     col = mx * comp.h + bx
                     coeffs[ci][row * (mcu_cols * comp.h) + col] = block
 
-    # Device: dequant + IDCT + assemble + upsample + color convert.
+    return _finish_scan(coeffs, width, height, components, qtables,
+                        mcu_cols, mcu_rows, max_h, max_v)
+
+
+def _finish_scan(coeffs, width, height, components, qtables,
+                 mcu_cols, mcu_rows, max_h, max_v) -> JpegImage:
+    """Device tail: dequant + IDCT + assemble + upsample + color convert."""
     planes = []
     for ci, comp in enumerate(components):
         q = qtables[comp.quant_id].astype(np.int32)

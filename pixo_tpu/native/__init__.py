@@ -91,6 +91,19 @@ def _configure(lib) -> None:
         i64p, i64p, i64p, i64p,          # dc_lum[12], dc_chrom[12], ac_lum[256], ac_chrom[256]
     ]
 
+    lib.jpeg_decode_segment.restype = ctypes.c_int32
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.jpeg_decode_segment.argtypes = [
+        u8p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32,
+        i32p, i32p,
+        u8p, u8p, i32p,
+        u8p, u8p, i32p,
+        ctypes.POINTER(i16p),
+        i32p,
+    ]
+
     lib.png_unfilter.restype = ctypes.c_int32
     lib.png_unfilter.argtypes = [
         u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, u8p,
@@ -118,6 +131,14 @@ def _configure(lib) -> None:
         ctypes.c_int32,                  # level 1-9
         ctypes.c_int32,                  # zlib wrap (0/1)
         u8p, ctypes.c_int64,             # out, capacity
+    ]
+
+    lib.deflate_compress_optimal.restype = ctypes.c_int64
+    lib.deflate_compress_optimal.argtypes = [
+        u8p, ctypes.c_int64,
+        ctypes.c_int32,                  # iterations
+        ctypes.c_int32,                  # zlib wrap
+        u8p, ctypes.c_int64,
     ]
 
     lib.inflate_decompress.restype = ctypes.c_int64
@@ -221,6 +242,22 @@ def native_deflate(data: bytes, level: int, zlib_wrap: bool) -> Optional[bytes]:
     return out[:n].tobytes()
 
 
+def native_deflate_optimal(data: bytes, iterations: int, zlib_wrap: bool) -> Optional[bytes]:
+    lib = _load()
+    if lib is None or not hasattr(lib, "deflate_compress_optimal"):
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    cap = len(data) + (len(data) >> 3) + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.deflate_compress_optimal(
+        _u8(src) if len(src) else _u8(np.zeros(1, dtype=np.uint8)),
+        len(src), iterations, 1 if zlib_wrap else 0, _u8(out), cap,
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
 def native_inflate(data: bytes, expected_size: int, zlib_wrap: bool) -> Optional[bytes]:
     lib = _load()
     if lib is None:
@@ -234,6 +271,61 @@ def native_inflate(data: bytes, expected_size: int, zlib_wrap: bool) -> Optional
     if n < 0:
         return None
     return out[:n].tobytes()
+
+
+def native_jpeg_decode_segment(
+    seg: bytes,
+    mcu_start: int,
+    mcu_end: int,
+    mcu_cols: int,
+    comp_h,
+    comp_v,
+    dc_specs,   # list of (bits16, vals) per component
+    ac_specs,
+    coeff_planes,  # list of np.int16 [nblocks, 64] arrays (written in place)
+    prev_dc: np.ndarray,  # int32 [ncomp], in/out
+) -> bool:
+    lib = _load()
+    if lib is None or not hasattr(lib, "jpeg_decode_segment"):
+        return False
+    ncomp = len(comp_h)
+    seg_arr = np.frombuffer(seg, dtype=np.uint8) if seg else np.zeros(1, np.uint8)
+    ch = np.asarray(comp_h, dtype=np.int32)
+    cv = np.asarray(comp_v, dtype=np.int32)
+    dc_bits = np.concatenate([np.frombuffer(b, np.uint8) for b, _ in dc_specs])
+    ac_bits = np.concatenate([np.frombuffer(b, np.uint8) for b, _ in ac_specs])
+    dc_vals = np.concatenate(
+        [np.frombuffer(v, np.uint8) if v else np.zeros(1, np.uint8) for _, v in dc_specs]
+    )
+    ac_vals = np.concatenate(
+        [np.frombuffer(v, np.uint8) if v else np.zeros(1, np.uint8) for _, v in ac_specs]
+    )
+    dc_off = np.zeros(ncomp, np.int32)
+    ac_off = np.zeros(ncomp, np.int32)
+    o = 0
+    for i, (_, v) in enumerate(dc_specs):
+        dc_off[i] = o
+        o += max(len(v), 1)
+    o = 0
+    for i, (_, v) in enumerate(ac_specs):
+        ac_off[i] = o
+        o += max(len(v), 1)
+
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    planes_arr = (i16p * ncomp)(
+        *[p.ctypes.data_as(i16p) for p in coeff_planes]
+    )
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.jpeg_decode_segment(
+        _u8(seg_arr), len(seg),
+        mcu_start, mcu_end, mcu_cols, ncomp,
+        ch.ctypes.data_as(i32p), cv.ctypes.data_as(i32p),
+        _u8(dc_bits), _u8(dc_vals), dc_off.ctypes.data_as(i32p),
+        _u8(ac_bits), _u8(ac_vals), ac_off.ctypes.data_as(i32p),
+        planes_arr,
+        prev_dc.ctypes.data_as(i32p),
+    )
+    return rc == 0
 
 
 def native_png_unfilter(rows, bpp: int):

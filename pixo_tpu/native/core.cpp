@@ -20,6 +20,9 @@
 #include <cstdlib>
 #include <vector>
 #include <algorithm>
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 
 #define EXPORT extern "C" __attribute__((visibility("default")))
 
@@ -131,6 +134,39 @@ static inline int category(int v) {
 
 }  // namespace jpeg
 
+namespace jpeg {
+
+// Build a 64-bit nonzero bitmap for positions 1..63 of a block.
+static inline uint64_t nonzero_mask_ac(const int16_t* block) {
+#if defined(__AVX2__)
+    uint64_t mask = 0;
+    const __m256i zero = _mm256_setzero_si256();
+    for (int g = 0; g < 4; g++) {
+        __m256i v = _mm256_loadu_si256((const __m256i*)(block + g * 16));
+        __m256i eq = _mm256_cmpeq_epi16(v, zero);
+        // per-i16 nonzero -> 16-bit mask via movemask on packed bytes
+        uint32_t bytes = (uint32_t)_mm256_movemask_epi8(eq);
+        // every i16 lane contributes two byte-mask bits; both set iff zero
+        uint32_t both = bytes & (bytes >> 1);  // pair-AND at even bit positions
+#if defined(__BMI2__)
+        uint32_t zero16 = _pext_u32(both, 0x55555555u);
+#else
+        uint32_t zero16 = 0;
+        for (int b = 0; b < 16; b++) zero16 |= ((both >> (2 * b)) & 1u) << b;
+#endif
+        mask |= (uint64_t)(~zero16 & 0xFFFF) << (g * 16);
+    }
+    return mask & ~1ull;  // drop DC bit
+#else
+    uint64_t mask = 0;
+    for (int i = 1; i < 64; i++)
+        if (block[i]) mask |= 1ull << i;
+    return mask;
+#endif
+}
+
+}  // namespace jpeg
+
 EXPORT int64_t jpeg_pack_scan(
     const int16_t* zz, int64_t nblocks,
     const uint8_t* pattern, int32_t bpm,
@@ -164,28 +200,32 @@ EXPORT int64_t jpeg_pack_scan(
             int diff = dc - prev_dc[comp];
             prev_dc[comp] = dc;
             int cat = jpeg::category(diff);
-            w.write(dcc[cat], dcl[cat]);
-            if (cat > 0) {
+            // fuse huffman code + value bits into a single accumulator push
+            {
                 int bits = (diff < 0) ? diff - 1 : diff;
-                w.write((uint32_t)bits & ((1u << cat) - 1), cat);
+                uint32_t val = (uint32_t)bits & ((cat == 0) ? 0 : ((1u << cat) - 1));
+                w.write(((uint32_t)dcc[cat] << cat) | val, dcl[cat] + cat);
             }
 
-            int zero_run = 0;
-            for (int i = 1; i < 64; i++) {
-                int ac = block[i];
-                if (ac == 0) { zero_run++; continue; }
+            uint64_t mask = jpeg::nonzero_mask_ac(block);
+            int prev_pos = 0;
+            while (mask) {
+                int pos = __builtin_ctzll(mask);
+                mask &= mask - 1;
+                int zero_run = pos - prev_pos - 1;
                 while (zero_run >= 16) {
                     w.write(acc[0xF0], acl[0xF0]);
                     zero_run -= 16;
                 }
+                int ac = block[pos];
                 int ac_cat = jpeg::category(ac);
                 int rs = (zero_run << 4) | ac_cat;
-                w.write(acc[rs], acl[rs]);
                 int bits = (ac < 0) ? ac - 1 : ac;
-                w.write((uint32_t)bits & ((1u << ac_cat) - 1), ac_cat);
-                zero_run = 0;
+                uint32_t val = (uint32_t)bits & ((1u << ac_cat) - 1);
+                w.write(((uint32_t)acc[rs] << ac_cat) | val, acl[rs] + ac_cat);
+                prev_pos = pos;
             }
-            if (zero_run > 0) w.write(acc[0x00], acl[0x00]);
+            if (prev_pos != 63) w.write(acc[0x00], acl[0x00]);
         }
         if (restart_interval > 0) {
             int64_t mcu_count = mcu + 1;
@@ -471,6 +511,177 @@ EXPORT int32_t dither_fs(
         }
         std::fill(er_, er_ + 3 * (width + 2), 0.0f);
         std::swap(er_, nx_);
+    }
+    return 0;
+}
+
+// ======================= JPEG entropy decode ================================
+// Baseline Huffman scan decode (parity with pixo src/decode/jpeg.rs): the
+// per-symbol bit stream is inherently serial, so it lives here; the caller
+// hands pre-split, unstuffed restart segments and per-table canonical
+// specs, and receives the full per-component coefficient planes.
+
+namespace jdec {
+
+struct HuffDec {
+    int32_t min_code[17];
+    int32_t max_code[17];
+    int32_t val_idx[17];
+    const uint8_t* vals;
+    // 9-bit fast lookahead
+    int16_t lut_sym[512];
+    int8_t lut_len[512];
+
+    void build(const uint8_t* bits, const uint8_t* values) {
+        vals = values;
+        int code = 0, k = 0;
+        for (int ln = 1; ln <= 16; ln++) {
+            int count = bits[ln - 1];
+            if (count) {
+                val_idx[ln] = k;
+                min_code[ln] = code;
+                max_code[ln] = code + count - 1;
+                k += count;
+                code += count;
+            } else {
+                min_code[ln] = 0;
+                max_code[ln] = -1;
+            }
+            code <<= 1;
+        }
+        for (int i = 0; i < 512; i++) { lut_sym[i] = -1; lut_len[i] = 0; }
+        code = 0; k = 0;
+        for (int ln = 1; ln <= 9; ln++) {
+            for (int c = 0; c < bits[ln - 1]; c++) {
+                int prefix = code << (9 - ln);
+                for (int fill = 0; fill < (1 << (9 - ln)); fill++) {
+                    lut_sym[prefix | fill] = values[k];
+                    lut_len[prefix | fill] = (int8_t)ln;
+                }
+                code++; k++;
+            }
+            code <<= 1;
+        }
+    }
+};
+
+struct MsbReader {
+    const uint8_t* data;
+    int64_t len, pos;
+    uint64_t acc;
+    int nbits;
+    bool error;
+
+    MsbReader(const uint8_t* d, int64_t l)
+        : data(d), len(l), pos(0), acc(0), nbits(0), error(false) {}
+
+    inline void fill() {
+        while (nbits <= 56 && pos < len) {
+            acc = (acc << 8) | data[pos++];
+            nbits += 8;
+        }
+    }
+
+    inline int peek9() {
+        if (nbits < 9) fill();
+        if (nbits >= 9) return (int)((acc >> (nbits - 9)) & 0x1FF);
+        return nbits ? (int)((acc << (9 - nbits)) & 0x1FF) : 0;
+    }
+
+    inline int read_bit() {
+        if (nbits < 1) fill();
+        if (nbits < 1) { error = true; return 0; }
+        nbits--;
+        int b = (int)((acc >> nbits) & 1);
+        return b;
+    }
+
+    inline uint32_t read_bits(int n) {
+        if (n == 0) return 0;
+        if (nbits < n) fill();
+        if (nbits < n) { error = true; return 0; }
+        nbits -= n;
+        return (uint32_t)((acc >> nbits) & ((1ull << n) - 1));
+    }
+
+    inline int decode(const HuffDec& t) {
+        int p = peek9();
+        if (t.lut_len[p] && nbits >= t.lut_len[p]) {
+            nbits -= t.lut_len[p];
+            return t.lut_sym[p];
+        }
+        int code = 0;
+        for (int ln = 1; ln <= 16; ln++) {
+            code = (code << 1) | read_bit();
+            if (error) return -1;
+            if (t.max_code[ln] >= 0 && code <= t.max_code[ln] && code >= t.min_code[ln])
+                return t.vals[t.val_idx[ln] + code - t.min_code[ln]];
+        }
+        error = true;
+        return -1;
+    }
+};
+
+static inline int extend(uint32_t bits, int size) {
+    if (size == 0) return 0;
+    if ((int)bits < (1 << (size - 1))) return (int)bits - (2 << (size - 1)) + 1;
+    return (int)bits;
+}
+
+}  // namespace jdec
+
+// Decode one entropy segment covering MCUs [mcu_start, mcu_end).
+// comp_* arrays are per scan-component; coeff output planes are
+// row-major over each component's MCU-padded block grid.
+EXPORT int32_t jpeg_decode_segment(
+    const uint8_t* seg, int64_t seg_len,
+    int64_t mcu_start, int64_t mcu_end, int32_t mcu_cols,
+    int32_t ncomp,
+    const int32_t* comp_h, const int32_t* comp_v,
+    const uint8_t* dc_bits, const uint8_t* dc_vals_flat, const int32_t* dc_vals_off,
+    const uint8_t* ac_bits, const uint8_t* ac_vals_flat, const int32_t* ac_vals_off,
+    int16_t** coeff_planes /* per component */,
+    int32_t* prev_dc /* per component, in/out */) {
+    using namespace jdec;
+    HuffDec dct[4], act[4];
+    for (int c = 0; c < ncomp; c++) {
+        dct[c].build(dc_bits + 16 * c, dc_vals_flat + dc_vals_off[c]);
+        act[c].build(ac_bits + 16 * c, ac_vals_flat + ac_vals_off[c]);
+    }
+    MsbReader r(seg, seg_len);
+    for (int64_t mcu = mcu_start; mcu < mcu_end; mcu++) {
+        int64_t my = mcu / mcu_cols, mx = mcu % mcu_cols;
+        for (int c = 0; c < ncomp; c++) {
+            for (int by = 0; by < comp_v[c]; by++) {
+                for (int bx = 0; bx < comp_h[c]; bx++) {
+                    int64_t row = my * comp_v[c] + by;
+                    int64_t col = mx * comp_h[c] + bx;
+                    int16_t* block =
+                        coeff_planes[c] + (row * (int64_t)(mcu_cols * comp_h[c]) + col) * 64;
+                    memset(block, 0, 128);
+                    int s = r.decode(dct[c]);
+                    if (s < 0 || s > 15) return -1;
+                    int diff = s ? extend(r.read_bits(s), s) : 0;
+                    prev_dc[c] += diff;
+                    block[0] = (int16_t)prev_dc[c];
+                    int k = 1;
+                    while (k < 64) {
+                        int rs = r.decode(act[c]);
+                        if (rs < 0) return -1;
+                        int run = rs >> 4, size = rs & 0x0F;
+                        if (size == 0) {
+                            if (run == 15) { k += 16; continue; }
+                            break;
+                        }
+                        k += run;
+                        if (k > 63) return -1;
+                        block[k] = (int16_t)extend(r.read_bits(size), size);
+                        k++;
+                    }
+                    if (r.error) return -1;
+                }
+            }
+        }
     }
     return 0;
 }
@@ -1042,6 +1253,191 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
         w.flush();
     }
 
+    if (zlib_wrap) {
+        uint32_t a = adler32(data, len, 1);
+        uint8_t tail[4] = {(uint8_t)(a >> 24), (uint8_t)(a >> 16), (uint8_t)(a >> 8), (uint8_t)a};
+        w.raw_bytes(tail, 4);
+    }
+    return w.overflow ? -1 : w.pos;
+}
+
+// ========================= optimal DEFLATE ==================================
+// Zopfli-style iterative optimal parse (capability parity with pixo
+// src/compress/lz77.rs:996-1200 + deflate.rs:291-357): per block, build a
+// per-position sublen table (min distance for every achievable length),
+// then iterate { entropy cost model from last parse -> shortest-path DP
+// over bit costs -> backtrace } and emit the best parse.
+
+namespace deflate {
+
+struct OptimalParser {
+    const uint8_t* data;
+    int64_t n;
+    int64_t block_start, block_len;
+    // sublen[pos * 259 + len] = min distance achieving `len` at pos (0 = none)
+    std::vector<uint16_t> sublen;
+    std::vector<uint16_t> maxlen;
+
+    OptimalParser(const uint8_t* d, int64_t total, int64_t start, int64_t blen)
+        : data(d), n(total), block_start(start), block_len(blen) {}
+
+    void build_matches(Matcher& m, int chain_limit) {
+        sublen.assign((size_t)block_len * 259, 0);
+        maxlen.assign(block_len, 0);
+        for (int64_t i = 0; i < block_len; i++) {
+            int64_t pos = block_start + i;
+            if (pos + MIN_MATCH <= n && pos + 4 <= n) {
+                int max_here = (int)std::min<int64_t>(MAX_MATCH, n - pos);
+                uint32_t h = hash4(data + pos);
+                int32_t cand = m.head[h];
+                int chain = chain_limit;
+                uint16_t* sl = sublen.data() + (size_t)i * 259;
+                int best = 0;
+                const uint8_t* cur = data + pos;
+                while (cand >= 0 && chain-- > 0) {
+                    int64_t dist = pos - cand;
+                    if (dist > WINDOW) break;
+                    if (dist > 0) {
+                        int len = match_length(cur, data + cand, max_here);
+                        // nearest-first traversal: first write wins (min dist)
+                        for (int l = best + 1; l <= len; l++)
+                            if (!sl[l]) sl[l] = (uint16_t)dist;
+                        if (len > best) best = len;
+                        if (best == max_here) break;
+                    }
+                    cand = m.prev[cand];
+                }
+                maxlen[i] = (uint16_t)best;
+            }
+            m.insert(pos);
+        }
+    }
+};
+
+// entropy cost model (bits, float). Parity concept with pixo CostModel
+// (src/compress/lz77.rs:1213-1329): -log2(count/total), unseen = 15 bits.
+struct CostModel {
+    float lit_cost[286];
+    float dist_cost[30];
+
+    void from_fixed() {
+        fixed_init();
+        for (int i = 0; i < 286; i++) lit_cost[i] = i < 288 ? fixed_lit_len[i] : 15.0f;
+        for (int i = 0; i < 30; i++) dist_cost[i] = 5.0f;
+    }
+
+    void from_histogram(const uint64_t* lit_freq, const uint64_t* dist_freq) {
+        uint64_t lt = 0, dt = 0;
+        for (int i = 0; i < 286; i++) lt += lit_freq[i];
+        for (int i = 0; i < 30; i++) dt += dist_freq[i];
+        for (int i = 0; i < 286; i++)
+            lit_cost[i] = lit_freq[i] ? -__builtin_log2f((float)lit_freq[i] / (float)lt) : 15.0f;
+        for (int i = 0; i < 30; i++)
+            dist_cost[i] = dist_freq[i] ? -__builtin_log2f((float)dist_freq[i] / (float)dt) : 15.0f;
+    }
+};
+
+static void optimal_parse_block(
+    const OptimalParser& p, const CostModel& cm, std::vector<Token>& tokens) {
+    tables_init();
+    int64_t blen = p.block_len;
+    std::vector<float> cost(blen + 1, 1e30f);
+    std::vector<int32_t> from_len(blen + 1, 0);
+    std::vector<uint16_t> from_dist(blen + 1, 0);
+    cost[0] = 0.0f;
+    const uint8_t* base = p.data + p.block_start;
+    for (int64_t i = 0; i < blen; i++) {
+        float c = cost[i];
+        if (c >= 1e30f) continue;
+        // literal edge
+        float lc = c + cm.lit_cost[base[i]];
+        if (lc < cost[i + 1]) { cost[i + 1] = lc; from_len[i + 1] = 1; from_dist[i + 1] = 0; }
+        // match edges
+        int ml = std::min<int>(p.maxlen[i], (int)(blen - i));
+        if (ml >= MIN_MATCH) {
+            const uint16_t* sl = p.sublen.data() + (size_t)i * 259;
+            for (int l = MIN_MATCH; l <= ml; l++) {
+                uint16_t d = sl[l];
+                if (!d) continue;
+                int ls = 257 + len_to_sym[l];
+                int ds = dist_symbol(d);
+                float mc = c + cm.lit_cost[ls] + LEN_EXTRA[ls - 257] +
+                           cm.dist_cost[ds] + DIST_EXTRA[ds];
+                if (mc < cost[i + l]) {
+                    cost[i + l] = mc;
+                    from_len[i + l] = l;
+                    from_dist[i + l] = d;
+                }
+            }
+        }
+    }
+    // backtrace
+    std::vector<Token> rev;
+    int64_t i = blen;
+    while (i > 0) {
+        int l = from_len[i];
+        if (l <= 1) {
+            rev.push_back(lit_token(base[i - 1]));
+            i -= 1;
+        } else {
+            rev.push_back(match_token(l, from_dist[i]));
+            i -= l;
+        }
+    }
+    tokens.assign(rev.rbegin(), rev.rend());
+}
+
+}  // namespace deflate
+
+EXPORT int64_t deflate_compress_optimal(const uint8_t* data, int64_t len,
+                                        int32_t iterations, int32_t zlib_wrap,
+                                        uint8_t* out, int64_t out_cap) {
+    using namespace deflate;
+    if (iterations < 1) iterations = 1;
+    LsbWriter w(out, out_cap);
+    if (zlib_wrap) {
+        uint8_t hdr[2] = {0x78, 0xDA};
+        w.raw_bytes(hdr, 2);
+    }
+    if (len == 0) {
+        fixed_init();
+        w.write(1, 1); w.write(1, 2);
+        w.write(fixed_lit_code[256], fixed_lit_len[256]);
+        w.flush();
+    } else {
+        const int64_t BLOCK = 128 * 1024;
+        Matcher m(data, len);
+        int64_t pos = 0;
+        while (pos < len) {
+            int64_t blen = std::min(len - pos, BLOCK);
+            OptimalParser p(data, len, pos, blen);
+            p.build_matches(m, 1024);
+
+            CostModel cm;
+            cm.from_fixed();
+            std::vector<Token> tokens;
+            for (int it = 0; it < iterations; it++) {
+                optimal_parse_block(p, cm, tokens);
+                if (it + 1 < iterations) {
+                    uint64_t lit_freq[286] = {0}, dist_freq[30] = {0};
+                    for (const Token& t : tokens) {
+                        if (t.v & 0x80000000u) {
+                            int l = (t.v >> 16) & 0x1FF;
+                            lit_freq[257 + len_to_sym[l]]++;
+                            dist_freq[dist_symbol((int)(t.v & 0xFFFF))]++;
+                        } else {
+                            lit_freq[t.v & 0xFF]++;
+                        }
+                    }
+                    lit_freq[256]++;
+                    cm.from_histogram(lit_freq, dist_freq);
+                }
+            }
+            emit_block(w, tokens, data, pos, blen, pos + blen == len);
+            pos += blen;
+        }
+        w.flush();
+    }
     if (zlib_wrap) {
         uint32_t a = adler32(data, len, 1);
         uint8_t tail[4] = {(uint8_t)(a >> 24), (uint8_t)(a >> 16), (uint8_t)(a >> 8), (uint8_t)a};
