@@ -828,7 +828,15 @@ static void build_lengths(const uint64_t* freq, int n, int max_len, uint8_t* len
         if (freq[i]) { nodes.push_back({freq[i], -1, -1, i}); heap.push_back((int)nodes.size() - 1); }
     memset(lengths, 0, n);
     if (heap.empty()) return;
-    if (heap.size() == 1) { lengths[nodes[heap[0]].sym] = 1; return; }
+    if (heap.size() == 1) {
+        // force a complete 1-bit code: real symbol + dummy (zlib does the
+        // same — a singleton code is incomplete and decoders reject it in
+        // the code-length table)
+        int sym = nodes[heap[0]].sym;
+        lengths[sym] = 1;
+        lengths[sym == 0 ? 1 : 0] = 1;
+        return;
+    }
 
     auto cmp = [&](int a, int b) { return nodes[a].f > nodes[b].f || (nodes[a].f == nodes[b].f && a > b); };
     std::make_heap(heap.begin(), heap.end(), cmp);
@@ -843,14 +851,15 @@ static void build_lengths(const uint64_t* freq, int n, int max_len, uint8_t* len
     std::vector<int> depth(nodes.size(), 0);
     std::vector<int> stack{heap[0]};
     int bl_count[64] = {0};
+    int overflow = 0;
     std::vector<std::pair<uint64_t, int>> leaves;  // (freq, sym) for re-assignment
     while (!stack.empty()) {
         int idx = stack.back(); stack.pop_back();
         const Node& nd = nodes[idx];
         if (nd.sym >= 0) {
             int d = depth[idx] == 0 ? 1 : depth[idx];
-            int capd = std::min(d, max_len);
-            bl_count[capd]++;
+            if (d > max_len) { d = max_len; overflow++; }
+            bl_count[d]++;
             leaves.push_back({nd.f, nd.sym});
         } else {
             depth[nd.l] = depth[idx] + 1;
@@ -859,19 +868,16 @@ static void build_lengths(const uint64_t* freq, int n, int max_len, uint8_t* len
             stack.push_back(nd.r);
         }
     }
-    // Kraft fix (zlib-style overflow repair)
-    long long kraft = 0;
-    for (int b = 1; b <= max_len; b++) kraft += (long long)bl_count[b] << (max_len - b);
-    long long full = 1ll << max_len;
-    while (kraft > full) {
-        // find a symbol at depth < max_len to push deeper? standard: move one
-        // node from the deepest non-max level
+    // zlib-style overflow repair: trades keep the code exactly complete
+    // (remove a leaf at depth b, add two at b+1, remove one at max).
+    while (overflow > 0) {
         int b = max_len - 1;
         while (b > 0 && bl_count[b] == 0) b--;
-        bl_count[b]--; bl_count[b + 1]++;
-        kraft -= 1ll << (max_len - b - 1);
+        bl_count[b]--;
+        bl_count[b + 1] += 2;
+        bl_count[max_len]--;
+        overflow -= 2;
     }
-    // (under-full is fine for validity)
     // assign lengths: most frequent symbols get shortest codes
     std::sort(leaves.begin(), leaves.end(), [](auto& a, auto& b) {
         return a.first > b.first || (a.first == b.first && a.second < b.second);
@@ -1168,6 +1174,46 @@ static void emit_block(LsbWriter& w, const std::vector<Token>& tokens,
 
 }  // namespace deflate
 
+namespace deflate {
+
+// High-entropy detector (concept parity with pixo deflate.rs:1108-1145):
+// sample 4-grams over the first 8 KiB; if almost all are distinct the
+// data is incompressible and stored blocks win outright.
+static bool is_high_entropy(const uint8_t* data, int64_t len) {
+    if (len < 8192) return false;
+    const int64_t SAMPLE = 8192;
+    static thread_local uint8_t seen[1 << 15];
+    memset(seen, 0, sizeof(seen));
+    int64_t total = 0, repeats = 0;
+    for (int64_t i = 0; i + 4 <= SAMPLE; i += 4) {
+        uint32_t v;
+        memcpy(&v, data + i, 4);
+        uint32_t h = (v * 2654435761u) >> 17;
+        if (seen[h]) repeats++;
+        else seen[h] = 1;
+        total++;
+    }
+    return repeats * 20 < total;  // < 5% collisions => effectively random
+}
+
+static void emit_stored_all(LsbWriter& w, const uint8_t* data, int64_t len) {
+    int64_t off = 0;
+    do {
+        int chunk = (int)std::min<int64_t>(65535, len - off);
+        bool last = (off + chunk == len);
+        w.write(last ? 1 : 0, 1);
+        w.write(0, 2);
+        w.flush();
+        uint8_t hdr[4] = {(uint8_t)chunk, (uint8_t)(chunk >> 8),
+                          (uint8_t)~chunk, (uint8_t)~(chunk >> 8)};
+        w.raw_bytes(hdr, 4);
+        w.raw_bytes(data + off, chunk);
+        off += chunk;
+    } while (off < len);
+}
+
+}  // namespace deflate
+
 EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
                                 int32_t level, int32_t zlib_wrap,
                                 uint8_t* out, int64_t out_cap) {
@@ -1192,6 +1238,9 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
         w.write(1, 1); w.write(1, 2);
         w.write(fixed_lit_code[256], fixed_lit_len[256]);
         w.flush();
+    } else if (is_high_entropy(data, len)) {
+        emit_stored_all(w, data, len);
+        w.flush();
     } else {
         Lz77Config cfg = config_for_level(level);
         Matcher m(data, len);
@@ -1209,6 +1258,24 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
             int64_t literal_run = 0;
 
             while (pos < block_end) {
+                // same-byte-run fast path (dist=1 RLE, parity concept with
+                // pixo detect_same_byte_run, lz77.rs:272-316)
+                if (pos > 0 && data[pos] == data[pos - 1] &&
+                    pos + MIN_MATCH <= len && data[pos + 1] == data[pos] &&
+                    data[pos + 2] == data[pos]) {
+                    int run = 0;
+                    int64_t limit = std::min<int64_t>(len - pos, MAX_MATCH);
+                    while (run < limit && data[pos + run] == data[pos - 1]) run++;
+                    if (run >= MIN_MATCH) {
+                        tokens.push_back(match_token(run, 1));
+                        literal_run = 0;
+                        int64_t end = pos + run;
+                        // sparse insert to keep hash chains from degenerating
+                        for (int64_t p = pos; p < end && p < len; p += 16) m.insert(p);
+                        pos = end;
+                        continue;
+                    }
+                }
                 int dist = 0;
                 int chain = cfg.chain;
                 if (literal_run > 512) chain = 1;  // incompressible throttle
@@ -1247,8 +1314,10 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
                     pos += 1;
                 }
             }
-            emit_block(w, tokens, data, block_start, block_end - block_start,
-                       block_end == len);
+            // matches may run past block_end; the block's raw span is the
+            // range the tokens actually cover
+            emit_block(w, tokens, data, block_start, pos - block_start,
+                       pos == len);
         }
         w.flush();
     }
