@@ -1,0 +1,131 @@
+"""Component microbenchmarks (the criterion benches/components.rs analog).
+
+Usage: python benches/components.py [--device cpu|default]
+Reports per-stage throughput: checksums, DEFLATE, PNG filters, DCT
+pipeline, entropy packing, trellis, resize.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def timeit(fn, min_time=0.4, warmup=1):
+    for _ in range(warmup):
+        fn()
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < min_time:
+        fn()
+        n += 1
+    return (time.perf_counter() - t0) / n
+
+
+def row(name, seconds, nbytes=None, mp=None):
+    extra = ""
+    if nbytes:
+        extra = f"  {nbytes / seconds / 1e6:8.1f} MB/s"
+    if mp:
+        extra = f"  {mp / seconds:8.1f} MP/s"
+    print(f"{name:34s} {seconds * 1e3:9.3f} ms{extra}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device", default="cpu", choices=["cpu", "default"])
+    args = ap.parse_args()
+    if args.device == "cpu":
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from pixo_tpu.compress.checksums import adler32, crc32
+    from pixo_tpu.compress.deflate import deflate_zlib, deflate_optimal_zlib
+    from pixo_tpu.jpeg.encoder import _device_coeffs
+    from pixo_tpu.jpeg.tables import HuffmanTables, QuantizationTables, ZIGZAG
+    from pixo_tpu.native import (
+        native_adler32,
+        native_crc32,
+        native_pack_scan,
+        native_trellis_quantize,
+    )
+    from pixo_tpu.ops.png_filters import filter_image
+    from pixo_tpu.ops.resize_kernels import resize_lanczos3
+    from pixo_tpu.utils.synthetic import synth_gradient, synth_noise
+
+    rng = np.random.default_rng(0)
+    mb = rng.integers(0, 256, 1 << 20, dtype=np.uint8).tobytes()
+    compressible = (b"the quick brown fox. " * 50000)[: 1 << 20]
+
+    print(f"== checksums (1 MiB) [{args.device}] ==")
+    row("crc32 native", timeit(lambda: native_crc32(mb)), nbytes=len(mb))
+    row("adler32 native", timeit(lambda: native_adler32(mb)), nbytes=len(mb))
+
+    print("== deflate (1 MiB) ==")
+    row("level 1 compressible", timeit(lambda: deflate_zlib(compressible, 1)), nbytes=1 << 20)
+    row("level 6 compressible", timeit(lambda: deflate_zlib(compressible, 6)), nbytes=1 << 20)
+    row("level 9 compressible", timeit(lambda: deflate_zlib(compressible, 9)), nbytes=1 << 20)
+    row("level 6 random (stored)", timeit(lambda: deflate_zlib(mb, 6)), nbytes=1 << 20)
+    small = compressible[:65536]
+    row("optimal 64 KiB (5 iter)", timeit(lambda: deflate_optimal_zlib(small, 5)), nbytes=65536)
+
+    print("== PNG filter bank (512x512 RGBA, device) ==")
+    img = synth_gradient(512, 512, 4)
+    rows = jnp.asarray(img.reshape(512, 512 * 4))
+
+    def filt():
+        out, ids = filter_image(
+            rows, bpp=4, strategy="adaptive", small_image=False, sticky_fast=False
+        )
+        out.block_until_ready()
+
+    row("adaptive filter+select", timeit(filt), mp=0.262144)
+
+    print("== JPEG device pipeline (512x512 RGB 420) ==")
+    quant = QuantizationTables(85)
+    lum = jnp.asarray(quant.luminance_table.reshape(8, 8))
+    chrom = jnp.asarray(quant.chrominance_table.reshape(8, 8))
+    dimg = jnp.asarray(synth_gradient(512, 512, 3))
+
+    def coeffs():
+        _device_coeffs(dimg, lum, chrom, color="rgb", subsampling="420").block_until_ready()
+
+    row("color+blockify+DCT+quant+zz", timeit(coeffs), mp=0.262144)
+
+    print("== JPEG host entropy (6144 blocks = one 512x512 420 image) ==")
+    zz = np.asarray(
+        _device_coeffs(dimg, lum, chrom, color="rgb", subsampling="420")
+    )
+    huff = HuffmanTables()
+    pattern = (0, 0, 0, 0, 1, 2)
+    row("native pack_scan", timeit(lambda: native_pack_scan(zz, pattern, huff, None)),
+        mp=0.262144)
+
+    print("== trellis (6144 blocks) ==")
+    dct = (rng.standard_normal((6144, 64)) * 200).astype(np.float32)
+    lum_zz = quant.luminance_table[ZIGZAG]
+    chrom_zz = quant.chrominance_table[ZIGZAG]
+    row("native trellis", timeit(
+        lambda: native_trellis_quantize(dct, pattern, lum_zz, chrom_zz)), mp=0.262144)
+
+    print("== resize (1024x1024 -> 256x256 RGBA, device) ==")
+    big = jnp.asarray(synth_noise(1024, 1024, 4))
+
+    def rs():
+        resize_lanczos3(big, dst_w=256, dst_h=256).block_until_ready()
+
+    row("lanczos3", timeit(rs), mp=1.048576)
+
+
+if __name__ == "__main__":
+    main()
