@@ -322,12 +322,32 @@ def build_progressive_tables(
     comp_blocks, script: List[ScanSpec], is_gray: bool
 ) -> Optional[HuffmanTables]:
     """Count the actual progressive scan symbols and build matching tables."""
+    from ..native import native_count_progressive_scan
+
     dc_counts = [np.zeros(12, np.int64), np.zeros(12, np.int64)]
     ac_counts = [np.zeros(256, np.int64), np.zeros(256, np.int64)]
-    dc_sinks = [CountSink(dc_counts[0 if c == 0 else 1]) for c in range(3)]
-    ac_sinks = [CountSink(ac_counts[0 if c == 0 else 1]) for c in range(3)]
+    native_done = True
     for scan in script:
-        _run_scan(scan, comp_blocks, dc_sinks, ac_sinks)
+        for comp in scan.components:
+            blocks = comp_blocks[comp]
+            if len(blocks) == 0:
+                continue
+            t = 0 if comp == 0 else 1
+            if not native_count_progressive_scan(
+                blocks, scan.ss, scan.se, scan.ah, scan.al,
+                dc_counts[t], ac_counts[t],
+            ):
+                native_done = False
+                break
+        if not native_done:
+            break
+    if not native_done:
+        dc_counts = [np.zeros(12, np.int64), np.zeros(12, np.int64)]
+        ac_counts = [np.zeros(256, np.int64), np.zeros(256, np.int64)]
+        dc_sinks = [CountSink(dc_counts[0 if c == 0 else 1]) for c in range(3)]
+        ac_sinks = [CountSink(ac_counts[0 if c == 0 else 1]) for c in range(3)]
+        for scan in script:
+            _run_scan(scan, comp_blocks, dc_sinks, ac_sinks)
     # DC refinement scans emit raw bits only; ensure non-empty DC counts.
     for c in range(2 if not is_gray else 1):
         if dc_counts[c].sum() == 0:
@@ -358,10 +378,29 @@ def encode_progressive(
     comp_blocks = split_components(zz, pattern, options.width, options.height)
     script = get_script(options)
 
+    from ..native import native_encode_progressive_scan
+
     for scan in script:
         markers.write_sos_progressive(
             out, scan.components, scan.ss, scan.se, scan.ah, scan.al
         )
+        # Native fast path: every script scan is single-component, so one
+        # C++ call produces the whole scan's entropy bytes.
+        if len(scan.components) == 1 and len(comp_blocks[scan.components[0]]):
+            comp = scan.components[0]
+            if comp == 0:
+                dcc, dcl = tables.dc_lum_codes, tables.dc_lum_lengths
+                acc, acl = tables.ac_lum_codes, tables.ac_lum_lengths
+            else:
+                dcc, dcl = tables.dc_chrom_codes, tables.dc_chrom_lengths
+                acc, acl = tables.ac_chrom_codes, tables.ac_chrom_lengths
+            scan_bytes = native_encode_progressive_scan(
+                comp_blocks[comp], scan.ss, scan.se, scan.ah, scan.al,
+                dcc, dcl, acc, acl,
+            )
+            if scan_bytes is not None:
+                out += scan_bytes
+                continue
         writer = BitWriterMsb()
         dc_sinks = []
         ac_sinks = []

@@ -91,6 +91,21 @@ def _configure(lib) -> None:
         i64p, i64p, i64p, i64p,          # dc_lum[12], dc_chrom[12], ac_lum[256], ac_chrom[256]
     ]
 
+    lib.jpeg_encode_progressive_scan.restype = ctypes.c_int64
+    lib.jpeg_encode_progressive_scan.argtypes = [
+        i16p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        u16p, u8p, u16p, u8p,
+        u8p, ctypes.c_int64,
+    ]
+
+    lib.jpeg_count_progressive_scan.restype = ctypes.c_int32
+    lib.jpeg_count_progressive_scan.argtypes = [
+        i16p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i64p, i64p,
+    ]
+
     lib.jpeg_decode_segment.restype = ctypes.c_int32
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.jpeg_decode_segment.argtypes = [
@@ -271,6 +286,56 @@ def native_inflate(data: bytes, expected_size: int, zlib_wrap: bool) -> Optional
     if n < 0:
         return None
     return out[:n].tobytes()
+
+
+def native_encode_progressive_scan(
+    blocks: np.ndarray, ss: int, se: int, ah: int, al: int,
+    dc_codes, dc_lens, ac_codes, ac_lens,
+) -> Optional[bytes]:
+    """Entropy bytes for one single-component progressive scan, or None."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "jpeg_encode_progressive_scan"):
+        return None
+    blocks = np.ascontiguousarray(blocks, dtype=np.int16)
+    cap = blocks.shape[0] * 64 * 4 + 4096
+    out = np.empty(cap, dtype=np.uint8)
+
+    def u16(a):
+        return np.ascontiguousarray(a, dtype=np.uint16).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint16))
+
+    def u8a(a):
+        return np.ascontiguousarray(a, dtype=np.uint8).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8))
+
+    n = lib.jpeg_encode_progressive_scan(
+        blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), blocks.shape[0],
+        ss, se, ah, al,
+        u16(dc_codes), u8a(dc_lens), u16(ac_codes), u8a(ac_lens),
+        _u8(out), cap,
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def native_count_progressive_scan(
+    blocks: np.ndarray, ss: int, se: int, ah: int, al: int,
+    dc_counts: np.ndarray, ac_counts: np.ndarray,
+) -> bool:
+    lib = _load()
+    if lib is None or not hasattr(lib, "jpeg_count_progressive_scan"):
+        return False
+    blocks = np.ascontiguousarray(blocks, dtype=np.int16)
+
+    def i64(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    rc = lib.jpeg_count_progressive_scan(
+        blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), blocks.shape[0],
+        ss, se, ah, al, i64(dc_counts), i64(ac_counts),
+    )
+    return rc == 0
 
 
 def native_jpeg_decode_segment(

@@ -280,6 +280,220 @@ EXPORT int32_t jpeg_count_symbols(
     return 0;
 }
 
+// ==================== progressive scan entropy coding =======================
+// One single-component scan per call (all scripts use single-component
+// scans). Mirrors pixo_tpu/jpeg/progressive.py's sinks exactly (tests
+// assert byte equality): DC first/refine, AC first with EOB runs, AC
+// refine with correction bits; EOB runs fall back to repeated single
+// EOBs when the table lacks EOBn codes.
+
+namespace jprog {
+
+struct Ctx {
+    jpeg::MsbWriter* w;
+    const uint16_t* codes;
+    const uint8_t* lens;
+    bool eobn_ok;
+
+    inline void sym(int s) { w->write(codes[s], lens[s]); }
+    inline void bits(uint32_t v, int n) { if (n) w->write(v, n); }
+
+    inline int flush_eob_run(int eob_run) {
+        if (eob_run == 0) return 0;
+        if (!eobn_ok) {
+            for (int i = 0; i < eob_run; i++) sym(0x00);
+            return 0;
+        }
+        int nbits = 0;
+        int t = eob_run;
+        while (t > 1) { t >>= 1; nbits++; }
+        sym(nbits << 4);
+        if (nbits > 0) bits((uint32_t)(eob_run - (1 << nbits)), nbits);
+        return 0;
+    }
+};
+
+static inline int cat16(int v) {
+    unsigned a = v < 0 ? (unsigned)(-v) : (unsigned)v;
+    return a == 0 ? 0 : 32 - __builtin_clz(a);
+}
+
+}  // namespace jprog
+
+EXPORT int64_t jpeg_encode_progressive_scan(
+    const int16_t* blocks, int64_t nblocks,
+    int32_t ss, int32_t se, int32_t ah, int32_t al,
+    const uint16_t* dc_codes, const uint8_t* dc_lens,
+    const uint16_t* ac_codes, const uint8_t* ac_lens,
+    uint8_t* out, int64_t cap) {
+    using namespace jprog;
+    jpeg::MsbWriter w(out, cap);
+
+    if (ss == 0 && se == 0) {  // DC scan
+        Ctx dc{&w, dc_codes, dc_lens, false};
+        int prev_dc = 0;
+        for (int64_t b = 0; b < nblocks; b++) {
+            int v = blocks[b * 64];
+            if (ah > 0) {
+                dc.bits((uint32_t)((v < 0 ? -v : v) >> al) & 1, 1);
+            } else {
+                int shifted = (v - prev_dc) >> al;
+                int cat = cat16(shifted);
+                int bitsv = shifted < 0 ? shifted - 1 : shifted;
+                uint32_t val = (uint32_t)bitsv & ((cat == 0) ? 0 : ((1u << cat) - 1));
+                w.write(((uint32_t)dc_codes[cat] << cat) | val, dc_lens[cat] + cat);
+            }
+            prev_dc = v;
+        }
+    } else {
+        Ctx ac{&w, ac_codes, ac_lens, ac_lens[0x10] != 0};
+        int eob_run = 0;
+        if (ah == 0) {  // AC first scan
+            for (int64_t b = 0; b < nblocks; b++) {
+                const int16_t* zz = blocks + b * 64;
+                int k = se;
+                while (k >= ss && (zz[k] >> al) == 0) {
+                    if (k == ss) break;
+                    k--;
+                }
+                int last_nonzero = k;
+                if (last_nonzero == ss && (zz[ss] >> al) == 0) {
+                    eob_run++;
+                    if (eob_run == 0x7FFF) eob_run = ac.flush_eob_run(eob_run);
+                    continue;
+                }
+                if (eob_run > 0) eob_run = ac.flush_eob_run(eob_run);
+                int zero_run = 0;
+                for (int i = ss; i <= last_nonzero; i++) {
+                    int coef = zz[i] >> al;
+                    if (coef == 0) { zero_run++; continue; }
+                    while (zero_run >= 16) { ac.sym(0xF0); zero_run -= 16; }
+                    int cat = cat16(coef);
+                    int bitsv = coef < 0 ? coef - 1 : coef;
+                    uint32_t val = (uint32_t)bitsv & ((1u << cat) - 1);
+                    int rs = (zero_run << 4) | cat;
+                    w.write(((uint32_t)ac_codes[rs] << cat) | val, ac_lens[rs] + cat);
+                    zero_run = 0;
+                }
+                if (last_nonzero < se) eob_run = 1;
+            }
+        } else {  // AC refinement scan
+            for (int64_t b = 0; b < nblocks; b++) {
+                const int16_t* zz = blocks + b * 64;
+                uint8_t corr[64];
+                int ncorr = 0;
+                int zero_run = 0;
+                for (int i = ss; i <= se; i++) {
+                    int coef = zz[i];
+                    int abs_coef = coef < 0 ? -coef : coef;
+                    if (abs_coef > (1 << al)) {
+                        corr[ncorr++] = (uint8_t)((abs_coef >> al) & 1);
+                    } else if ((abs_coef >> al) & 1) {
+                        if (eob_run > 0) eob_run = ac.flush_eob_run(eob_run);
+                        while (zero_run >= 16) {
+                            ac.sym(0xF0);
+                            for (int c = 0; c < ncorr; c++) ac.bits(corr[c], 1);
+                            ncorr = 0;
+                            zero_run -= 16;
+                        }
+                        ac.sym((zero_run << 4) | 1);
+                        ac.bits(coef < 0 ? 0u : 1u, 1);
+                        for (int c = 0; c < ncorr; c++) ac.bits(corr[c], 1);
+                        ncorr = 0;
+                        zero_run = 0;
+                    } else {
+                        zero_run++;
+                    }
+                }
+                if (zero_run > 0 || ncorr > 0) {
+                    eob_run++;
+                    if (eob_run == 0x7FFF) eob_run = ac.flush_eob_run(eob_run);
+                }
+                for (int c = 0; c < ncorr; c++) ac.bits(corr[c], 1);
+            }
+        }
+        if (eob_run > 0) ac.flush_eob_run(eob_run);
+    }
+    w.flush_pad_ones();
+    return w.overflow ? -1 : w.pos;
+}
+
+// Count-mode twin (for building the progressive-aware Huffman tables).
+EXPORT int32_t jpeg_count_progressive_scan(
+    const int16_t* blocks, int64_t nblocks,
+    int32_t ss, int32_t se, int32_t ah, int32_t al,
+    int64_t* dc_counts /*12*/, int64_t* ac_counts /*256*/) {
+    using namespace jprog;
+    if (ss == 0 && se == 0) {
+        if (ah > 0) return 0;  // refine bits only
+        int prev_dc = 0;
+        for (int64_t b = 0; b < nblocks; b++) {
+            int v = blocks[b * 64];
+            dc_counts[cat16((v - prev_dc) >> al)]++;
+            prev_dc = v;
+        }
+        return 0;
+    }
+    int eob_run = 0;
+    auto flush = [&]() {
+        if (!eob_run) return;
+        int nbits = 0, t = eob_run;
+        while (t > 1) { t >>= 1; nbits++; }
+        ac_counts[nbits << 4]++;
+        eob_run = 0;
+    };
+    if (ah == 0) {
+        for (int64_t b = 0; b < nblocks; b++) {
+            const int16_t* zz = blocks + b * 64;
+            int k = se;
+            while (k >= ss && (zz[k] >> al) == 0) {
+                if (k == ss) break;
+                k--;
+            }
+            int last_nonzero = k;
+            if (last_nonzero == ss && (zz[ss] >> al) == 0) {
+                eob_run++;
+                if (eob_run == 0x7FFF) flush();
+                continue;
+            }
+            flush();
+            int zero_run = 0;
+            for (int i = ss; i <= last_nonzero; i++) {
+                int coef = zz[i] >> al;
+                if (coef == 0) { zero_run++; continue; }
+                while (zero_run >= 16) { ac_counts[0xF0]++; zero_run -= 16; }
+                ac_counts[(zero_run << 4) | cat16(coef)]++;
+                zero_run = 0;
+            }
+            if (last_nonzero < se) eob_run = 1;
+        }
+    } else {
+        for (int64_t b = 0; b < nblocks; b++) {
+            const int16_t* zz = blocks + b * 64;
+            int ncorr = 0;
+            int zero_run = 0;
+            for (int i = ss; i <= se; i++) {
+                int coef = zz[i];
+                int abs_coef = coef < 0 ? -coef : coef;
+                if (abs_coef > (1 << al)) ncorr++;
+                else if ((abs_coef >> al) & 1) {
+                    flush();
+                    while (zero_run >= 16) { ac_counts[0xF0]++; zero_run -= 16; }
+                    ac_counts[(zero_run << 4) | 1]++;
+                    ncorr = 0;
+                    zero_run = 0;
+                } else zero_run++;
+            }
+            if (zero_run > 0 || ncorr > 0) {
+                eob_run++;
+                if (eob_run == 0x7FFF) flush();
+            }
+        }
+    }
+    flush();
+    return 0;
+}
+
 // ======================== trellis quantization ==============================
 // Viterbi R-D optimization per block (behavioral parity with pixo
 // src/jpeg/trellis.rs): <=5 candidates/coeff, <=8 states, zero-run
@@ -371,6 +585,15 @@ static void trellis_block(const float* dct_zz, const float* q_zz, float lambda,
 
         State next[64];
         int nnext = 0;
+        // open-addressed (value, zero_run) -> slot index; preserves the
+        // reference's first-occurrence list order while making the merge
+        // lookup O(1) instead of a linear scan
+        int16_t map_idx[64];
+        uint32_t map_key[64];
+        memset(map_idx, -1, sizeof(map_idx));
+        auto merge_key = [](int16_t v, uint8_t r) {
+            return ((uint32_t)(uint16_t)v << 5) ^ r ^ 1u;  // never 0
+        };
         for (int pi = 0; pi < ncur; pi++) {
             const State& parent = cur[pi];
             for (int ci = 0; ci < ncands; ci++) {
@@ -389,14 +612,19 @@ static void trellis_block(const float* dct_zz, const float* q_zz, float lambda,
                     new_run = 0;
                 }
                 float cost = parent.cost + rate + lambda * distortion;
-                // merge with same (value, zero_run)
+                uint32_t key = merge_key(cand, new_run);
+                uint32_t slot = (key * 2654435761u) & 63;
                 int found = -1;
-                for (int si = 0; si < nnext; si++)
-                    if (next[si].value == cand && next[si].zero_run == new_run) { found = si; break; }
+                while (map_idx[slot] >= 0) {
+                    if (map_key[slot] == key) { found = map_idx[slot]; break; }
+                    slot = (slot + 1) & 63;
+                }
                 if (found >= 0) {
                     if (cost < next[found].cost)
                         next[found] = {cost, new_run, (uint16_t)pi, cand};
-                } else if (nnext < 64) {
+                } else if (nnext < 48) {
+                    map_idx[slot] = (int16_t)nnext;
+                    map_key[slot] = key;
                     next[nnext++] = {cost, new_run, (uint16_t)pi, cand};
                 }
             }
