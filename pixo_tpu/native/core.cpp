@@ -1046,74 +1046,58 @@ static inline int dist_symbol(int d) {
 
 // ---- canonical huffman with length limit ----
 
-// Build code lengths limited to `max_len` from freqs[0..n). Kraft-fix method.
+// Length-limited Huffman code lengths via package-merge: provably optimal
+// under the limit and always *exactly complete* (Kraft sum == 1), which
+// DEFLATE decoders require for the literal and code-length alphabets.
+// Singleton alphabets get a dummy second 1-bit code.
 static void build_lengths(const uint64_t* freq, int n, int max_len, uint8_t* lengths) {
-    struct Node { uint64_t f; int l, r, sym; };
-    std::vector<Node> nodes;
-    std::vector<int> heap;
-    nodes.reserve(2 * n);
-    for (int i = 0; i < n; i++)
-        if (freq[i]) { nodes.push_back({freq[i], -1, -1, i}); heap.push_back((int)nodes.size() - 1); }
     memset(lengths, 0, n);
-    if (heap.empty()) return;
-    if (heap.size() == 1) {
-        // force a complete 1-bit code: real symbol + dummy (zlib does the
-        // same — a singleton code is incomplete and decoders reject it in
-        // the code-length table)
-        int sym = nodes[heap[0]].sym;
+    std::vector<std::pair<uint64_t, int>> items;  // (weight, sym)
+    for (int i = 0; i < n; i++)
+        if (freq[i]) items.push_back({freq[i], i});
+    if (items.empty()) return;
+    if (items.size() == 1) {
+        int sym = items[0].second;
         lengths[sym] = 1;
         lengths[sym == 0 ? 1 : 0] = 1;
         return;
     }
+    std::sort(items.begin(), items.end());
+    int m = (int)items.size();
 
-    auto cmp = [&](int a, int b) { return nodes[a].f > nodes[b].f || (nodes[a].f == nodes[b].f && a > b); };
-    std::make_heap(heap.begin(), heap.end(), cmp);
-    while (heap.size() > 1) {
-        std::pop_heap(heap.begin(), heap.end(), cmp); int a = heap.back(); heap.pop_back();
-        std::pop_heap(heap.begin(), heap.end(), cmp); int b = heap.back(); heap.pop_back();
-        nodes.push_back({nodes[a].f + nodes[b].f, a, b, -1});
-        heap.push_back((int)nodes.size() - 1);
-        std::push_heap(heap.begin(), heap.end(), cmp);
-    }
-    // compute depths iteratively
-    std::vector<int> depth(nodes.size(), 0);
-    std::vector<int> stack{heap[0]};
-    int bl_count[64] = {0};
-    int overflow = 0;
-    std::vector<std::pair<uint64_t, int>> leaves;  // (freq, sym) for re-assignment
-    while (!stack.empty()) {
-        int idx = stack.back(); stack.pop_back();
-        const Node& nd = nodes[idx];
-        if (nd.sym >= 0) {
-            int d = depth[idx] == 0 ? 1 : depth[idx];
-            if (d > max_len) { d = max_len; overflow++; }
-            bl_count[d]++;
-            leaves.push_back({nd.f, nd.sym});
-        } else {
-            depth[nd.l] = depth[idx] + 1;
-            depth[nd.r] = depth[idx] + 1;
-            stack.push_back(nd.l);
-            stack.push_back(nd.r);
+    struct Pkg { uint64_t w; std::vector<int> syms; };
+    auto to_pkgs = [&]() {
+        std::vector<Pkg> v;
+        v.reserve(m);
+        for (auto& it : items) v.push_back({it.first, {it.second}});
+        return v;
+    };
+    std::vector<Pkg> cur = to_pkgs();
+    for (int level = 1; level < max_len; level++) {
+        std::vector<Pkg> packages;
+        for (size_t i = 0; i + 1 < cur.size(); i += 2) {
+            Pkg p;
+            p.w = cur[i].w + cur[i + 1].w;
+            p.syms = std::move(cur[i].syms);
+            p.syms.insert(p.syms.end(), cur[i + 1].syms.begin(), cur[i + 1].syms.end());
+            packages.push_back(std::move(p));
         }
+        std::vector<Pkg> base = to_pkgs();
+        std::vector<Pkg> merged;
+        merged.reserve(base.size() + packages.size());
+        size_t a = 0, b = 0;
+        while (a < base.size() || b < packages.size()) {
+            if (b >= packages.size() ||
+                (a < base.size() && base[a].w <= packages[b].w))
+                merged.push_back(std::move(base[a++]));
+            else
+                merged.push_back(std::move(packages[b++]));
+        }
+        cur = std::move(merged);
     }
-    // zlib-style overflow repair: trades keep the code exactly complete
-    // (remove a leaf at depth b, add two at b+1, remove one at max).
-    while (overflow > 0) {
-        int b = max_len - 1;
-        while (b > 0 && bl_count[b] == 0) b--;
-        bl_count[b]--;
-        bl_count[b + 1] += 2;
-        bl_count[max_len]--;
-        overflow -= 2;
-    }
-    // assign lengths: most frequent symbols get shortest codes
-    std::sort(leaves.begin(), leaves.end(), [](auto& a, auto& b) {
-        return a.first > b.first || (a.first == b.first && a.second < b.second);
-    });
-    size_t li = 0;
-    for (int b = 1; b <= max_len && li < leaves.size(); b++)
-        for (int c = 0; c < bl_count[b] && li < leaves.size(); c++)
-            lengths[leaves[li++].second] = (uint8_t)b;
+    int take = 2 * m - 2;
+    for (int i = 0; i < take && i < (int)cur.size(); i++)
+        for (int s : cur[i].syms) lengths[s]++;
 }
 
 static void lengths_to_codes(const uint8_t* lengths, int n, uint16_t* codes) {
