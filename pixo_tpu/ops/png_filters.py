@@ -139,19 +139,31 @@ def filter_image(
     ):
         strat = FilterStrategy.SUB
 
-    cands = _candidates(rows, bpp)
+    use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .pallas_kernels import filter_bank_pallas
+
+        x = rows.astype(jnp.int32)
+        up = jnp.concatenate([jnp.zeros((1, rb), jnp.int32), x[:-1]], axis=0)
+        cands, abs_scores = filter_bank_pallas(x, up, bpp=bpp)
+    else:
+        cands = _candidates(rows, bpp)
+        abs_scores = None
 
     if strat in _FIXED_IDS:
         fid = _FIXED_IDS[strat]
         ids = jnp.full((h,), fid, jnp.int32)
         return cands[fid].astype(jnp.uint8), ids
 
+    if abs_scores is None and strat != FilterStrategy.BIGRAMS:
+        abs_scores = _signed_abs_scores(cands)
+
     if strat == FilterStrategy.BIGRAMS:
         ids = jnp.argmin(_bigram_scores(cands), axis=1).astype(jnp.int32)
     elif strat in (FilterStrategy.ADAPTIVE, FilterStrategy.MIN_SUM):
-        ids = _select_adaptive(_signed_abs_scores(cands), rb // 4 + 1)
+        ids = _select_adaptive(abs_scores, rb // 4 + 1)
     else:  # ADAPTIVE_FAST
-        ids = _select_adaptive_fast(_signed_abs_scores(cands), rb // 8 + 1)
+        ids = _select_adaptive_fast(abs_scores, rb // 8 + 1)
         if sticky_fast:
             ids = jnp.full((h,), ids[0], jnp.int32)
 
