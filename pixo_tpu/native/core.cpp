@@ -1388,24 +1388,29 @@ static void emit_block(LsbWriter& w, const std::vector<Token>& tokens,
 
 namespace deflate {
 
-// High-entropy detector (concept parity with pixo deflate.rs:1108-1145):
-// sample 4-grams over the first 8 KiB; if almost all are distinct the
-// data is incompressible and stored blocks win outright.
+// High-entropy detector (exact parity with pixo deflate.rs:1108-1145):
+// hash every 4-gram of the first 8 KiB into a 4096-slot table; flag
+// stored only when the collision rate is < 5%. Note the parameters make
+// this trigger essentially never (8K windows into 4K slots collide ~57%
+// even on random data, by the birthday bound) — incompressible inputs
+// are instead caught by the per-block stored-vs-dynamic size comparison
+// in emit_block, matching the reference's observed behavior.
 static bool is_high_entropy(const uint8_t* data, int64_t len) {
-    if (len < 8192) return false;
-    const int64_t SAMPLE = 8192;
-    static thread_local uint8_t seen[1 << 15];
+    if (len < 4096) return false;
+    int64_t sample_len = std::min<int64_t>(len, 8192);
+    const int HASH_SIZE = 4096;
+    bool seen[HASH_SIZE];
     memset(seen, 0, sizeof(seen));
-    int64_t total = 0, repeats = 0;
-    for (int64_t i = 0; i + 4 <= SAMPLE; i += 4) {
+    int64_t collisions = 0;
+    for (int64_t i = 0; i + 4 <= sample_len; i++) {
         uint32_t v;
         memcpy(&v, data + i, 4);
-        uint32_t h = (v * 2654435761u) >> 17;
-        if (seen[h]) repeats++;
-        else seen[h] = 1;
-        total++;
+        uint32_t h = (v * 0x1E35A7BDu) >> 20;
+        if (seen[h & (HASH_SIZE - 1)]) collisions++;
+        else seen[h & (HASH_SIZE - 1)] = true;
     }
-    return repeats * 20 < total;  // < 5% collisions => effectively random
+    int64_t total = sample_len - 3;
+    return (float)collisions / (float)total < 0.05f;
 }
 
 static void emit_stored_all(LsbWriter& w, const uint8_t* data, int64_t len) {
