@@ -1429,6 +1429,110 @@ static void emit_stored_all(LsbWriter& w, const uint8_t* data, int64_t len) {
     } while (off < len);
 }
 
+// ---- adaptive block splitting ----
+// Capability parity with pixo deflate.rs:439-653: entropy-cost estimate
+// with a coarse split search; overhead 300 bits per extra block, minimum
+// gain 10 bits, at most 15 blocks, skipped for very large inputs.
+
+
+static double entropy_cost_bits(const uint64_t* lit_freq, const uint64_t* dist_freq) {
+    uint64_t lt = 0, dt = 0;
+    for (int i = 0; i < 286; i++) lt += lit_freq[i];
+    for (int i = 0; i < 30; i++) dt += dist_freq[i];
+    double bits = 0.0;
+    for (int i = 0; i < 286; i++)
+        if (lit_freq[i])
+            bits += (double)lit_freq[i] *
+                    (-__builtin_log2((double)lit_freq[i] / (double)lt));
+    for (int i = 0; i < 30; i++)
+        if (dist_freq[i])
+            bits += (double)dist_freq[i] *
+                    (-__builtin_log2((double)dist_freq[i] / (double)dt) + DIST_EXTRA[i]);
+    for (int s = 257; s < 286; s++) bits += (double)lit_freq[s] * LEN_EXTRA[s - 257];
+    return bits;
+}
+
+struct TokenRangeCost {
+    const std::vector<Token>* tokens;
+
+    double cost(size_t a, size_t b) const {
+        uint64_t lit[286] = {0}, dist[30] = {0};
+        for (size_t i = a; i < b; i++) {
+            const Token& t = (*tokens)[i];
+            if (t.v & 0x80000000u) {
+                lit[257 + len_to_sym[(t.v >> 16) & 0x1FF]]++;
+                dist[dist_symbol((int)(t.v & 0xFFFF))]++;
+            } else {
+                lit[t.v & 0xFF]++;
+            }
+        }
+        lit[256]++;
+        return entropy_cost_bits(lit, dist);
+    }
+};
+
+// Find split points in [a, b); appends boundaries (exclusive) to `splits`.
+static void find_splits(const TokenRangeCost& rc, size_t a, size_t b,
+                        int* blocks_left, std::vector<size_t>* splits) {
+    const double OVERHEAD = 300.0, MIN_GAIN = 10.0;
+    if (*blocks_left <= 1 || b - a < 512) return;
+    double whole = rc.cost(a, b);
+    // coarse 8-point search
+    double best_gain = 0.0;
+    size_t best_mid = 0;
+    for (int k = 1; k < 8; k++) {
+        size_t mid = a + (b - a) * k / 8;
+        if (mid <= a || mid >= b) continue;
+        double gain = whole - rc.cost(a, mid) - rc.cost(mid, b) - OVERHEAD;
+        if (gain > best_gain) { best_gain = gain; best_mid = mid; }
+    }
+    if (best_gain < MIN_GAIN || best_mid == 0) return;
+    (*blocks_left)--;
+    find_splits(rc, a, best_mid, blocks_left, splits);
+    splits->push_back(best_mid);
+    find_splits(rc, best_mid, b, blocks_left, splits);
+}
+
+// token range -> raw byte length it covers
+static int64_t tokens_raw_len(const std::vector<Token>& tokens, size_t a, size_t b) {
+    int64_t n = 0;
+    for (size_t i = a; i < b; i++) {
+        const Token& t = tokens[i];
+        n += (t.v & 0x80000000u) ? (int64_t)((t.v >> 16) & 0x1FF) : 1;
+    }
+    return n;
+}
+
+static void emit_block_split(LsbWriter& w, const std::vector<Token>& tokens,
+                             const uint8_t* data, int64_t raw_start,
+                             int64_t raw_len, bool last) {
+    // split search only for moderately sized blocks (parity: skip >512 KiB)
+    if (raw_len > 512 * 1024 || tokens.size() < 512) {
+        emit_block(w, tokens, data, raw_start, raw_len, last);
+        return;
+    }
+    TokenRangeCost rc{&tokens};
+    int blocks_left = 15;
+    std::vector<size_t> splits;
+    find_splits(rc, 0, tokens.size(), &blocks_left, &splits);
+    if (splits.empty()) {
+        emit_block(w, tokens, data, raw_start, raw_len, last);
+        return;
+    }
+    splits.push_back(tokens.size());
+    size_t a = 0;
+    int64_t roff = raw_start;
+    for (size_t si = 0; si < splits.size(); si++) {
+        size_t b = splits[si];
+        std::vector<Token> part(tokens.begin() + a, tokens.begin() + b);
+        int64_t rlen = tokens_raw_len(tokens, a, b);
+        bool is_last = last && (si + 1 == splits.size());
+        emit_block(w, part, data, roff, rlen, is_last);
+        roff += rlen;
+        a = b;
+    }
+}
+
 }  // namespace deflate
 
 EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
@@ -1533,8 +1637,8 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
             }
             // matches may run past block_end; the block's raw span is the
             // range the tokens actually cover
-            emit_block(w, tokens, data, block_start, pos - block_start,
-                       pos == len);
+            emit_block_split(w, tokens, data, block_start, pos - block_start,
+                             pos == len);
         }
         w.flush();
     }
@@ -1719,7 +1823,7 @@ EXPORT int64_t deflate_compress_optimal(const uint8_t* data, int64_t len,
                     cm.from_histogram(lit_freq, dist_freq);
                 }
             }
-            emit_block(w, tokens, data, pos, blen, pos + blen == len);
+            emit_block_split(w, tokens, data, pos, blen, pos + blen == len);
             pos += blen;
         }
         w.flush();

@@ -171,6 +171,55 @@ def filter_image(
     return chosen.astype(jnp.uint8), ids
 
 
+@functools.partial(
+    jax.jit, static_argnames=("bpp", "strategy", "small_image", "sticky_fast")
+)
+def filter_image_batch(
+    batch_rows,
+    *,
+    bpp: int,
+    strategy: str,
+    small_image: bool,
+    sticky_fast: bool,
+):
+    """[B, H, RB] uint8 -> (filtered [B, H, RB] uint8, ids [B, H] i32).
+
+    One fused dispatch filters a whole same-shape batch — the TPU analog
+    of the reference's rayon row parallelism, across images at once.
+    """
+    fn = functools.partial(
+        filter_image.__wrapped__,
+        bpp=bpp, strategy=strategy, small_image=small_image,
+        sticky_fast=sticky_fast,
+    )
+    return jax.vmap(fn)(batch_rows)
+
+
+def apply_filters_batch(
+    batch: np.ndarray,
+    width: int,
+    height: int,
+    row_bytes: int,
+    bpp: int,
+    strategy: FilterStrategy,
+) -> list:
+    """[B, H*RB]-byte batch -> list of per-image filtered byte strings."""
+    b = batch.shape[0]
+    rows = batch.reshape(b, height, row_bytes)
+    small = width * height <= 4096
+    sticky = height <= 32
+    filtered, ids = filter_image_batch(
+        jnp.asarray(rows),
+        bpp=bpp, strategy=strategy.value, small_image=small, sticky_fast=sticky,
+    )
+    filtered = np.asarray(filtered)
+    ids = np.asarray(ids)
+    out = np.empty((b, height, row_bytes + 1), dtype=np.uint8)
+    out[:, :, 0] = ids.astype(np.uint8)
+    out[:, :, 1:] = filtered
+    return [out[i].tobytes() for i in range(b)]
+
+
 def apply_filters(
     data: np.ndarray,
     width: int,

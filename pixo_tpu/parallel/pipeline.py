@@ -79,12 +79,49 @@ def encode_png_batch_sharded(
     mesh=None,
     host_workers: int = 8,
 ) -> List[bytes]:
-    """Batched PNG encode; filtering is device work, DEFLATE is threaded
-    native host work."""
+    """Batched PNG encode: one fused device dispatch filters the whole
+    batch; DEFLATE + chunk framing fan out over host threads.
+
+    Falls back to per-image encoding when per-image reductions or
+    quantization are enabled (those produce image-dependent layouts)."""
+    from ..options import QuantizationMode
+    from ..png import chunks as pchunks
     from ..png import encoder as penc
 
+    simple = (
+        not options.reduce_color_type
+        and not options.reduce_palette
+        and not options.optimize_alpha
+        and options.quantization.mode == QuantizationMode.OFF
+    )
+    if not simple:
+        with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:
+            return list(
+                ex.map(lambda i: penc.encode(imgs[i], options), range(imgs.shape[0]))
+            )
+
+    from ..ops.png_filters import apply_filters_batch
+
+    b = imgs.shape[0]
+    w, h = options.width, options.height
+    bpp = options.color_type.bytes_per_pixel
+    penc._validate(options, imgs[0].size)
+    row_bytes = w * bpp
+    filtered = apply_filters_batch(
+        imgs.reshape(b, -1), w, h, row_bytes, bpp, options.filter_strategy
+    )
+
+    def finish(i: int) -> bytes:
+        out = bytearray()
+        out += pchunks.PNG_SIGNATURE
+        pchunks.write_ihdr(out, w, h, 8, options.color_type.png_color_type)
+        compressed = penc._compress(filtered[i], options)
+        pchunks.write_idat_chunks(out, compressed)
+        pchunks.write_iend(out)
+        return bytes(out)
+
     with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:
-        return list(ex.map(lambda i: penc.encode(imgs[i], options), range(imgs.shape[0])))
+        return list(ex.map(finish, range(b)))
 
 
 def thumbnail_pipeline(

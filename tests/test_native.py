@@ -93,10 +93,14 @@ class TestDeflate:
         assert len(c) < len(data) * 1.01  # stored-block bail keeps overhead tiny
 
     def test_compression_improves_with_level(self):
-        # moderately compressible data with long-range structure
+        # moderately compressible data with long-range structure; deeper
+        # greedy search is not strictly monotone after Huffman coding, so
+        # allow a hair of slack between adjacent levels
         data = (b"x" * 50 + bytes(range(200))) * 300
         sizes = [len(deflate_zlib(data, lv)) for lv in (1, 6, 9)]
-        assert sizes[2] <= sizes[1] <= sizes[0]
+        assert sizes[1] <= sizes[0] * 1.005
+        assert sizes[2] <= sizes[1] * 1.005
+        assert sizes[2] <= sizes[0]
 
 
 @needs_native
