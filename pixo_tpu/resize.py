@@ -55,3 +55,9 @@ def resize(data, options: ResizeOptions) -> np.ndarray:
         out = np.asarray(resize_lanczos3(arr, dst_w=dw, dst_h=dh))
 
     return out[..., 0] if squeeze else out
+
+
+def resize_into(output: bytearray, data, options: ResizeOptions) -> None:
+    """Buffer-reuse variant (parity: ``resize_into``, src/resize.rs:180)."""
+    output.clear()
+    output += resize(data, options).tobytes()

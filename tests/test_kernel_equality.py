@@ -143,3 +143,42 @@ class TestPngFilters:
         )
         ids = np.asarray(ids)
         assert (ids[1:] == 2).all()  # Up wins on all repeated rows
+
+
+class TestLz77Assist:
+    def test_hash4_matches_numpy(self, rng):
+        from pixo_tpu.ops.lz77_assist import hash4, hash4_np
+        import jax.numpy as jnp
+
+        data = rng.integers(0, 256, 5000, dtype=np.uint8)
+        dev = np.asarray(hash4(jnp.asarray(data)))
+        np.testing.assert_array_equal(dev, hash4_np(data))
+
+    def test_match_lengths(self, rng):
+        from pixo_tpu.ops.lz77_assist import (
+            batched_match_lengths,
+            batched_match_lengths_np,
+        )
+        import jax.numpy as jnp
+
+        data = rng.integers(0, 4, 3000, dtype=np.uint8)  # repetitive
+        pos = rng.integers(100, 2900, 64).astype(np.int32)
+        cand = (pos - rng.integers(1, 100, 64)).astype(np.int32)
+        dev = np.asarray(
+            batched_match_lengths(jnp.asarray(data), jnp.asarray(pos), jnp.asarray(cand))
+        )
+        ref = batched_match_lengths_np(data, pos, cand)
+        np.testing.assert_array_equal(dev, ref)
+
+    def test_match_length_exact_values(self):
+        from pixo_tpu.ops.lz77_assist import batched_match_lengths
+        import jax.numpy as jnp
+
+        data = np.frombuffer(b"abcabcabcXabc", np.uint8).copy()
+        pos = np.array([3, 9], np.int32)
+        cand = np.array([0, 0], np.int32)
+        out = np.asarray(
+            batched_match_lengths(jnp.asarray(data), jnp.asarray(pos), jnp.asarray(cand))
+        )
+        assert out[0] == 6  # "abcabc" matches from 3 vs 0
+        assert out[1] == 0  # 'X' vs 'a'
