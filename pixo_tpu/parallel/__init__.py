@@ -11,6 +11,7 @@ becomes an XLA-inserted halo exchange (this repo's ring-attention analog).
 from .mesh import batch_sharding, make_mesh
 from .pipeline import (
     encode_jpeg_batch_sharded,
+    encode_jpeg_stream,
     encode_png_batch_sharded,
     jpeg_coeffs_sharded,
     thumbnail_pipeline,
@@ -21,6 +22,7 @@ __all__ = [
     "batch_sharding",
     "jpeg_coeffs_sharded",
     "encode_jpeg_batch_sharded",
+    "encode_jpeg_stream",
     "encode_png_batch_sharded",
     "thumbnail_pipeline",
 ]

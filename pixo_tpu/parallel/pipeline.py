@@ -46,12 +46,19 @@ def jpeg_coeffs_sharded(imgs, options: JpegOptions, mesh=None):
     lum = jnp.asarray(quant.luminance_table.reshape(8, 8))
     chrom = jnp.asarray(quant.chrominance_table.reshape(8, 8))
     sharding = batch_sharding(mesh)
-    imgs_sharded = jax.device_put(jnp.asarray(imgs), sharding)
+    b = imgs.shape[0]
+    n_dev = mesh.devices.size
+    pad = (-b) % n_dev
+    arr = jnp.asarray(imgs)
+    if pad:
+        arr = jnp.concatenate([arr, jnp.repeat(arr[:1], pad, axis=0)], axis=0)
+    imgs_sharded = jax.device_put(arr, sharding)
     fn = functools.partial(
         jenc._device_coeffs_batch.__wrapped__, color=color, subsampling=sub
     )
-    jitted = jax.jit(lambda b: fn(b, lum, chrom), out_shardings=sharding)
-    return jitted(imgs_sharded)
+    jitted = jax.jit(lambda bt: fn(bt, lum, chrom), out_shardings=sharding)
+    out = jitted(imgs_sharded)
+    return out[:b] if pad else out
 
 
 def encode_jpeg_batch_sharded(
@@ -122,6 +129,54 @@ def encode_png_batch_sharded(
 
     with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:
         return list(ex.map(finish, range(b)))
+
+
+def encode_jpeg_stream(
+    batches,
+    options: JpegOptions,
+    mesh=None,
+    host_workers: int = 8,
+):
+    """Double-buffered device->host encode pipeline (the PP analog of the
+    reference's main-thread <-> worker split, SURVEY §2.8).
+
+    ``batches`` is an iterable of [B, H, W, C] uint8 arrays. While the
+    host packs batch i, the device already computes coefficients for
+    batch i+1; JAX's async dispatch provides the overlap — we simply keep
+    one batch in flight. Yields lists of encoded bytes per batch.
+    """
+    mesh = mesh or make_mesh()
+    quant = QuantizationTables(options.quality)
+    color, sub = _color_sub(options)
+    _, _, pattern = scan_layout(options.width, options.height, color, sub)
+
+    it = iter(batches)
+    prev_imgs = None
+    prev_zz_dev = None
+    with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:
+        for imgs in it:
+            zz_dev = jpeg_coeffs_sharded(imgs, options, mesh)  # async dispatch
+            if prev_zz_dev is not None:
+                zz_host = np.asarray(prev_zz_dev)  # waits on batch i-1 only
+                yield list(
+                    ex.map(
+                        lambda i: jenc._emit_jpeg(
+                            zz_host[i], prev_imgs[i], options, quant, pattern
+                        ),
+                        range(prev_imgs.shape[0]),
+                    )
+                )
+            prev_imgs, prev_zz_dev = imgs, zz_dev
+        if prev_zz_dev is not None:
+            zz_host = np.asarray(prev_zz_dev)
+            yield list(
+                ex.map(
+                    lambda i: jenc._emit_jpeg(
+                        zz_host[i], prev_imgs[i], options, quant, pattern
+                    ),
+                    range(prev_imgs.shape[0]),
+                )
+            )
 
 
 def thumbnail_pipeline(

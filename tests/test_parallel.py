@@ -84,3 +84,15 @@ class TestSharding:
         assert len(thumbs) == 3
         for t in thumbs:
             assert t[:2] == b"\xff\xd8" and t[-2:] == b"\xff\xd9"
+
+    def test_stream_pipeline_matches_batch(self, batch):
+        from pixo_tpu import jpeg
+        from pixo_tpu.parallel import encode_jpeg_stream
+
+        opts = JpegOptions.fast(32, 32, 85)
+        batches = [batch[:4], batch[4:]]
+        streamed = []
+        for out in encode_jpeg_stream(batches, opts, make_mesh(8)):
+            streamed.extend(out)
+        single = [jpeg.encode(batch[i], opts) for i in range(batch.shape[0])]
+        assert streamed == single
