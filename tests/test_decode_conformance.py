@@ -233,3 +233,49 @@ class TestKernelEquality:
         ycc = rgb_to_ycbcr_np(rgb).astype(np.int64)
         back = ycbcr_to_rgb_int_np(ycc[:, 0], ycc[:, 1] - 128, ycc[:, 2] - 128)
         assert np.abs(back.astype(int) - rgb.astype(int)).max() <= 3
+
+
+class TestExtendedFormats:
+    def test_jpeg_422_from_pillow(self):
+        """4:2:2 subsampling (generic h/v sampling path)."""
+        import io
+        from PIL import Image
+
+        img = synth_gradient(40, 48, 3)
+        buf = io.BytesIO()
+        Image.fromarray(img, "RGB").save(buf, "JPEG", quality=90, subsampling=1)
+        r = decode_jpeg(buf.getvalue())
+        pil = np.asarray(Image.open(buf).convert("RGB")).astype(int)
+        diff = np.abs(r.pixels.astype(int) - pil)
+        assert diff.mean() < 4
+
+    def test_jpeg_420_odd_dims_from_pillow(self):
+        import io
+        from PIL import Image
+
+        img = synth_gradient(33, 41, 3)
+        buf = io.BytesIO()
+        Image.fromarray(img, "RGB").save(buf, "JPEG", quality=90, subsampling=2)
+        r = decode_jpeg(buf.getvalue())
+        assert (r.width, r.height) == (41, 33)
+
+    def test_png_16bit_from_pillow(self):
+        import io
+        from PIL import Image
+
+        arr16 = (np.arange(30 * 20, dtype=np.uint16).reshape(20, 30) * 89) % 65535
+        buf = io.BytesIO()
+        Image.fromarray(arr16.astype(np.uint16), "I;16").save(buf, "PNG")
+        r = decode_png(buf.getvalue())
+        # 16 -> 8 keeps the high byte
+        np.testing.assert_array_equal(r.pixels, (arr16 >> 8).astype(np.uint8))
+
+    def test_png_low_depth_gray_from_pillow(self):
+        import io
+        from PIL import Image
+
+        bw = ((np.indices((16, 16)).sum(0) % 2) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(bw, "L").convert("1").save(buf, "PNG")
+        r = decode_png(buf.getvalue())
+        np.testing.assert_array_equal(r.pixels, bw)
