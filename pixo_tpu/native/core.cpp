@@ -629,13 +629,23 @@ static void trellis_block(const float* dct_zz, const float* q_zz, float lambda,
                 }
             }
         }
-        std::stable_sort(next, next + nnext,
-                         [](const State& a, const State& b) { return a.cost < b.cost; });
-        if (nnext > MAX_STATES) nnext = MAX_STATES;
-        all_counts[zz] = nnext;
-        memcpy(all_states[zz], next, nnext * sizeof(State));
-        memcpy(cur, next, nnext * sizeof(State));
-        ncur = nnext;
+        // stable partial selection of the MAX_STATES cheapest states
+        // (identical result to stable_sort + truncate)
+        State* dst = all_states[zz];
+        int kept = 0;
+        for (int si = 0; si < nnext; si++) {
+            const State& s = next[si];
+            if (kept == MAX_STATES && s.cost >= dst[kept - 1].cost) continue;
+            int ins = kept;
+            while (ins > 0 && dst[ins - 1].cost > s.cost) ins--;
+            int tail = (kept < MAX_STATES) ? kept : MAX_STATES - 1;
+            for (int m = tail; m > ins; m--) dst[m] = dst[m - 1];
+            dst[ins] = s;
+            if (kept < MAX_STATES) kept++;
+        }
+        all_counts[zz] = kept;
+        memcpy(cur, dst, kept * sizeof(State));
+        ncur = kept;
         if (ncur == 0) break;
     }
 
