@@ -115,3 +115,61 @@ def scan_layout(
         return (pw // 16) * (ph // 16), 6, (0, 0, 0, 0, 1, 2)
     pw, ph = (width + 7) & ~7, (height + 7) & ~7
     return (pw // 8) * (ph // 8), 3, (0, 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# NumPy mirrors for kernel-equality tests (scalar extract_block semantics:
+# coordinate clamp + fixed-point convert + level shift).
+# ---------------------------------------------------------------------------
+
+def blocks_444_np(rgb: "np.ndarray") -> "np.ndarray":
+    import numpy as np
+
+    from ..color import rgb_to_ycbcr_np
+
+    h, w = rgb.shape[:2]
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    ys = np.minimum(np.arange(ph), h - 1)
+    xs = np.minimum(np.arange(pw), w - 1)
+    img = rgb[ys][:, xs]
+    ycc = rgb_to_ycbcr_np(img).astype(np.float32) - 128.0
+    out = []
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for c in range(3):
+                out.append(ycc[by : by + 8, bx : bx + 8, c])
+    return np.stack(out)
+
+
+def blocks_420_np(rgb: "np.ndarray") -> "np.ndarray":
+    import numpy as np
+
+    from ..color import rgb_to_ycbcr_np
+
+    h, w = rgb.shape[:2]
+    ph, pw = (h + 15) & ~15, (w + 15) & ~15
+    ys = np.minimum(np.arange(ph), h - 1)
+    xs = np.minimum(np.arange(pw), w - 1)
+    img = rgb[ys][:, xs]
+    ycc = rgb_to_ycbcr_np(img)
+    yf = ycc[..., 0].astype(np.float32) - 128.0
+    cb = ycc[..., 1].astype(np.float32)
+    cr = ycc[..., 2].astype(np.float32)
+
+    def avg(p):
+        q = p.reshape(ph // 2, 2, pw // 2, 2)
+        return (q[:, 0, :, 0] + q[:, 0, :, 1] + q[:, 1, :, 0] + q[:, 1, :, 1]) * 0.25 - 128.0
+
+    cbs, crs = avg(cb), avg(cr)
+    out = []
+    for my in range(0, ph, 16):
+        for mx in range(0, pw, 16):
+            for by in range(2):
+                for bx in range(2):
+                    out.append(
+                        yf[my + by * 8 : my + by * 8 + 8, mx + bx * 8 : mx + bx * 8 + 8]
+                    )
+            cy, cx = my // 2, mx // 2
+            out.append(cbs[cy : cy + 8, cx : cx + 8])
+            out.append(crs[cy : cy + 8, cx : cx + 8])
+    return np.stack(out)

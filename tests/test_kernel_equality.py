@@ -182,3 +182,23 @@ class TestLz77Assist:
         )
         assert out[0] == 6  # "abcabc" matches from 3 vs 0
         assert out[1] == 0  # 'X' vs 'a'
+
+
+class TestBlockify:
+    @pytest.mark.parametrize("size", [(16, 16), (61, 47), (8, 24), (1, 1), (17, 9)])
+    def test_444_matches_numpy(self, rng, size):
+        from pixo_tpu.ops.blockify import blocks_444, blocks_444_np
+
+        w, h = size
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        dev = np.asarray(blocks_444(jnp.asarray(img)))
+        np.testing.assert_array_equal(dev, blocks_444_np(img))
+
+    @pytest.mark.parametrize("size", [(16, 16), (61, 47), (32, 48), (1, 1)])
+    def test_420_matches_numpy(self, rng, size):
+        from pixo_tpu.ops.blockify import blocks_420, blocks_420_np
+
+        w, h = size
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        dev = np.asarray(blocks_420(jnp.asarray(img)))
+        np.testing.assert_array_equal(dev, blocks_420_np(img))
