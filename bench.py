@@ -87,7 +87,7 @@ def main() -> None:
         return _device_coeffs_batch(dev_imgs, lum, chrom, color="rgb", subsampling="420")
 
     # --- Stage 1: device pipeline, steady state ---
-    with Watchdog(480):
+    with Watchdog(300):
         zz_dev = run_device()
         zz_dev.block_until_ready()  # compile + first run
         t0 = time.perf_counter()
@@ -101,7 +101,7 @@ def main() -> None:
 
     # --- one-off coefficient fetch for the host-stage measurement ---
     t0 = time.perf_counter()
-    with Watchdog(480):
+    with Watchdog(300):
         zz_host = np.asarray(zz_dev)
     dt_xfer = time.perf_counter() - t0
     xfer_rate = zz_host.nbytes / max(dt_xfer, 1e-9) / 1e6
