@@ -86,17 +86,20 @@ def main() -> None:
     def run_device():
         return _device_coeffs_batch(dev_imgs, lum, chrom, color="rgb", subsampling="420")
 
-    # --- Stage 1: device pipeline, steady state ---
+    # --- Stage 1: device pipeline, steady state (best of 5 windows:
+    # the shared host + tunnel keepalive inject noise) ---
     with Watchdog(300):
         zz_dev = run_device()
         zz_dev.block_until_ready()  # compile + first run
-        t0 = time.perf_counter()
-        rounds = 0
-        while time.perf_counter() - t0 < 1.0:
-            zz_dev = run_device()
-            rounds += 1
-        zz_dev.block_until_ready()
-        dt_dev = (time.perf_counter() - t0) / rounds
+        dt_dev = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            rounds = 0
+            while time.perf_counter() - t0 < 0.4:
+                zz_dev = run_device()
+                rounds += 1
+            zz_dev.block_until_ready()
+            dt_dev = min(dt_dev, (time.perf_counter() - t0) / rounds)
     device_mps = mp_per_batch / dt_dev
 
     # --- one-off coefficient fetch for the host-stage measurement ---
@@ -110,16 +113,15 @@ def main() -> None:
     _, _, pattern = scan_layout(size, size, "rgb", "420")
     huff = HuffmanTables()
     assert native_available(), "native packer required for the benchmark"
-    sizes = []
-    t0 = time.perf_counter()
-    rounds = 0
-    while time.perf_counter() - t0 < 1.0 or rounds < 1:
-        sizes = [
-            len(native_pack_scan(zz_host[i], pattern, huff, None))
-            for i in range(batch)
-        ]
-        rounds += 1
-    dt_host = (time.perf_counter() - t0) / rounds
+    sizes = [
+        len(native_pack_scan(zz_host[i], pattern, huff, None)) for i in range(batch)
+    ]
+    dt_host = float("inf")
+    for _ in range(7):
+        t0 = time.perf_counter()
+        for i in range(batch):
+            native_pack_scan(zz_host[i], pattern, huff, None)
+        dt_host = min(dt_host, time.perf_counter() - t0)
     host_mps = mp_per_batch / dt_host
 
     pipeline_mps = min(device_mps, host_mps)
