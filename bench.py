@@ -41,6 +41,9 @@ def synth_gradient(h, w):
     ).astype(np.uint8)
 
 
+WATCHDOG_S = int(os.environ.get("BENCH_WATCHDOG", "420"))
+
+
 class Watchdog:
     """SIGALRM-based timeout so a stalled TPU tunnel can't hang the bench."""
 
@@ -88,7 +91,7 @@ def main() -> None:
 
     # --- Stage 1: device pipeline, steady state (best of 5 windows:
     # the shared host + tunnel keepalive inject noise) ---
-    with Watchdog(300):
+    with Watchdog(WATCHDOG_S):
         zz_dev = run_device()
         zz_dev.block_until_ready()  # compile + first run
         dt_dev = float("inf")
@@ -104,7 +107,7 @@ def main() -> None:
 
     # --- one-off coefficient fetch for the host-stage measurement ---
     t0 = time.perf_counter()
-    with Watchdog(300):
+    with Watchdog(WATCHDOG_S):
         zz_host = np.asarray(zz_dev)
     dt_xfer = time.perf_counter() - t0
     xfer_rate = zz_host.nbytes / max(dt_xfer, 1e-9) / 1e6
