@@ -15,7 +15,7 @@ from __future__ import annotations
 import dataclasses
 import struct
 import zlib
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -13,7 +13,7 @@ implementation; this mirror is the fallback and the test oracle.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

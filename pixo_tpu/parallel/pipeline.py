@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import concurrent.futures
 import functools
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

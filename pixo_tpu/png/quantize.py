@@ -20,7 +20,7 @@ this host implementation is NumPy-vectorized (the LUT build is a
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
