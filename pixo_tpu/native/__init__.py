@@ -48,6 +48,8 @@ def _try_build() -> Optional[str]:
 
 def _load():
     global _lib, _build_failed
+    if os.environ.get("PIXO_TPU_DISABLE_NATIVE"):
+        return None
     if _lib is not None or _build_failed:
         return _lib
     with _lock:
