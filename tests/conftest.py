@@ -25,33 +25,17 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Single source of truth for fixtures (tests/support/synthetic.rs analog)
+from pixo_tpu.utils.synthetic import (  # noqa: E402,F401
+    synth_checkerboard,
+    synth_gradient,
+    synth_noise,
+)
+
 
 @pytest.fixture
 def rng():
     return np.random.default_rng(12345)
-
-
-def synth_gradient(h, w, channels=3):
-    """Deterministic gradient fixture (tests/support/synthetic.rs analog)."""
-    yy, xx = np.mgrid[0:h, 0:w]
-    chans = [
-        (xx * 255 // max(w - 1, 1)),
-        (yy * 255 // max(h - 1, 1)),
-        ((xx + yy) * 255 // max(w + h - 2, 1)),
-        np.full((h, w), 255),
-    ]
-    return np.stack(chans[:channels], axis=-1).astype(np.uint8)
-
-
-def synth_noise(h, w, channels=3, seed=7):
-    r = np.random.default_rng(seed)
-    return r.integers(0, 256, (h, w, channels), dtype=np.uint8)
-
-
-def synth_checkerboard(h, w, channels=3, cell=8):
-    yy, xx = np.mgrid[0:h, 0:w]
-    base = (((yy // cell) + (xx // cell)) % 2 * 255).astype(np.uint8)
-    return np.repeat(base[..., None], channels, axis=-1)
 
 
 @pytest.fixture
