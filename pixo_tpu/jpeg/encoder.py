@@ -216,8 +216,10 @@ def _emit_jpeg(
             options.color_type, options.subsampling,
         )
         markers.write_dht(out, huff)
-        if options.restart_interval is not None:
-            markers.write_dri(out, options.restart_interval)
+        # restart_interval is ignored in progressive mode: the progressive
+        # scan coders emit no RSTn markers, so advertising a DRI interval
+        # desyncs decoders (the reference has this bug — it writes DRI at
+        # src/jpeg/mod.rs:409 but its scans never restart; not reproduced).
         progressive.encode_progressive(out, zz_scan, pattern, options, huff)
     else:
         huff = _build_tables(zz, pattern, options)

@@ -201,23 +201,25 @@ def thumbnail_pipeline(
     with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:
         decoded = list(ex.map(decode_one, encoded))
 
-    results: List[bytes] = []
-    from .. import jpeg as jpeg_mod
-
-    for px, w, h in decoded:
+    # Stage 2: resize each image on device (per-shape jit caches by shape;
+    # repeated shapes in a corpus amortize to one compile).
+    thumbs = np.empty((len(decoded), thumb_size, thumb_size, 3), np.uint8)
+    for i, (px, w, h) in enumerate(decoded):
         if px.shape[2] == 4:
             px = px[..., :3]
         elif px.shape[2] == 2:
-            px = px[..., :1]
-        ct = ColorType.RGB if px.shape[2] == 3 else ColorType.GRAY
+            px = np.repeat(px[..., :1], 3, axis=-1)
+        elif px.shape[2] == 1:
+            px = np.repeat(px, 3, axis=-1)
         ropts = ResizeOptions(
             src_width=w, src_height=h, dst_width=thumb_size, dst_height=thumb_size,
-            color_type=ct, filter=ResizeFilter.LANCZOS3,
+            color_type=ColorType.RGB, filter=ResizeFilter.LANCZOS3,
         )
-        thumb = do_resize(np.ascontiguousarray(px), ropts)
-        src = thumb[..., 0] if ct == ColorType.GRAY else thumb
-        jopts = JpegOptions(
-            width=thumb_size, height=thumb_size, quality=quality, color_type=ct
-        )
-        results.append(jpeg_mod.encode(np.ascontiguousarray(src), jopts))
-    return results
+        thumbs[i] = do_resize(np.ascontiguousarray(px), ropts)
+
+    # Stage 3: one batched sharded device dispatch + threaded packing.
+    jopts = JpegOptions(
+        width=thumb_size, height=thumb_size, quality=quality,
+        color_type=ColorType.RGB,
+    )
+    return encode_jpeg_batch_sharded(thumbs, jopts, host_workers=host_workers)

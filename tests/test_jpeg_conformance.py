@@ -153,3 +153,22 @@ class TestBatch:
         batch = jpeg.encode_batch(imgs, opts)
         singles = [jpeg.encode(imgs[i], opts) for i in range(2)]
         assert batch == singles
+
+
+class TestProgressiveRestart:
+    def test_progressive_ignores_restart_interval(self, gradient_rgb):
+        """DRI + progressive scans without RST markers desyncs decoders
+        (a reference bug); we omit DRI in progressive mode instead."""
+        import io
+        from PIL import Image
+
+        opts = JpegOptions(
+            width=64, height=64, quality=85, progressive=True, restart_interval=4
+        )
+        data = jpeg.encode(gradient_rgb, opts)
+        assert b"\xff\xdd" not in data  # no DRI segment
+        dec = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        base = np.asarray(Image.open(io.BytesIO(
+            jpeg.encode(gradient_rgb, opts.replace(restart_interval=None))
+        )).convert("RGB"))
+        np.testing.assert_array_equal(dec, base)
