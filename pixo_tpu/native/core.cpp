@@ -1607,10 +1607,41 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
                         continue;
                     }
                 }
+                // incompressible mode (parity concept with pixo
+                // src/compress/lz77.rs: after 512 straight literals, probe
+                // sparsely and update the hash sparsely until data turns
+                // compressible again)
+                if (literal_run > 512) {
+                    if ((pos & 255) != 0) {
+                        tokens.push_back(lit_token(data[pos]));
+                        if ((pos & 63) == 0) m.insert(pos);
+                        literal_run++;
+                        pos += 1;
+                        continue;
+                    }
+                    int dist_i = 0;
+                    int best_i = m.find(pos, 1, cfg.nice, &dist_i);
+                    if (best_i >= MIN_MATCH) {
+                        tokens.push_back(match_token(best_i, dist_i));
+                        literal_run = 0;
+                        int64_t end = pos + best_i;
+                        for (int64_t p = pos; p < end && p < len; p++) m.insert(p);
+                        pos = end;
+                    } else {
+                        tokens.push_back(lit_token(data[pos]));
+                        m.insert(pos);
+                        literal_run++;
+                        pos += 1;
+                    }
+                    continue;
+                }
                 int dist = 0;
                 int chain = cfg.chain;
-                if (literal_run > 512) chain = 1;  // incompressible throttle
                 int best = m.find(pos, chain, cfg.nice, &dist);
+                // len-3 matches at long range cost more bits than the
+                // literals they replace (zlib's TOO_FAR rule) and keep
+                // random data out of incompressible mode
+                if (best == MIN_MATCH && dist > 4096) best = 0;
 
                 if (best >= MIN_MATCH && cfg.lazy && best < cfg.nice && pos + 1 < block_end) {
                     // lazy evaluation: check if next position has a better match

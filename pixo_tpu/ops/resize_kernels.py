@@ -114,10 +114,17 @@ def resize_lanczos3(img, *, dst_w: int, dst_h: int):
     wx = jnp.asarray(lanczos_weight_matrix(w, dst_w))  # [dst_w, w]
     wy = jnp.asarray(lanczos_weight_matrix(h, dst_h))  # [dst_h, h]
 
-    f = img.astype(jnp.float32)  # [h, w, c]
-    # Horizontal: [h, w, c] x [dst_w, w] -> [h, dst_w, c]
-    t = jnp.einsum("hwc,dw->hdc", f, wx, preferred_element_type=jnp.float32)
+    # channel-major layout keeps both passes as plain [M, K] @ [K, N]
+    # matmuls on the MXU (a trailing c=3/4 axis defeats XLA's tiling)
+    f = img.astype(jnp.float32).transpose(2, 0, 1)  # [c, h, w]
+    # Horizontal: [c, h, w] @ [w, dst_w]
+    t = jax.lax.dot_general(
+        f, wx.T, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [c, h, dst_w]
     t = jnp.clip(round_half_away(t), 0.0, 255.0)  # intermediate u8 rounding
-    # Vertical: [h, dst_w, c] x [dst_h, h] -> [dst_h, dst_w, c]
-    o = jnp.einsum("hdc,eh->edc", t, wy, preferred_element_type=jnp.float32)
+    # Vertical: [dst_h, h] @ [h, dst_w] per channel
+    o = jax.lax.dot_general(
+        t, wy.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [c, dst_w, dst_h]  (contracted h; dims become [c, dst_w, dst_h])
+    o = o.transpose(2, 1, 0)  # -> [dst_h, dst_w, c]
     return jnp.clip(round_half_away(o), 0.0, 255.0).astype(jnp.uint8)
