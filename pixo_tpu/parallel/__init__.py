@@ -10,6 +10,8 @@ becomes an XLA-inserted halo exchange (this repo's ring-attention analog).
 
 from .mesh import batch_sharding, make_mesh
 from .pipeline import (
+    decode_jpeg_batch,
+    decode_png_batch,
     encode_jpeg_batch_sharded,
     encode_jpeg_stream,
     encode_png_batch_sharded,
@@ -19,6 +21,8 @@ from .pipeline import (
 
 __all__ = [
     "make_mesh",
+    "decode_jpeg_batch",
+    "decode_png_batch",
     "batch_sharding",
     "jpeg_coeffs_sharded",
     "encode_jpeg_batch_sharded",

@@ -179,6 +179,26 @@ def encode_jpeg_stream(
             )
 
 
+def decode_jpeg_batch(
+    encoded: Sequence[bytes], host_workers: int = 8
+) -> List["object"]:
+    """Threaded batched JPEG decode (entropy stage releases the GIL in C++)."""
+    from ..decode import decode_jpeg
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:
+        return list(ex.map(decode_jpeg, encoded))
+
+
+def decode_png_batch(
+    encoded: Sequence[bytes], host_workers: int = 8
+) -> List["object"]:
+    """Threaded batched PNG decode (inflate/unfilter release the GIL)."""
+    from ..decode import decode_png
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:
+        return list(ex.map(decode_png, encoded))
+
+
 def thumbnail_pipeline(
     encoded: Sequence[bytes],
     thumb_size: int = 128,

@@ -265,7 +265,7 @@ class TestExtendedFormats:
 
         arr16 = (np.arange(30 * 20, dtype=np.uint16).reshape(20, 30) * 89) % 65535
         buf = io.BytesIO()
-        Image.fromarray(arr16.astype(np.uint16), "I;16").save(buf, "PNG")
+        Image.fromarray(arr16.astype(np.uint16)).save(buf, "PNG")
         r = decode_png(buf.getvalue())
         # 16 -> 8 keeps the high byte
         np.testing.assert_array_equal(r.pixels, (arr16 >> 8).astype(np.uint8))
