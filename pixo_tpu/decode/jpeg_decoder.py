@@ -26,6 +26,7 @@ from ..ops.jpeg_decode import (
     assemble_plane,
     dequant_idct_blocks,
     upsample_nearest,
+    upsample_triangle,
     ycbcr_to_rgb_int,
 )
 
@@ -168,7 +169,10 @@ def _extend(bits: int, size: int) -> int:
     return bits
 
 
-def decode_jpeg(data: bytes) -> JpegImage:
+def decode_jpeg(data: bytes, fancy_upsampling: bool = False) -> JpegImage:
+    """Decode a baseline JPEG. ``fancy_upsampling=True`` uses libjpeg-style
+    triangle chroma interpolation (beyond-parity quality option; the
+    default nearest matches the reference decoder)."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise errors.InvalidDecode("not a JPEG file (missing SOI)")
     pos = 2
@@ -262,6 +266,7 @@ def decode_jpeg(data: bytes) -> JpegImage:
             return _decode_scan(
                 scan_data, width, height, components, qtables,
                 dc_tables, ac_tables, dc_specs, ac_specs, restart_interval,
+                fancy_upsampling,
             )
     raise errors.InvalidDecode("no SOS marker found")
 
@@ -308,6 +313,7 @@ def _decode_scan(
     dc_specs: Dict[int, tuple],
     ac_specs: Dict[int, tuple],
     restart_interval: int,
+    fancy_upsampling: bool = False,
 ) -> JpegImage:
     if width == 0 or height == 0:
         raise errors.InvalidDecode("zero dimensions")
@@ -364,7 +370,7 @@ def _decode_scan(
         raise errors.InvalidDecode("missing restart segment")
     if native_ok:
         return _finish_scan(coeffs, width, height, components, qtables,
-                            mcu_cols, mcu_rows, max_h, max_v)
+                            mcu_cols, mcu_rows, max_h, max_v, fancy_upsampling)
 
     seg_idx = 0
     reader = _MsbReader(segments[0]) if segments else _MsbReader(b"")
@@ -409,11 +415,12 @@ def _decode_scan(
                     coeffs[ci][row * (mcu_cols * comp.h) + col] = block
 
     return _finish_scan(coeffs, width, height, components, qtables,
-                        mcu_cols, mcu_rows, max_h, max_v)
+                        mcu_cols, mcu_rows, max_h, max_v, fancy_upsampling)
 
 
 def _finish_scan(coeffs, width, height, components, qtables,
-                 mcu_cols, mcu_rows, max_h, max_v) -> JpegImage:
+                 mcu_cols, mcu_rows, max_h, max_v,
+                 fancy_upsampling: bool = False) -> JpegImage:
     """Device tail: dequant + IDCT + assemble + upsample + color convert."""
     planes = []
     for ci, comp in enumerate(components):
@@ -422,7 +429,8 @@ def _finish_scan(coeffs, width, height, components, qtables,
         bw = mcu_cols * comp.h
         bh = mcu_rows * comp.v
         plane = assemble_plane(blocks.astype(jnp.int32), bw, bh)
-        plane = upsample_nearest(plane, max_h // comp.h, max_v // comp.v)
+        ups = upsample_triangle if fancy_upsampling else upsample_nearest
+        plane = ups(plane, max_h // comp.h, max_v // comp.v)
         planes.append(plane)
 
     if len(components) == 1:

@@ -171,3 +171,67 @@ def upsample_nearest(plane, h_ratio: int, v_ratio: int):
     if h_ratio > 1:
         plane = jnp.repeat(plane, h_ratio, axis=1)
     return plane
+
+
+def _shift_edge(plane, dy: int, dx: int):
+    """Plane shifted by (dy, dx) with edge replication."""
+    if dy == -1:
+        plane = jnp.concatenate([plane[:1], plane[:-1]], axis=0)
+    elif dy == 1:
+        plane = jnp.concatenate([plane[1:], plane[-1:]], axis=0)
+    if dx == -1:
+        plane = jnp.concatenate([plane[:, :1], plane[:, :-1]], axis=1)
+    elif dx == 1:
+        plane = jnp.concatenate([plane[:, 1:], plane[:, -1:]], axis=1)
+    return plane
+
+
+def _interleave2(a, b, axis: int):
+    """Interleave two equal arrays along axis (a first)."""
+    stacked = jnp.stack([a, b], axis=axis + 1)
+    shape = list(a.shape)
+    shape[axis] *= 2
+    return stacked.reshape(shape)
+
+
+def _triangle_h2(plane):
+    """libjpeg h2 fancy upsample along the width axis (int32 plane)."""
+    left = _shift_edge(plane, 0, -1)
+    right = _shift_edge(plane, 0, 1)
+    even = (3 * plane + left + 2) >> 2
+    odd = (3 * plane + right + 1) >> 2
+    return _interleave2(even, odd, axis=1)
+
+
+def upsample_triangle(plane, h_ratio: int, v_ratio: int):
+    """libjpeg-style fancy (triangle) chroma upsampling for 2x ratios.
+
+    Beyond-parity quality option (the reference only does nearest): for
+    h2v2 this is the classic 9-3-3-1 kernel, implemented as shifted-array
+    elementwise math (fully fused on the VPU). Falls back to nearest for
+    ratios other than 1 or 2.
+    """
+    if h_ratio not in (1, 2) or v_ratio not in (1, 2):
+        return upsample_nearest(plane, h_ratio, v_ratio)
+    p = plane.astype(jnp.int32)
+    if v_ratio == 2:
+        up = _shift_edge(p, -1, 0)
+        down = _shift_edge(p, 1, 0)
+        even_rows = (3 * p + up + 2) >> 2 if h_ratio == 1 else None
+        if h_ratio == 2:
+            # h2v2: upsample vertically to intermediate rows with 3:1
+            # weights, then horizontally — equivalent to the 9-3-3-1 kernel
+            r_even = 3 * p + up    # scaled by 4
+            r_odd = 3 * p + down
+            def h2_scaled(r):
+                left = _shift_edge(r, 0, -1)
+                right = _shift_edge(r, 0, 1)
+                even = (3 * r + left + 8) >> 4
+                odd = (3 * r + right + 7) >> 4
+                return _interleave2(even, odd, axis=1)
+            return _interleave2(h2_scaled(r_even), h2_scaled(r_odd), axis=0)
+        odd_rows = (3 * p + down + 1) >> 2
+        return _interleave2(even_rows, odd_rows, axis=0)
+    if h_ratio == 2:
+        return _triangle_h2(p)
+    return p

@@ -279,3 +279,27 @@ class TestExtendedFormats:
         Image.fromarray(bw, "L").convert("1").save(buf, "PNG")
         r = decode_png(buf.getvalue())
         np.testing.assert_array_equal(r.pixels, bw)
+
+
+class TestFancyUpsampling:
+    def test_fancy_close_to_libjpeg(self):
+        """Triangle chroma upsampling tracks Pillow/libjpeg closely on 420
+        (beyond-parity option; default nearest matches the reference)."""
+        import io
+        from PIL import Image
+
+        img = synth_gradient(48, 40, 3)
+        opts = JpegOptions(width=40, height=48, quality=88, subsampling=Subsampling.S420)
+        d = jpeg.encode(img, opts)
+        pil = np.asarray(Image.open(io.BytesIO(d)).convert("RGB")).astype(int)
+        fancy = decode_jpeg(d, fancy_upsampling=True).pixels.astype(int)
+        near = decode_jpeg(d).pixels.astype(int)
+        assert np.abs(fancy - pil).max() <= 2
+        assert np.abs(fancy - pil).mean() <= np.abs(near - pil).mean()
+
+    def test_fancy_equals_nearest_for_444(self):
+        img = synth_gradient(32, 32, 3)
+        d = jpeg.encode(img, JpegOptions(width=32, height=32, quality=90))
+        np.testing.assert_array_equal(
+            decode_jpeg(d).pixels, decode_jpeg(d, fancy_upsampling=True).pixels
+        )
