@@ -1,0 +1,83 @@
+"""Golden-output regression tests.
+
+Freezes SHA-256 digests of encoder outputs on fixed inputs so unintended
+byte-level changes are caught (the per-function pipelines are fully
+deterministic: integer kernels + order-fixed f32 elementwise math).
+If a change is *intentional* (e.g., a compression improvement), update
+the digests in the same commit and say why.
+"""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from pixo_tpu import (
+    ColorType,
+    FilterStrategy,
+    JpegOptions,
+    PngOptions,
+    Subsampling,
+    jpeg,
+    png,
+)
+from pixo_tpu.compress.deflate import deflate_zlib
+from tests.conftest import synth_checkerboard, synth_gradient
+
+GOLDEN = {
+    "jpeg_fast_q85": "6504b7d88195ecc7820dfd221d8af77fadf55527e99013179bd661ca8a281b4c",
+    "jpeg_420_q70": "4e3b4dd5dbb245eb133b9a2c006b0f3e26151e999d3cbfea5dd2e2977f36ec72",
+    "jpeg_opt_checker": "91f9e03e196663b7d1159e1e70ef8eabce49b492f21744fa9b3af28d1640240e",
+    "jpeg_prog": "b70ed3ec2ea4ff79b4917f5c6d456151e04f5c9300dfb2ad52b50dbdd6203445",
+    "jpeg_max": "570eb96417cc414d1f187eb00736e73360914f8f90370e3f3381d9aeec5b7fa4",
+    "png_fast": "754383923fe7a7b304fe2d6d2aed0ef1da8a44bbf6c80a4e16b2677c70ade80b",
+    "png_balanced": "e6eddd35fb280c0fca2c2a8bd3bc1b999dce20f21a45894e9686a72e89da12ec",
+    "png_adaptive_l9": "add0ed100e657d08a51f62cd6f7434092abd63617ab681aaab57362d71da76f4",
+    "deflate_l6": "6fcb33821e5a9bbf64f10e8baea16e98c35323c07c348b043dd84146981ab1f1",
+}
+
+
+def _produce(name: str) -> bytes:
+    g = synth_gradient(48, 40, 3)
+    g4 = synth_gradient(48, 40, 4)
+    c = synth_checkerboard(48, 40, 3)
+    if name == "jpeg_fast_q85":
+        return jpeg.encode(g, JpegOptions.fast(40, 48, 85))
+    if name == "jpeg_420_q70":
+        return jpeg.encode(
+            g, JpegOptions(width=40, height=48, quality=70, subsampling=Subsampling.S420)
+        )
+    if name == "jpeg_opt_checker":
+        return jpeg.encode(
+            c, JpegOptions(width=40, height=48, quality=85, optimize_huffman=True)
+        )
+    if name == "jpeg_prog":
+        return jpeg.encode(
+            g, JpegOptions(width=40, height=48, quality=85, progressive=True)
+        )
+    if name == "jpeg_max":
+        return jpeg.encode(g, JpegOptions.max(40, 48, 85))
+    if name == "png_fast":
+        return png.encode(g4, PngOptions.fast(40, 48))
+    if name == "png_balanced":
+        return png.encode(g4, PngOptions.balanced(40, 48))
+    if name == "png_adaptive_l9":
+        return png.encode(
+            g4,
+            PngOptions(
+                width=40, height=48, compression_level=9,
+                filter_strategy=FilterStrategy.ADAPTIVE,
+            ),
+        )
+    if name == "deflate_l6":
+        data = bytes(bytearray((np.arange(50000) * 37 % 251).astype(np.uint8)))
+        return deflate_zlib(data, 6)
+    raise KeyError(name)
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_golden(name):
+    digest = hashlib.sha256(_produce(name)).hexdigest()
+    assert digest == GOLDEN[name], (
+        f"{name} output changed; if intentional, update GOLDEN in this file"
+    )
