@@ -99,6 +99,26 @@ struct MsbWriter {
         // accumulate MSB-first
         acc = (acc << bits) | (value & ((bits == 32) ? 0xFFFFFFFFu : ((1u << bits) - 1)));
         nbits += bits;
+        if (nbits >= 32) {
+            // flush 4 bytes at once; 0xFF detection via the classic
+            // haszero((w ^ ~0xFF...) ...) bit trick
+            uint32_t w = (uint32_t)(acc >> (nbits - 32));
+            uint32_t t = w ^ 0xFFFFFFFFu;  // FF bytes become 00
+            if (((t - 0x01010101u) & ~t & 0x80808080u) == 0) {
+                if (pos + 4 > cap) { overflow = true; return; }
+                out[pos] = (uint8_t)(w >> 24);
+                out[pos + 1] = (uint8_t)(w >> 16);
+                out[pos + 2] = (uint8_t)(w >> 8);
+                out[pos + 3] = (uint8_t)w;
+                pos += 4;
+            } else {
+                put_byte((uint8_t)(w >> 24));
+                put_byte((uint8_t)(w >> 16));
+                put_byte((uint8_t)(w >> 8));
+                put_byte((uint8_t)w);
+            }
+            nbits -= 32;
+        }
         while (nbits >= 8) {
             put_byte((uint8_t)(acc >> (nbits - 8)));
             nbits -= 8;
