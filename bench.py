@@ -153,12 +153,26 @@ def _run_supervised() -> None:
     """
     import subprocess
 
+    current = {"proc": None}
+
+    def _reap(signum, frame):
+        if current["proc"] is not None:
+            try:
+                current["proc"].kill()
+            except OSError:
+                pass
+        sys.exit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _reap)
+    signal.signal(signal.SIGINT, _reap)
+
     for attempt in (1, 2):
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--inner"],
             stdout=subprocess.PIPE,
             stderr=sys.stderr,
         )
+        current["proc"] = proc
         try:
             out, _ = proc.communicate(timeout=WATCHDOG_S)
             text = out.decode()
