@@ -34,10 +34,10 @@ class stage_timer:
     """Wall-clock stage timer reporting MP/s (CLI --verbose analog)."""
 
     def __init__(self, name: str, megapixels: Optional[float] = None,
-                 stream=sys.stderr):
+                 stream=None):
         self.name = name
         self.megapixels = megapixels
-        self.stream = stream
+        self.stream = stream  # resolved at exit so capture wrappers work
         self.elapsed = 0.0
 
     def __enter__(self) -> "stage_timer":
@@ -51,5 +51,6 @@ class stage_timer:
             if self.megapixels
             else ""
         )
-        print(f"{self.name}: {self.elapsed * 1000:.2f} ms{rate}", file=self.stream)
+        print(f"{self.name}: {self.elapsed * 1000:.2f} ms{rate}",
+              file=self.stream or sys.stderr)
         return False

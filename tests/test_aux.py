@@ -1,0 +1,136 @@
+"""Auxiliary-surface tests: bindings, profiling utils, CLI stdin, corpus
+cache mechanics, synthetic generators."""
+
+import io
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tests.conftest import synth_gradient
+
+
+class TestBindings:
+    def test_bytes_per_pixel(self):
+        from pixo_tpu.bindings import bytes_per_pixel
+
+        assert [bytes_per_pixel(i) for i in range(4)] == [1, 2, 3, 4]
+
+    def test_encode_png_flat(self):
+        from pixo_tpu.bindings import encode_png
+
+        img = synth_gradient(20, 30, 4)
+        out = encode_png(img.tobytes(), 30, 20, color_type=3, preset=0)
+        dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGBA"))
+        np.testing.assert_array_equal(dec, img)
+
+    def test_encode_jpeg_flat(self):
+        from pixo_tpu.bindings import encode_jpeg
+
+        img = synth_gradient(20, 30, 3)
+        out = encode_jpeg(img.tobytes(), 30, 20, color_type=2, quality=90,
+                          preset=0, subsample_420=True)
+        pil = Image.open(io.BytesIO(out))
+        pil.load()
+        assert pil.size == (30, 20)
+
+    def test_resize_image_flat(self):
+        from pixo_tpu.bindings import resize_image
+
+        img = synth_gradient(16, 16, 4)
+        out = resize_image(img.tobytes(), 16, 16, 8, 8, color_type=3)
+        assert len(out) == 8 * 8 * 4
+
+    def test_encode_png_lossy(self):
+        from pixo_tpu.bindings import encode_png
+
+        img = synth_gradient(64, 64, 4)
+        out = encode_png(img, 64, 64, color_type=3, preset=1, lossless=False)
+        pil = Image.open(io.BytesIO(out))
+        pil.load()
+        assert pil.size == (64, 64)
+
+
+class TestProfilingUtils:
+    def test_stage_timer(self, capsys):
+        import time
+
+        from pixo_tpu.utils import stage_timer
+
+        with stage_timer("work", megapixels=1.0) as t:
+            time.sleep(0.01)
+        assert t.elapsed >= 0.01
+        err = capsys.readouterr().err
+        assert "work:" in err and "MP/s" in err
+
+    def test_profile_trace(self, tmp_path):
+        import jax.numpy as jnp
+
+        from pixo_tpu.utils import profile_trace
+
+        with profile_trace(str(tmp_path / "trace")):
+            (jnp.ones((8, 8)) * 2).block_until_ready()
+        assert any((tmp_path / "trace").rglob("*")), "trace files written"
+
+
+class TestSyntheticGenerators:
+    def test_all_generators_shapes(self):
+        from pixo_tpu.utils.synthetic import (
+            synth_checkerboard,
+            synth_gradient,
+            synth_noise,
+            synth_solid,
+            synth_text_like,
+        )
+
+        for fn in (synth_solid, synth_gradient, synth_checkerboard,
+                   synth_noise, synth_text_like):
+            out = fn(17, 23, 3)
+            assert out.shape == (17, 23, 3)
+            assert out.dtype == np.uint8
+
+    def test_determinism(self):
+        from pixo_tpu.utils.synthetic import synth_noise, synth_text_like
+
+        np.testing.assert_array_equal(synth_noise(10, 10), synth_noise(10, 10))
+        np.testing.assert_array_equal(
+            synth_text_like(20, 20), synth_text_like(20, 20)
+        )
+
+
+class TestCliStdin:
+    def test_stdin_to_stdout(self, monkeypatch, capsysbinary):
+        from pixo_tpu.cli import main
+
+        img = synth_gradient(16, 16, 3)
+        ppm = b"P6\n16 16\n255\n" + img.tobytes()
+        monkeypatch.setattr(sys, "stdin", type(
+            "S", (), {"buffer": io.BytesIO(ppm)})())
+        rc = main(["-", "--format", "png", "--quiet"])
+        assert rc == 0
+        out = capsysbinary.readouterr().out
+        dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+        np.testing.assert_array_equal(dec, img)
+
+
+class TestCorpusCache:
+    def test_sha_mismatch_redownloads(self, tmp_path, monkeypatch):
+        import tests.support.corpus as corpus
+
+        monkeypatch.setattr(corpus, "CACHE_DIR", tmp_path)
+        spec = corpus.CorpusFile("x.bin", "http://127.0.0.1:1/none",
+                                 "deadbeef" * 8)
+        # cached file with wrong digest + unreachable URL -> None (skip)
+        (tmp_path / "x.bin").write_bytes(b"wrong")
+        assert corpus.fetch_corpus_file(spec, timeout=0.2) is None
+        assert not (tmp_path / "x.bin").exists()  # bad cache purged
+
+    def test_placeholder_digest_accepts_cache(self, tmp_path, monkeypatch):
+        import tests.support.corpus as corpus
+
+        monkeypatch.setattr(corpus, "CACHE_DIR", tmp_path)
+        spec = corpus.CorpusFile("y.bin", "http://127.0.0.1:1/none",
+                                 "ab" + "0" * 62)
+        (tmp_path / "y.bin").write_bytes(b"data")
+        assert corpus.fetch_corpus_file(spec, timeout=0.2) == tmp_path / "y.bin"
