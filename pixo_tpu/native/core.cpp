@@ -568,6 +568,22 @@ static void trellis_block(const float* dct_zz, const float* q_zz, float lambda,
                           int16_t* out_zz) {
     out_zz[0] = (int16_t)round_half_away(dct_zz[0] / q_zz[0]);
 
+    // Exact fast path: when every AC satisfies 2|dct| < q, the only
+    // rate-or-distortion-undominated choice at every position is 0 (a +-1
+    // candidate adds >= 2 bits AND a larger squared error), so the DP
+    // provably returns the all-zero AC block. Dominant on smooth content.
+    {
+        bool all_tiny = true;
+        for (int i = 1; i < 64; i++) {
+            float a = dct_zz[i] < 0 ? -dct_zz[i] : dct_zz[i];
+            if (2.0f * a >= q_zz[i]) { all_tiny = false; break; }
+        }
+        if (all_tiny) {
+            memset(out_zz + 1, 0, 63 * sizeof(int16_t));
+            return;
+        }
+    }
+
     const int MAX_STATES = 8;
     State cur[64];
     int ncur = 1;
