@@ -59,7 +59,7 @@ class _Component:
 class _HuffTable:
     """Canonical decode table: per-length (min_code, max_code, value offset)."""
 
-    __slots__ = ("min_code", "max_code", "val_idx", "vals", "lut", "lut_bits")
+    __slots__ = ("min_code", "max_code", "val_idx", "vals", "lut")
 
     LUT_BITS = 8
 

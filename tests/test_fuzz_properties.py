@@ -26,12 +26,6 @@ fuzz_settings = settings(
 )
 
 
-def _pixels(draw, w, h, channels, data):
-    need = w * h * channels
-    buf = (data * (need // max(len(data), 1) + 1))[:need]
-    return np.frombuffer(bytes(buf), np.uint8).reshape(h, w, channels)
-
-
 class TestPngEncodeFuzz:
     @fuzz_settings
     @given(w=dims, h=dims, seed=st.integers(0, 2**32 - 1), lvl=level,
