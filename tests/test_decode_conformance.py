@@ -303,3 +303,47 @@ class TestFancyUpsampling:
         np.testing.assert_array_equal(
             decode_jpeg(d).pixels, decode_jpeg(d, fancy_upsampling=True).pixels
         )
+
+
+class TestTriangleUpsampleKernel:
+    def test_h2v2_matches_scalar(self, rng):
+        """Device triangle upsample vs a scalar 9-3-3-1 reference."""
+        import jax.numpy as jnp
+
+        from pixo_tpu.ops.jpeg_decode import upsample_triangle
+
+        p = rng.integers(0, 256, (6, 7)).astype(np.int32)
+        out = np.asarray(upsample_triangle(jnp.asarray(p), 2, 2))
+        h, w = p.shape
+        pad = np.pad(p, 1, mode="edge")
+        ref = np.zeros((2 * h, 2 * w), np.int32)
+        for y in range(h):
+            for x in range(w):
+                c = pad[y + 1, x + 1]
+                for dy, oy in ((-1, 0), (1, 1)):
+                    for dx, ox in ((-1, 0), (1, 1)):
+                        near_v = pad[y + 1 + dy, x + 1]
+                        near_h = pad[y + 1, x + 1 + dx]
+                        diag = pad[y + 1 + dy, x + 1 + dx]
+                        bias = 8 if ox == 0 else 7
+                        ref[2 * y + oy, 2 * x + ox] = (
+                            9 * c + 3 * near_v + 3 * near_h + diag + bias
+                        ) >> 4
+        np.testing.assert_array_equal(out, ref)
+
+    def test_h2v1_matches_scalar(self, rng):
+        import jax.numpy as jnp
+
+        from pixo_tpu.ops.jpeg_decode import upsample_triangle
+
+        p = rng.integers(0, 256, (5, 9)).astype(np.int32)
+        out = np.asarray(upsample_triangle(jnp.asarray(p), 2, 1))
+        h, w = p.shape
+        pad = np.pad(p, ((0, 0), (1, 1)), mode="edge")
+        ref = np.zeros((h, 2 * w), np.int32)
+        for y in range(h):
+            for x in range(w):
+                c = pad[y, x + 1]
+                ref[y, 2 * x] = (3 * c + pad[y, x] + 2) >> 2
+                ref[y, 2 * x + 1] = (3 * c + pad[y, x + 2] + 1) >> 2
+        np.testing.assert_array_equal(out, ref)
