@@ -568,10 +568,12 @@ static void trellis_block(const float* dct_zz, const float* q_zz, float lambda,
                           int16_t* out_zz) {
     out_zz[0] = (int16_t)round_half_away(dct_zz[0] / q_zz[0]);
 
-    // Exact fast path: when every AC satisfies 2|dct| < q, the only
-    // rate-or-distortion-undominated choice at every position is 0 (a +-1
-    // candidate adds >= 2 bits AND a larger squared error), so the DP
-    // provably returns the all-zero AC block. Dominant on smooth content.
+    // Exact fast path: when every AC satisfies 2|dct| < q the DP provably
+    // returns all-zero AC. A +-1 insertion always adds rate >= est(run,1)
+    // = 4.3 + 0.5*run and distortion (q-|c|)^2 - c^2 > 0; under this cost
+    // table, avoiding a 10-bit ZRL requires inserting at run 15 (cost
+    // 11.8 > 10 -- splitting earlier never reduces floor(zeros/16)), so
+    // zero dominates at every position. Dominant on smooth content.
     {
         bool all_tiny = true;
         for (int i = 1; i < 64; i++) {
