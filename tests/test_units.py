@@ -270,3 +270,37 @@ class TestOptionsValidationEdges:
 
         with pytest.raises(errors.ImageTooLarge):
             jpeg.encode(b"", JpegOptions(width=65536, height=1))
+
+
+class TestTrellisFastPathBoundary:
+    """Locks the all-tiny-AC dominance proof: at the q/2 boundary the DP
+    must still return all-zero AC (a +-1 that avoids a 10-bit ZRL costs
+    est(15,1) = 11.8 under the reference cost table)."""
+
+    def test_boundary_dense(self):
+        q = np.full(64, 16.0, np.float32)
+        dct = np.full(64, 7.9, np.float32)
+        dct[0] = 100.0
+        py = trellis.trellis_quantize_block(dct, q)
+        nat = trellis.trellis_quantize(dct[None], (0,), q, q, prefer_native=True)[0]
+        assert (py[1:] == 0).all()
+        np.testing.assert_array_equal(py, nat)
+
+    def test_boundary_at_zrl_positions(self):
+        q = np.full(64, 8.0, np.float32)
+        dct = np.zeros(64, np.float32)
+        dct[0] = 40.0
+        for pos in (16, 32, 48):  # exactly where ZRLs fire
+            dct[pos] = 3.9
+        py = trellis.trellis_quantize_block(dct, q)
+        nat = trellis.trellis_quantize(dct[None], (0,), q, q, prefer_native=True)[0]
+        np.testing.assert_array_equal(py, nat)
+
+    def test_just_over_boundary_not_shortcut(self):
+        q = np.full(64, 16.0, np.float32)
+        dct = np.zeros(64, np.float32)
+        dct[0] = 100.0
+        dct[20] = 8.1  # 2|dct| > q: full DP path
+        py = trellis.trellis_quantize_block(dct, q)
+        nat = trellis.trellis_quantize(dct[None], (0,), q, q, prefer_native=True)[0]
+        np.testing.assert_array_equal(py, nat)
