@@ -152,3 +152,71 @@ class TestOptions:
 
         assert lossy.quantization.mode == QuantizationMode.AUTO
         assert lossy.quantization.dithering
+
+
+class TestDeflateHuffman:
+    """DEFLATE-side Huffman (compress/huffman.py): Kraft-exactness,
+    optimality properties, fixed tables (src/compress/huffman.rs analog)."""
+
+    def test_kraft_exact_on_skewed(self, rng):
+        from pixo_tpu.compress.huffman import build_code_lengths
+
+        for max_len in (7, 15):
+            for _ in range(200):
+                n = int(rng.integers(2, 30))
+                freqs = (1 << rng.integers(0, 20, n)).astype(np.int64)
+                freqs[rng.random(n) < 0.3] = 0
+                if (freqs > 0).sum() == 0:
+                    continue
+                lengths = build_code_lengths(freqs, max_len)
+                used = lengths[lengths > 0]
+                if len(used) == 0:
+                    continue
+                kraft = sum(2.0 ** -int(l) for l in used)
+                assert abs(kraft - 1.0) < 1e-12
+                assert used.max() <= max_len
+
+    def test_more_frequent_not_longer(self):
+        from pixo_tpu.compress.huffman import build_code_lengths
+
+        freqs = [100, 50, 20, 10, 5, 1]
+        lengths = build_code_lengths(freqs)
+        for a, b in zip(lengths, lengths[1:]):
+            assert a <= b
+
+    def test_canonical_codes_prefix_free(self, rng):
+        from pixo_tpu.compress.huffman import (
+            build_code_lengths,
+            generate_canonical_codes,
+        )
+
+        freqs = rng.integers(0, 100, 20)
+        freqs[0] = 1
+        freqs[1] = 1
+        lengths = build_code_lengths(freqs, 15)
+        codes = generate_canonical_codes(lengths)
+        seen = set()
+        for c, l in zip(codes, lengths):
+            if l == 0:
+                continue
+            bits = format(int(c), f"0{l}b")
+            for p in seen:
+                assert not bits.startswith(p) and not p.startswith(bits)
+            seen.add(bits)
+
+    def test_fixed_tables(self):
+        from pixo_tpu.compress.huffman import (
+            fixed_distance_lengths,
+            fixed_literal_lengths,
+        )
+
+        ll = fixed_literal_lengths()
+        assert ll[0] == 8 and ll[144] == 9 and ll[256] == 7 and ll[280] == 8
+        assert (fixed_distance_lengths() == 5).all()
+
+    def test_reverse_bits(self):
+        from pixo_tpu.compress.huffman import reverse_bits
+
+        assert reverse_bits(0b110, 3) == 0b011
+        assert reverse_bits(0b1, 1) == 0b1
+        assert reverse_bits(0b10000000, 8) == 0b00000001
