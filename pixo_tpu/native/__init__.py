@@ -36,7 +36,7 @@ def _try_build() -> Optional[str]:
         return _LIB_PATH
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        "-march=native", "-fno-exceptions", "-fvisibility=hidden",
+        "-march=native", "-fno-exceptions", "-fvisibility=hidden", "-pthread",
         _SRC, "-o", _LIB_PATH,
     ]
     try:
@@ -83,6 +83,18 @@ def _configure(lib) -> None:
         u16p, u8p, u16p, u8p,            # ac lum codes/lens, ac chrom codes/lens
         ctypes.c_int32,                  # restart interval (0 = off)
         u8p, ctypes.c_int64,             # out buffer, capacity
+    ]
+
+    lib.jpeg_pack_scan_batch.restype = ctypes.c_int32
+    lib.jpeg_pack_scan_batch.argtypes = [
+        i16p, ctypes.c_int32, ctypes.c_int64,
+        u8p, ctypes.c_int32,
+        u16p, u8p, u16p, u8p,
+        u16p, u8p, u16p, u8p,
+        ctypes.c_int32,
+        u8p, ctypes.c_int64,
+        i64p,
+        ctypes.c_int32,
     ]
 
     lib.jpeg_count_symbols.restype = ctypes.c_int32
@@ -215,6 +227,54 @@ def native_pack_scan(
     if n < 0:
         raise RuntimeError("native jpeg_pack_scan failed")
     return out[:n].tobytes()
+
+
+def native_pack_scan_batch(
+    zz_batch: np.ndarray,
+    pattern: Sequence[int],
+    tables,
+    restart_interval: Optional[int],
+    nthreads: int = 0,
+) -> Optional[list]:
+    """Pack [B, nblocks, 64] coefficient streams concurrently in C++.
+
+    Returns a list of per-image scan byte strings, or None if unavailable.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "jpeg_pack_scan_batch"):
+        return None
+    zz_batch = np.ascontiguousarray(zz_batch, dtype=np.int16)
+    b, nblocks = zz_batch.shape[0], zz_batch.shape[1]
+    pat = np.asarray(pattern, dtype=np.uint8)
+    cap = nblocks * 64 * 4 + 4096
+    out = np.empty(b * cap, dtype=np.uint8)
+    lens = np.zeros(b, dtype=np.int64)
+    if nthreads <= 0:
+        nthreads = min(os.cpu_count() or 1, 16)
+
+    def u16(a):
+        return np.ascontiguousarray(a, dtype=np.uint16).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint16))
+
+    def u8a(a):
+        return np.ascontiguousarray(a, dtype=np.uint8).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8))
+
+    rc = lib.jpeg_pack_scan_batch(
+        zz_batch.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), b, nblocks,
+        _u8(pat), len(pattern),
+        u16(tables.dc_lum_codes), u8a(tables.dc_lum_lengths),
+        u16(tables.dc_chrom_codes), u8a(tables.dc_chrom_lengths),
+        u16(tables.ac_lum_codes), u8a(tables.ac_lum_lengths),
+        u16(tables.ac_chrom_codes), u8a(tables.ac_chrom_lengths),
+        restart_interval or 0,
+        _u8(out), cap,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nthreads,
+    )
+    if rc != 0:
+        return None
+    return [out[i * cap : i * cap + int(lens[i])].tobytes() for i in range(b)]
 
 
 def native_count_symbols(

@@ -262,6 +262,47 @@ EXPORT int64_t jpeg_pack_scan(
     return w.overflow ? -1 : w.pos;
 }
 
+// Threaded batch variant: packs B independent images concurrently (the
+// native analog of the reference's rayon pool; each stream is written to
+// its own slice of `out` and lengths are returned per image).
+#include <thread>
+
+EXPORT int32_t jpeg_pack_scan_batch(
+    const int16_t* zz, int32_t batch, int64_t blocks_per_image,
+    const uint8_t* pattern, int32_t bpm,
+    const uint16_t* dc_lum_c, const uint8_t* dc_lum_l,
+    const uint16_t* dc_chrom_c, const uint8_t* dc_chrom_l,
+    const uint16_t* ac_lum_c, const uint8_t* ac_lum_l,
+    const uint16_t* ac_chrom_c, const uint8_t* ac_chrom_l,
+    int32_t restart_interval,
+    uint8_t* out, int64_t per_image_cap,
+    int64_t* out_lens,
+    int32_t nthreads) {
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > batch) nthreads = batch;
+    std::vector<std::thread> threads;
+    auto work = [&](int t) {
+        for (int i = t; i < batch; i += nthreads) {
+            out_lens[i] = jpeg_pack_scan(
+                zz + (int64_t)i * blocks_per_image * 64, blocks_per_image,
+                pattern, bpm,
+                dc_lum_c, dc_lum_l, dc_chrom_c, dc_chrom_l,
+                ac_lum_c, ac_lum_l, ac_chrom_c, ac_chrom_l,
+                restart_interval,
+                out + (int64_t)i * per_image_cap, per_image_cap);
+        }
+    };
+    if (nthreads == 1) {
+        work(0);
+    } else {
+        for (int t = 0; t < nthreads; t++) threads.emplace_back(work, t);
+        for (auto& th : threads) th.join();
+    }
+    for (int i = 0; i < batch; i++)
+        if (out_lens[i] < 0) return -1;
+    return 0;
+}
+
 EXPORT int32_t jpeg_count_symbols(
     const int16_t* zz, int64_t nblocks,
     const uint8_t* pattern, int32_t bpm,

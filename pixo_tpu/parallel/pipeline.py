@@ -73,6 +73,39 @@ def encode_jpeg_batch_sharded(
     _, _, pattern = scan_layout(options.width, options.height, color, sub)
     zz_all = np.asarray(jpeg_coeffs_sharded(imgs, options, mesh))
 
+    # Fast path: shared std tables + baseline -> one threaded native call
+    # packs the whole batch (GIL-free std::thread pool in C++).
+    if not options.optimize_huffman and not options.progressive:
+        from ..jpeg.tables import HuffmanTables
+        from ..native import native_pack_scan_batch
+
+        scans = native_pack_scan_batch(
+            zz_all, pattern, HuffmanTables(), options.restart_interval,
+            nthreads=host_workers,
+        )
+        if scans is not None:
+            huff = HuffmanTables()
+            from ..jpeg import markers
+
+            results = []
+            for i in range(imgs.shape[0]):
+                out = bytearray()
+                markers.write_soi(out)
+                markers.write_app0(out)
+                markers.write_dqt(out, quant)
+                markers.write_sof(
+                    out, markers.SOF0, options.width, options.height,
+                    options.color_type, options.subsampling,
+                )
+                markers.write_dht(out, huff)
+                if options.restart_interval is not None:
+                    markers.write_dri(out, options.restart_interval)
+                markers.write_sos(out, options.color_type)
+                out += scans[i]
+                markers.write_eoi(out)
+                results.append(bytes(out))
+            return results
+
     def pack_one(i: int) -> bytes:
         return jenc._emit_jpeg(zz_all[i], imgs[i], options, quant, pattern)
 
