@@ -166,7 +166,7 @@ def _run_supervised() -> None:
     signal.signal(signal.SIGTERM, _reap)
     signal.signal(signal.SIGINT, _reap)
 
-    for attempt in (1, 2):
+    for attempt in (1, 2, 3):
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--inner"],
             stdout=subprocess.PIPE,
@@ -186,6 +186,7 @@ def _run_supervised() -> None:
             proc.wait()
             print(f"bench attempt {attempt}: killed after {WATCHDOG_S}s "
                   f"(stalled tunnel)", file=sys.stderr)
+            time.sleep(20)  # let the tunnel re-establish before retrying
     print(json.dumps({
         "metric": "jpeg_q85_420_encode_throughput",
         "value": 0.0,
