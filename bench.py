@@ -149,7 +149,7 @@ def _run_supervised() -> None:
     The dev-harness TPU tunnel can stall inside uninterruptible C calls
     (SIGALRM never fires back in Python), and an abandoned process keeps
     the tunnel wedged for every later client — so the parent enforces the
-    timeout with SIGKILL and retries once.
+    timeout with SIGKILL and retries (the tunnel recovers between runs).
     """
     import subprocess
 
