@@ -28,6 +28,17 @@ MAX_DECODE_DIMENSION = 65535
 # Decompression-bomb guard (reference: src/decode/png.rs:15)
 MAX_DECODED_SIZE = 1 << 31
 
+# Adam7 pass geometry: (x0, y0, dx, dy)
+ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 _VALID_DEPTHS = {
     0: (1, 2, 4, 8, 16),
@@ -102,9 +113,7 @@ def decode_png(data: bytes) -> PngImage:
         raise errors.InvalidDecode("dimensions too large")
     if comp != 0 or filt != 0:
         raise errors.InvalidDecode("unknown compression/filter method")
-    if interlace == 1:
-        raise errors.UnsupportedDecode("Adam7 interlacing")
-    if interlace != 0:
+    if interlace not in (0, 1):
         raise errors.InvalidDecode("invalid interlace method")
     if color_type not in _CHANNELS:
         raise errors.InvalidDecode(f"invalid color type {color_type}")
@@ -118,7 +127,14 @@ def decode_png(data: bytes) -> PngImage:
         raise errors.InvalidDecode("missing IDAT")
 
     channels = _CHANNELS[color_type]
-    expected = _expected_size(width, height, bit_depth, channels)
+    if interlace == 1:
+        expected = sum(
+            _expected_size(pw, ph, bit_depth, channels)
+            for pw, ph in _adam7_dims(width, height)
+            if pw and ph
+        )
+    else:
+        expected = _expected_size(width, height, bit_depth, channels)
     if expected > MAX_DECODED_SIZE:
         raise errors.InvalidDecode("decoded size exceeds safety cap")
     try:
@@ -130,13 +146,19 @@ def decode_png(data: bytes) -> PngImage:
             f"decompressed size {len(raw)} != expected {expected}"
         )
 
-    bits_per_row = width * channels * bit_depth
-    row_bytes = (bits_per_row + 7) // 8
     bpp_bytes = max((channels * bit_depth) // 8, 1)
-    recon = unfilter(raw, height, row_bytes, bpp_bytes)
-
-    # Expand bit depth to 8-bit samples
-    samples = _expand_samples(recon, width, height, bit_depth, channels, color_type)
+    if interlace == 1:
+        samples = _decode_adam7(
+            raw, width, height, bit_depth, channels, color_type, bpp_bytes
+        )
+    else:
+        bits_per_row = width * channels * bit_depth
+        row_bytes = (bits_per_row + 7) // 8
+        recon = unfilter(raw, height, row_bytes, bpp_bytes)
+        # Expand bit depth to 8-bit samples
+        samples = _expand_samples(
+            recon, width, height, bit_depth, channels, color_type
+        )
 
     if color_type == 3:
         assert plte is not None
@@ -157,6 +179,40 @@ def decode_png(data: bytes) -> PngImage:
     if channels == 1:
         pixels = pixels[..., 0]
     return PngImage(width, height, ct, pixels)
+
+
+def _adam7_dims(width: int, height: int):
+    """Per-pass (pass_width, pass_height) for Adam7."""
+    return [
+        ((width - x0 + dx - 1) // dx if width > x0 else 0,
+         (height - y0 + dy - 1) // dy if height > y0 else 0)
+        for (x0, y0, dx, dy) in ADAM7_PASSES
+    ]
+
+
+def _decode_adam7(
+    raw: bytes, width: int, height: int, bit_depth: int,
+    channels: int, color_type: int, bpp_bytes: int,
+) -> np.ndarray:
+    """Adam7 de-interlacing: 7 independently filtered sub-images scattered
+    onto the output grid. (Beyond-parity: the reference rejects interlaced
+    files; we decode them.)"""
+    out = np.zeros((height, width * channels), np.uint8)
+    pos = 0
+    for (x0, y0, dx, dy), (pw, ph) in zip(ADAM7_PASSES, _adam7_dims(width, height)):
+        if pw == 0 or ph == 0:
+            continue
+        row_bytes = (pw * channels * bit_depth + 7) // 8
+        nbytes = (row_bytes + 1) * ph
+        sub = unfilter(raw[pos : pos + nbytes], ph, row_bytes, bpp_bytes)
+        pos += nbytes
+        sub_samples = _expand_samples(sub, pw, ph, bit_depth, channels, color_type)
+        sub_px = sub_samples.reshape(ph, pw, channels)
+        ys = y0 + dy * np.arange(ph)
+        xs = x0 + dx * np.arange(pw)
+        grid = out.reshape(height, width, channels)
+        grid[np.ix_(ys, xs)] = sub_px
+    return out
 
 
 def _expand_samples(

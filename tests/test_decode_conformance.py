@@ -108,21 +108,19 @@ class TestPngDecode:
         with pytest.raises(errors.InvalidDecode):
             decode_png(data[: len(data) // 2])
 
-    def test_rejects_interlaced(self):
-        # Build an Adam7 PNG via Pillow... Pillow can't write interlaced
-        # easily pre-10; construct IHDR manually from a valid file.
+    def test_rejects_invalid_interlace_method(self):
         img = synth_gradient(16, 16, 3)
         buf = io.BytesIO()
         Image.fromarray(img, "RGB").save(buf, "PNG")
         raw = bytearray(buf.getvalue())
         # IHDR interlace byte is at offset 8+8+12 = 28 (last IHDR data byte)
         assert raw[12:16] == b"IHDR"
-        raw[28] = 1
+        raw[28] = 2  # invalid method
         import struct, zlib as z
 
         crc = z.crc32(bytes(raw[12:29])) & 0xFFFFFFFF
         raw[29:33] = struct.pack(">I", crc)
-        with pytest.raises(errors.UnsupportedDecode):
+        with pytest.raises(errors.InvalidDecode):
             decode_png(bytes(raw))
 
 
@@ -347,3 +345,55 @@ class TestTriangleUpsampleKernel:
                 ref[y, 2 * x] = (3 * c + pad[y, x] + 2) >> 2
                 ref[y, 2 * x + 1] = (3 * c + pad[y, x + 2] + 1) >> 2
         np.testing.assert_array_equal(out, ref)
+
+
+def _build_adam7_png(img: np.ndarray) -> bytes:
+    """Hand-construct a valid Adam7-interlaced RGB(A) PNG (filter None)."""
+    import struct
+    import zlib as z
+
+    h, w, c = img.shape
+    ct = {3: 2, 4: 6}[c]
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for (x0, y0, dx, dy) in passes:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw.append(0)  # filter None
+            raw += row.tobytes()
+    out = bytearray(bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A]))
+
+    def chunk(tag, data):
+        out.extend(struct.pack(">I", len(data)))
+        out.extend(tag)
+        out.extend(data)
+        out.extend(struct.pack(">I", z.crc32(tag + data) & 0xFFFFFFFF))
+
+    chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 1))
+    chunk(b"IDAT", z.compress(bytes(raw), 6))
+    chunk(b"IEND", b"")
+    return bytes(out)
+
+
+class TestAdam7Decode:
+    """Beyond-parity: the reference rejects interlaced PNGs; we decode them."""
+
+    @pytest.mark.parametrize("size", [(16, 16), (17, 13), (7, 5), (1, 1), (9, 2)])
+    def test_interlaced_matches_pillow(self, size):
+        w, h = size
+        img = synth_gradient(h, w, 3)
+        data = _build_adam7_png(img)
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        np.testing.assert_array_equal(pil, img)  # our construction is valid
+        ours = decode_png(data)
+        np.testing.assert_array_equal(ours.pixels, img)
+
+    def test_interlaced_rgba(self):
+        img = synth_gradient(21, 19, 4)
+        img[3:9, 2:7, 3] = 77
+        data = _build_adam7_png(img)
+        ours = decode_png(data)
+        np.testing.assert_array_equal(ours.pixels, img)
