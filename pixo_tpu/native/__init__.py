@@ -145,6 +145,7 @@ def _configure(lib) -> None:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.c_float,
         i16p,
+        ctypes.c_int32,
     ]
 
     lib.dither_fs.restype = ctypes.c_int32
@@ -469,8 +470,15 @@ def native_png_unfilter(rows, bpp: int):
     return out
 
 
-def native_trellis_quantize(dct_zz, pattern, lum_q_zz, chrom_q_zz, lambda_=1.0):
-    """Batched trellis quantization over zigzag DCT blocks; None if no lib."""
+def native_trellis_quantize(
+    dct_zz, pattern, lum_q_zz, chrom_q_zz, lambda_=1.0, nthreads=None
+):
+    """Batched trellis quantization over zigzag DCT blocks; None if no lib.
+
+    Blocks are independent (each writes its own 64-coeff slice), so the
+    native side splits them over ``nthreads`` std::threads (GIL released
+    during the call) with output identical to the serial path.
+    """
     lib = _load()
     if lib is None:
         return None
@@ -479,6 +487,11 @@ def native_trellis_quantize(dct_zz, pattern, lum_q_zz, chrom_q_zz, lambda_=1.0):
     lum = np.ascontiguousarray(lum_q_zz, dtype=np.float32)
     chrom = np.ascontiguousarray(chrom_q_zz, dtype=np.float32)
     out = np.empty((dct_zz.shape[0], 64), dtype=np.int16)
+    if nthreads is None:
+        nthreads = min(8, os.cpu_count() or 1)
+        # small batches don't amortize thread spawn
+        if dct_zz.shape[0] < 2048:
+            nthreads = 1
 
     def f32(a):
         return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
@@ -487,6 +500,7 @@ def native_trellis_quantize(dct_zz, pattern, lum_q_zz, chrom_q_zz, lambda_=1.0):
         f32(dct_zz), dct_zz.shape[0], _u8(pat), len(pat),
         f32(lum), f32(chrom), ctypes.c_float(lambda_),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        int(nthreads),
     )
     if rc != 0:
         return None

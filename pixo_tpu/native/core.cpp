@@ -575,7 +575,7 @@ static inline int category16(int v) {
     return a == 0 ? 0 : (32 - __builtin_clz(a));
 }
 
-static inline float est_ac_huffman_length(int rs) {
+static inline float est_ac_len_formula(int rs) {
     switch (rs) {
         case 0x00: return 4.0f;
         case 0x01: return 2.0f;
@@ -593,6 +593,18 @@ static inline float est_ac_huffman_length(int rs) {
         }
     }
 }
+
+// rs -> estimated code length, tabulated once (values identical to the
+// formula; the hot loop reads est_len_lut[rs] + cat instead of branching)
+struct EstLenLut {
+    float v[256];
+    EstLenLut() {
+        for (int rs = 0; rs < 256; rs++) v[rs] = est_ac_len_formula(rs);
+    }
+};
+static const EstLenLut est_len_lut;
+
+static inline float est_ac_huffman_length(int rs) { return est_len_lut.v[rs]; }
 
 static inline float est_ac_rate(int16_t value, uint8_t zero_run) {
     int cat = category16(value);
@@ -616,12 +628,13 @@ static void trellis_block(const float* dct_zz, const float* q_zz, float lambda,
     // 11.8 > 10 -- splitting earlier never reduces floor(zeros/16)), so
     // zero dominates at every position. Dominant on smooth content.
     {
-        bool all_tiny = true;
+        // branch-free form so the compiler vectorizes the reduction
+        int big = 0;
         for (int i = 1; i < 64; i++) {
             float a = dct_zz[i] < 0 ? -dct_zz[i] : dct_zz[i];
-            if (2.0f * a >= q_zz[i]) { all_tiny = false; break; }
+            big |= (2.0f * a >= q_zz[i]);
         }
-        if (all_tiny) {
+        if (!big) {
             memset(out_zz + 1, 0, 63 * sizeof(int16_t));
             return;
         }
@@ -662,52 +675,57 @@ static void trellis_block(const float* dct_zz, const float* q_zz, float lambda,
         float afq = fq < 0 ? -fq : fq;
         if (afq > 1.5f) add(fq >= 0.0f ? (int16_t)(ce + 1) : (int16_t)(fl - 1));
 
-        State next[64];
-        int nnext = 0;
-        // open-addressed (value, zero_run) -> slot index; preserves the
-        // reference's first-occurrence list order while making the merge
-        // lookup O(1) instead of a linear scan
-        int16_t map_idx[64];
-        uint32_t map_key[64];
-        memset(map_idx, -1, sizeof(map_idx));
-        auto merge_key = [](int16_t v, uint8_t r) {
-            return ((uint32_t)(uint16_t)v << 5) ^ r ^ 1u;  // never 0
+        // Transition merge, written directly instead of via a hash map.
+        // The merged (value, zero_run) keys have a fixed structure: every
+        // nonzero candidate resets zero_run to 0 (one shared key per value,
+        // min-cost parent wins, earliest parent on ties), while each
+        // parent's zero-child gets a distinct run (parent runs are unique,
+        // and only a run-15 parent maps to run 0 -- value 0, so it can't
+        // collide with the nonzero keys). First-touch list order under the
+        // old parent-outer/candidate-inner loop is therefore exactly:
+        //   [p0's zero-child, v1, ..., vk, p1's zero-child, ...].
+        // Reproducing that order keeps the stable partial selection (and
+        // hence equal-cost tie-breaking) bit-identical to the map version;
+        // float evaluation order (pcost + rate + lambda*dist) is preserved.
+        float dist_zero = coef * coef;
+        int cats[6];
+        float lam_dists[6];
+        for (int ci = 1; ci < ncands; ci++) {
+            float d = coef - (float)cands[ci] * q;
+            lam_dists[ci] = lambda * (d * d);
+            cats[ci] = category16(cands[ci]);
+        }
+        auto zero_child = [&](int pi) -> State {
+            const State& p = cur[pi];
+            float rate;
+            uint8_t new_run;
+            int nr = p.zero_run + 1;
+            if (nr >= 16) { rate = 10.0f; new_run = 0; }  // ZRL estimate
+            else { rate = 0.0f; new_run = (uint8_t)nr; }
+            return {p.cost + rate + lambda * dist_zero, new_run,
+                    (uint16_t)pi, 0};
         };
-        for (int pi = 0; pi < ncur; pi++) {
-            const State& parent = cur[pi];
-            for (int ci = 0; ci < ncands; ci++) {
-                int16_t cand = cands[ci];
-                float reconstructed = (float)cand * q;
-                float d = coef - reconstructed;
-                float distortion = d * d;
-                float rate;
-                uint8_t new_run;
-                if (cand == 0) {
-                    int nr = parent.zero_run + 1;
-                    if (nr >= 16) { rate = 10.0f; new_run = 0; }  // ZRL estimate
-                    else { rate = 0.0f; new_run = (uint8_t)nr; }
-                } else {
-                    rate = est_ac_rate(cand, parent.zero_run);
-                    new_run = 0;
-                }
-                float cost = parent.cost + rate + lambda * distortion;
-                uint32_t key = merge_key(cand, new_run);
-                uint32_t slot = (key * 2654435761u) & 63;
-                int found = -1;
-                while (map_idx[slot] >= 0) {
-                    if (map_key[slot] == key) { found = map_idx[slot]; break; }
-                    slot = (slot + 1) & 63;
-                }
-                if (found >= 0) {
-                    if (cost < next[found].cost)
-                        next[found] = {cost, new_run, (uint16_t)pi, cand};
-                } else if (nnext < 48) {
-                    map_idx[slot] = (int16_t)nnext;
-                    map_key[slot] = key;
-                    next[nnext++] = {cost, new_run, (uint16_t)pi, cand};
+        State next[16];
+        int nnext = 0;
+        next[nnext++] = zero_child(0);
+        for (int ci = 1; ci < ncands; ci++) {
+            int cat = cats[ci];
+            float ld = lam_dists[ci];
+            float best_cost = 0.0f;
+            int best_pi = -1;
+            for (int pi = 0; pi < ncur; pi++) {
+                float rate =
+                    est_ac_huffman_length(((int)cur[pi].zero_run << 4) | cat)
+                    + (float)cat;
+                float cost = cur[pi].cost + rate + ld;
+                if (best_pi < 0 || cost < best_cost) {
+                    best_cost = cost;
+                    best_pi = pi;
                 }
             }
+            next[nnext++] = {best_cost, 0, (uint16_t)best_pi, cands[ci]};
         }
+        for (int pi = 1; pi < ncur; pi++) next[nnext++] = zero_child(pi);
         // stable partial selection of the MAX_STATES cheapest states
         // (identical result to stable_sort + truncate)
         State* dst = all_states[zz];
@@ -756,12 +774,33 @@ EXPORT int32_t jpeg_trellis_quantize(
     const uint8_t* pattern, int32_t bpm,
     const float* lum_q_zz, const float* chrom_q_zz,
     float lambda,
-    int16_t* out_zz) {
-    for (int64_t blk = 0; blk < nblocks; blk++) {
-        int comp = pattern[blk % bpm];
-        const float* q = (comp == 0) ? lum_q_zz : chrom_q_zz;
-        trellis::trellis_block(dct_zz + blk * 64, q, lambda, out_zz + blk * 64);
+    int16_t* out_zz,
+    int32_t nthreads) {
+    auto work = [&](int64_t lo, int64_t hi) {
+        for (int64_t blk = lo; blk < hi; blk++) {
+            int comp = pattern[blk % bpm];
+            const float* q = (comp == 0) ? lum_q_zz : chrom_q_zz;
+            trellis::trellis_block(dct_zz + blk * 64, q, lambda,
+                                   out_zz + blk * 64);
+        }
+    };
+    if (nthreads < 1) nthreads = 1;
+    if ((int64_t)nthreads > nblocks) nthreads = (int32_t)(nblocks > 0 ? nblocks : 1);
+    if (nthreads == 1) {
+        work(0, nblocks);
+        return 0;
     }
+    // blocks are independent and each writes its own 64-coeff slice, so a
+    // contiguous-chunk split is deterministic regardless of thread count
+    std::vector<std::thread> threads;
+    int64_t chunk = (nblocks + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        int64_t lo = (int64_t)t * chunk;
+        int64_t hi = lo + chunk < nblocks ? lo + chunk : nblocks;
+        if (lo >= hi) break;
+        threads.emplace_back(work, lo, hi);
+    }
+    for (auto& th : threads) th.join();
     return 0;
 }
 

@@ -168,6 +168,40 @@ class TestTrellis:
         plain = np.round(dct / q)
         assert abs(int(out[30])) <= abs(int(plain[30]))
 
+    def test_native_thread_count_invariant(self):
+        """The native batch path splits blocks over threads; the output
+        must be identical for every thread count (blocks are independent,
+        each writes its own 64-coeff slice)."""
+        from pixo_tpu.native import native_available, native_trellis_quantize
+
+        if not native_available():
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(123)
+        blocks = np.concatenate(
+            [rng.normal(0, s, (64, 64)) for s in (0.4, 8.0, 60.0, 600.0)]
+        ).astype(np.float32)
+        q = np.linspace(2, 40, 64).astype(np.float32)
+        ref = native_trellis_quantize(blocks, [0, 1], q, q * 1.5, nthreads=1)
+        for nt in (2, 3, 8, 64):
+            out = native_trellis_quantize(blocks, [0, 1], q, q * 1.5, nthreads=nt)
+            np.testing.assert_array_equal(out, ref)
+
+    def test_native_matches_python_mirror_random(self):
+        from pixo_tpu.native import native_available, native_trellis_quantize
+
+        if not native_available():
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(9)
+        blocks = np.concatenate(
+            [rng.normal(0, s, (24, 64)) for s in (0.3, 5.0, 40.0, 300.0)]
+        ).astype(np.float32)
+        q = np.linspace(1, 50, 64).astype(np.float32)
+        out = native_trellis_quantize(blocks, [0], q, q, 1.0)
+        for i in range(blocks.shape[0]):
+            np.testing.assert_array_equal(
+                out[i], trellis.trellis_quantize_block(blocks[i], q, 1.0)
+            )
+
 
 class TestPaletteMath:
     def test_redmean_zero_for_identical(self):
