@@ -96,7 +96,10 @@ struct MsbWriter {
     }
 
     inline void write(uint32_t value, int bits) {
-        // accumulate MSB-first
+        // accumulate MSB-first; up to 31 bits stay buffered between calls
+        // (bits above `nbits` in acc are stale garbage, never extracted),
+        // so the flush below runs only once per ~3 symbols instead of on
+        // every call, and always moves a whole 4-byte unit
         acc = (acc << bits) | (value & ((bits == 32) ? 0xFFFFFFFFu : ((1u << bits) - 1)));
         nbits += bits;
         if (nbits >= 32) {
@@ -119,25 +122,24 @@ struct MsbWriter {
             }
             nbits -= 32;
         }
+    }
+
+    inline void flush_pad_ones() {
         while (nbits >= 8) {
             put_byte((uint8_t)(acc >> (nbits - 8)));
             nbits -= 8;
         }
-        acc &= (nbits == 0) ? 0 : ((1ull << nbits) - 1);
-    }
-
-    inline void flush_pad_ones() {
         if (nbits > 0) {
             int pad = 8 - nbits;
-            uint8_t b = (uint8_t)((acc << pad) | ((1u << pad) - 1));
+            uint8_t b = (uint8_t)(((acc << pad) | ((1u << pad) - 1)) & 0xFF);
             if (pos >= cap) { overflow = true; return; }
             out[pos++] = b;
             if (b == 0xFF) {
                 if (pos >= cap) { overflow = true; return; }
                 out[pos++] = 0x00;
             }
-            acc = 0; nbits = 0;
         }
+        acc = 0; nbits = 0;
     }
 
     inline void raw_bytes(const uint8_t* b, int n) {
