@@ -1295,11 +1295,18 @@ static const int MIN_MATCH = 3;
 static const int MAX_MATCH = 258;
 static const int HASH_BITS = 16;
 static const int HASH_SIZE = 1 << HASH_BITS;
+static const int HASH3_BITS = 15;  // secondary 3-byte table (parity with
+static const int HASH3_SIZE = 1 << HASH3_BITS;  // pixo's 2^15 h3 table)
 
 static inline uint32_t hash4(const uint8_t* p) {
     uint32_t v;
     memcpy(&v, p, 4);
     return (v * 2654435761u) >> (32 - HASH_BITS);
+}
+
+static inline uint32_t hash3(const uint8_t* p) {
+    uint32_t v = (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16);
+    return (v * 2654435761u) >> (32 - HASH3_BITS);
 }
 
 static inline int match_length(const uint8_t* a, const uint8_t* b, int max) {
@@ -1317,43 +1324,70 @@ static inline int match_length(const uint8_t* a, const uint8_t* b, int max) {
 }
 
 struct Matcher {
-    std::vector<int32_t> head;   // hash -> most recent pos
-    std::vector<int32_t> prev;   // pos -> previous pos with same hash
+    std::vector<int32_t> head;   // 4-byte hash -> most recent pos (chained)
+    std::vector<int32_t> prev;   // pos -> previous pos with same 4-byte hash
+    std::vector<int32_t> head3;  // 3-byte hash -> most recent pos (no chain);
+                                 // catches len-3 matches whose 4th byte
+                                 // differs, which the 4-byte chains never see
     const uint8_t* data;
     int64_t n;
 
-    Matcher(const uint8_t* d, int64_t len) : head(HASH_SIZE, -1), prev(len, -1), data(d), n(len) {}
+    Matcher(const uint8_t* d, int64_t len)
+        : head(HASH_SIZE, -1), prev(len, -1), head3(HASH3_SIZE, -1),
+          data(d), n(len) {}
 
     inline void insert(int64_t pos) {
+        if (pos + 3 <= n) head3[hash3(data + pos)] = (int32_t)pos;
         if (pos + 4 > n) return;
         uint32_t h = hash4(data + pos);
         prev[pos] = head[h];
         head[h] = (int32_t)pos;
     }
 
+    // most recent position sharing 3 bytes with pos, or -1
+    inline int32_t probe3(int64_t pos) const {
+        if (pos + 3 > n) return -1;
+        return head3[hash3(data + pos)];
+    }
+
     // find best match at pos; returns length (0 if none), sets dist
     inline int find(int64_t pos, int chain, int nice, int* dist_out) {
         if (pos + MIN_MATCH > n) return 0;
         int max_len = (int)std::min<int64_t>(MAX_MATCH, n - pos);
-        uint32_t h = hash4(data + pos);
-        int32_t cand = head[h];
         int best_len = 0, best_dist = 0;
         const uint8_t* cur = data + pos;
-        while (cand >= 0 && chain-- > 0) {
-            int64_t dist = pos - cand;
-            if (dist > WINDOW) break;
-            if (dist > 0) {
-                const uint8_t* cp = data + cand;
-                if (best_len == 0 || cp[best_len] == cur[best_len]) {
-                    int len = match_length(cur, cp, max_len);
-                    if (len > best_len) {
+        if (pos + 4 <= n) {  // 4-byte chain search (guard the 4-byte read)
+            uint32_t h = hash4(cur);
+            int32_t cand = head[h];
+            while (cand >= 0 && chain-- > 0) {
+                int64_t dist = pos - cand;
+                if (dist > WINDOW) break;
+                if (dist > 0) {
+                    const uint8_t* cp = data + cand;
+                    if (best_len == 0 || cp[best_len] == cur[best_len]) {
+                        int len = match_length(cur, cp, max_len);
+                        if (len > best_len) {
+                            best_len = len;
+                            best_dist = (int)dist;
+                            if (len >= nice || len == max_len) break;
+                        }
+                    }
+                }
+                cand = prev[cand];
+            }
+        }
+        if (best_len < MIN_MATCH) {
+            int32_t c3 = probe3(pos);
+            if (c3 >= 0) {
+                int64_t dist = pos - c3;
+                if (dist > 0 && dist <= WINDOW) {
+                    int len = match_length(cur, data + c3, max_len);
+                    if (len > best_len && len >= MIN_MATCH) {
                         best_len = len;
                         best_dist = (int)dist;
-                        if (len >= nice || len == max_len) break;
                     }
                 }
             }
-            cand = prev[cand];
         }
         if (best_len < MIN_MATCH) return 0;
         *dist_out = best_dist;
@@ -1717,7 +1751,15 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
                     int run = 0;
                     int64_t limit = std::min<int64_t>(len - pos, MAX_MATCH);
                     while (run < limit && data[pos + run] == data[pos - 1]) run++;
-                    if (run >= MIN_MATCH) {
+                    // Only shortcut when the run is maximal (hits MAX_MATCH
+                    // or the end of input). A shorter run must compete with
+                    // regular matching: on interleaved content (e.g. PNG
+                    // residual rows of mostly-zeros with periodic nonzeros)
+                    // a long row-period match spanning the nonzero bytes
+                    // beats zero-run + literal parses by >20%. The hash
+                    // chain finds the same dist-1 run anyway (nearest-first),
+                    // so nothing is lost by falling through.
+                    if (run == (int)limit && run >= MIN_MATCH) {
                         tokens.push_back(match_token(run, 1));
                         literal_run = 0;
                         int64_t end = pos + run;
@@ -1837,26 +1879,41 @@ struct OptimalParser {
         maxlen.assign(block_len, 0);
         for (int64_t i = 0; i < block_len; i++) {
             int64_t pos = block_start + i;
-            if (pos + MIN_MATCH <= n && pos + 4 <= n) {
+            if (pos + MIN_MATCH <= n) {
                 int max_here = (int)std::min<int64_t>(MAX_MATCH, n - pos);
-                uint32_t h = hash4(data + pos);
-                int32_t cand = m.head[h];
-                int chain = chain_limit;
                 uint16_t* sl = sublen.data() + (size_t)i * 259;
                 int best = 0;
                 const uint8_t* cur = data + pos;
-                while (cand >= 0 && chain-- > 0) {
-                    int64_t dist = pos - cand;
-                    if (dist > WINDOW) break;
-                    if (dist > 0) {
-                        int len = match_length(cur, data + cand, max_here);
-                        // nearest-first traversal: first write wins (min dist)
-                        for (int l = best + 1; l <= len; l++)
+                // 3-byte head first: it is the globally most recent matching
+                // position (any 4-byte match also matches 3 bytes), so
+                // first-write-wins still records the minimum distance
+                int32_t c3 = m.probe3(pos);
+                if (c3 >= 0) {
+                    int64_t dist = pos - c3;
+                    if (dist > 0 && dist <= WINDOW) {
+                        int len = match_length(cur, data + c3, max_here);
+                        for (int l = MIN_MATCH; l <= len; l++)
                             if (!sl[l]) sl[l] = (uint16_t)dist;
                         if (len > best) best = len;
-                        if (best == max_here) break;
                     }
-                    cand = m.prev[cand];
+                }
+                if (pos + 4 <= n && best < max_here) {
+                    uint32_t h = hash4(cur);
+                    int32_t cand = m.head[h];
+                    int chain = chain_limit;
+                    while (cand >= 0 && chain-- > 0) {
+                        int64_t dist = pos - cand;
+                        if (dist > WINDOW) break;
+                        if (dist > 0) {
+                            int len = match_length(cur, data + cand, max_here);
+                            // nearest-first traversal: first write wins
+                            for (int l = best + 1; l <= len; l++)
+                                if (!sl[l]) sl[l] = (uint16_t)dist;
+                            if (len > best) best = len;
+                            if (best == max_here) break;
+                        }
+                        cand = m.prev[cand];
+                    }
                 }
                 maxlen[i] = (uint16_t)best;
             }

@@ -30,9 +30,13 @@ GOLDEN = {
     "jpeg_opt_checker": "91f9e03e196663b7d1159e1e70ef8eabce49b492f21744fa9b3af28d1640240e",
     "jpeg_prog": "b70ed3ec2ea4ff79b4917f5c6d456151e04f5c9300dfb2ad52b50dbdd6203445",
     "jpeg_max": "570eb96417cc414d1f187eb00736e73360914f8f90370e3f3381d9aeec5b7fa4",
-    "png_fast": "754383923fe7a7b304fe2d6d2aed0ef1da8a44bbf6c80a4e16b2677c70ade80b",
+    # png_fast / png_adaptive_l9 updated 2026-08: the same-byte-run LZ77
+    # shortcut now only fires on maximal runs, letting long row-period
+    # matches win on interleaved residual rows (-20%+ on those outputs);
+    # plus a secondary 3-byte hash for len-3 coverage.
+    "png_fast": "ce97a02748cf32caef490be7a7ccdcb32065ae6a7d23621a7e43151a81b27379",
     "png_balanced": "e6eddd35fb280c0fca2c2a8bd3bc1b999dce20f21a45894e9686a72e89da12ec",
-    "png_adaptive_l9": "add0ed100e657d08a51f62cd6f7434092abd63617ab681aaab57362d71da76f4",
+    "png_adaptive_l9": "f31f2791affee9be9754c8904fb4bd475e459a1967d4c98674273ea95a231b36",
     "deflate_l6": "6fcb33821e5a9bbf64f10e8baea16e98c35323c07c348b043dd84146981ab1f1",
 }
 

@@ -101,6 +101,23 @@ class TestDeflate:
         assert min(sizes) < len(data) // 100  # all levels compress hard
         assert max(sizes) <= min(sizes) * 1.05  # no level collapses
 
+    def test_ratio_competitive_on_filtered_rows(self):
+        """Interleaved mostly-zero residual rows (the shape PNG filtering
+        emits on smooth images): row-period matches must win over greedy
+        zero-run parses. Regression guard for the same-byte-run shortcut
+        taking precedence over longer matches (fixed: shortcut now only
+        fires on maximal runs)."""
+        row = bytearray(1537)
+        for i in range(1, 1537, 6):
+            row[i] = 1
+        for i in range(7, 1537, 97):
+            row[i] = 2
+        data = bytes(row) * 128
+        for level in (6, 9):
+            ours = len(deflate_zlib(data, level))
+            ref = len(zlib.compress(data, level))
+            assert ours <= ref * 1.10, (level, ours, ref)
+
 
 @needs_native
 class TestChecksumsNative:
