@@ -1,12 +1,18 @@
-"""Baseline JPEG decoder.
+"""JPEG decoder: baseline + progressive.
 
-Behavioral parity with pixo ``src/decode/jpeg.rs``:
-  - marker parse (APP skip, DQT 8/16-bit, SOF0 only — SOF2/progressive
-    raises UnsupportedDecode, DHT, DRI, SOS),
+Baseline behavioral parity with pixo ``src/decode/jpeg.rs``:
+  - marker parse (APP skip, DQT 8/16-bit, SOF0, DHT, DRI, SOS),
   - Huffman entropy decode with restart-marker handling and 0xFF00
     unstuffing,
   - then the batched device pipeline: dequant + integer IDCT + nearest
     upsample + fixed-point YCbCr->RGB (pixo_tpu.ops.jpeg_decode).
+
+Progressive (SOF2) decode is beyond parity — the reference *rejects*
+progressive files (src/decode/jpeg.rs SOF2 branch), which means its own
+max-preset encoder output cannot be fed back through its CLI. Here the
+full T.81 G.1.2 scan set is supported (spectral selection + successive
+approximation: DC first/refine, AC first/refine with EOB runs), so our
+progressive output round-trips through our own decoder.
 
 The entropy stage is host-sequential (per-symbol bit stream); everything
 after it is one fused device dispatch over all blocks.
@@ -30,7 +36,7 @@ from ..ops.jpeg_decode import (
     ycbcr_to_rgb_int,
 )
 
-SOF_UNSUPPORTED = {0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+SOF_UNSUPPORTED = {0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF}
 
 
@@ -185,6 +191,7 @@ def decode_jpeg(data: bytes, fancy_upsampling: bool = False) -> JpegImage:
     width = height = 0
     restart_interval = 0
     sof_seen = False
+    progressive = False
 
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -231,8 +238,9 @@ def decode_jpeg(data: bytes, fancy_upsampling: bool = False) -> JpegImage:
                     ac_tables[th] = table
                     ac_specs[th] = (bits, vals)
                 i += 17 + total
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             sof_seen = True
+            progressive = marker == 0xC2
             height = (seg[1] << 8) | seg[2]
             width = (seg[3] << 8) | seg[4]
             ncomp = seg[5]
@@ -248,12 +256,17 @@ def decode_jpeg(data: bytes, fancy_upsampling: bool = False) -> JpegImage:
                                seg[off + 2])
                 )
         elif marker in SOF_UNSUPPORTED:
-            raise errors.UnsupportedDecode(f"SOF marker 0xFF{marker:02X} (progressive or non-baseline)")
+            raise errors.UnsupportedDecode(f"SOF marker 0xFF{marker:02X} (non-baseline)")
         elif marker == 0xDD:  # DRI
             restart_interval = (seg[0] << 8) | seg[1]
         elif marker == 0xDA:  # SOS
             if not sof_seen:
                 raise errors.InvalidDecode("SOS before SOF")
+            if progressive:
+                return _decode_progressive(
+                    data, pos, seg, width, height, components, qtables,
+                    dc_tables, ac_tables, restart_interval, fancy_upsampling,
+                )
             ns = seg[0]
             for c in range(ns):
                 cid = seg[1 + c * 2]
@@ -442,3 +455,275 @@ def _finish_scan(coeffs, width, height, components, qtables,
     cr = planes[2][:height, :width] - 128
     rgb = np.asarray(ycbcr_to_rgb_int(y, cb, cr))
     return JpegImage(width, height, ColorType.RGB, rgb)
+
+
+# ===================== progressive (SOF2) scan decode ========================
+# Beyond parity: the reference rejects SOF2 (src/decode/jpeg.rs). Algorithms
+# follow ITU-T T.81 G.1.2 (the same successive-approximation scheme our
+# encoder emits in pixo_tpu/jpeg/progressive.py), so max-preset output
+# round-trips through our own decoder.
+
+
+def _prog_dc_first(reader, dc_t, block, al, prev_dc, ci):
+    s = dc_t.decode(reader)
+    diff = _extend(reader.read_bits(s), s) if s else 0
+    prev_dc[ci] += diff
+    block[0] = prev_dc[ci] << al
+
+
+def _prog_dc_refine(reader, block, al):
+    if reader.read_bit():
+        block[0] = int(block[0]) | (1 << al)
+
+
+def _prog_ac_first(reader, ac_t, block, ss, se, al, eobrun):
+    """Returns the updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac_t.decode(reader)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise errors.InvalidDecode("AC index overflow in progressive scan")
+        block[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(reader, ac_t, block, ss, se, al, eobrun):
+    """T.81 G.1.2.3 correction-bit pass. Returns the updated EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = ac_t.decode(reader)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    # full count here: the correction tail below handles the
+                    # rest of the *current* block and then decrements
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # r == 15: ZRL — pass 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise errors.InvalidDecode("invalid refinement magnitude")
+                val = p1 if reader.read_bit() else m1
+            # advance past `r` zero-history coefficients, applying
+            # correction bits to every nonzero-history one along the way
+            while k <= se:
+                if block[k] != 0:
+                    if reader.read_bit() and (int(block[k]) & p1) == 0:
+                        block[k] += p1 if block[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise errors.InvalidDecode("AC index overflow in refinement")
+                block[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if block[k] != 0:
+                if reader.read_bit() and (int(block[k]) & p1) == 0:
+                    block[k] += p1 if block[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(
+    data: bytes,
+    pos: int,
+    sos_seg: bytes,
+    width: int,
+    height: int,
+    components: List[_Component],
+    qtables: Dict[int, np.ndarray],
+    dc_tables: Dict[int, _HuffTable],
+    ac_tables: Dict[int, _HuffTable],
+    restart_interval: int,
+    fancy_upsampling: bool,
+) -> JpegImage:
+    """Drive all scans of a progressive stream, then run the device tail."""
+    if width == 0 or height == 0:
+        raise errors.InvalidDecode("zero dimensions")
+    max_h = max(c.h for c in components)
+    max_v = max(c.v for c in components)
+    if max_h == 0 or max_v == 0 or max_h > 4 or max_v > 4:
+        raise errors.InvalidDecode("invalid sampling factors")
+    mcu_cols = (width + 8 * max_h - 1) // (8 * max_h)
+    mcu_rows = (height + 8 * max_v - 1) // (8 * max_v)
+    for comp in components:
+        if comp.quant_id not in qtables:
+            raise errors.InvalidDecode("missing quantization table")
+
+    coeffs = [
+        np.zeros((mcu_rows * c.v * mcu_cols * c.h, 64), np.int16)
+        for c in components
+    ]
+    comp_by_id = {c.comp_id: i for i, c in enumerate(components)}
+    # ceil block dims of each component's *actual* sample area (non-
+    # interleaved scans iterate this grid, not the MCU-padded one)
+    blk_dims = []
+    for c in components:
+        cw = -(-width * c.h // max_h)
+        ch = -(-height * c.v // max_v)
+        blk_dims.append((-(-ch // 8), -(-cw // 8)))
+
+    while True:
+        # ---- decode the scan whose header is in sos_seg ----
+        ns = sos_seg[0]
+        scan_comps = []
+        for c in range(ns):
+            cid = sos_seg[1 + c * 2]
+            tsel = sos_seg[2 + c * 2]
+            if cid not in comp_by_id:
+                raise errors.InvalidDecode("scan references unknown component")
+            scan_comps.append((comp_by_id[cid], tsel >> 4, tsel & 0x0F))
+        ss = sos_seg[1 + ns * 2]
+        se = sos_seg[2 + ns * 2]
+        ah_al = sos_seg[3 + ns * 2]
+        ah, al = ah_al >> 4, ah_al & 0x0F
+        if ss > se or se > 63 or (ss == 0) != (se == 0):
+            raise errors.InvalidDecode("invalid spectral selection")
+        if ss > 0 and ns != 1:
+            raise errors.InvalidDecode("interleaved AC scan")
+
+        segments, consumed = _split_entropy(data[pos:])
+        pos += consumed
+
+        if ss == 0:  # DC scan (possibly interleaved)
+            dc_ts = []
+            for ci, dc_sel, _ in scan_comps:
+                if ah == 0 and dc_sel not in dc_tables:
+                    raise errors.InvalidDecode("missing Huffman table")
+                dc_ts.append(dc_tables.get(dc_sel))
+            total_units = mcu_cols * mcu_rows if ns > 1 else (
+                blk_dims[scan_comps[0][0]][0] * blk_dims[scan_comps[0][0]][1]
+            )
+            reader = _MsbReader(segments[0])
+            seg_idx = 0
+            prev_dc = [0] * len(components)
+            for unit in range(total_units):
+                if restart_interval and unit > 0 and unit % restart_interval == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        raise errors.InvalidDecode("missing restart segment")
+                    reader = _MsbReader(segments[seg_idx])
+                    prev_dc = [0] * len(components)
+                for si, (ci, _, _) in enumerate(scan_comps):
+                    comp = components[ci]
+                    stride = mcu_cols * comp.h
+                    if ns > 1:
+                        my, mx = divmod(unit, mcu_cols)
+                        for by in range(comp.v):
+                            for bx in range(comp.h):
+                                idx = (my * comp.v + by) * stride + mx * comp.h + bx
+                                block = coeffs[ci][idx]
+                                if ah == 0:
+                                    _prog_dc_first(reader, dc_ts[si], block, al, prev_dc, ci)
+                                else:
+                                    _prog_dc_refine(reader, block, al)
+                    else:
+                        by, bx = divmod(unit, blk_dims[ci][1])
+                        block = coeffs[ci][by * stride + bx]
+                        if ah == 0:
+                            _prog_dc_first(reader, dc_ts[si], block, al, prev_dc, ci)
+                        else:
+                            _prog_dc_refine(reader, block, al)
+        else:  # AC scan: single component, raster over its ceil block grid
+            ci, _, ac_sel = scan_comps[0]
+            if ac_sel not in ac_tables:
+                raise errors.InvalidDecode("missing Huffman table")
+            ac_t = ac_tables[ac_sel]
+            comp = components[ci]
+            stride = mcu_cols * comp.h
+            bh, bw = blk_dims[ci]
+            reader = _MsbReader(segments[0])
+            seg_idx = 0
+            eobrun = 0
+            for unit in range(bh * bw):
+                if restart_interval and unit > 0 and unit % restart_interval == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        raise errors.InvalidDecode("missing restart segment")
+                    reader = _MsbReader(segments[seg_idx])
+                    eobrun = 0
+                by, bx = divmod(unit, bw)
+                block = coeffs[ci][by * stride + bx]
+                if ah == 0:
+                    eobrun = _prog_ac_first(reader, ac_t, block, ss, se, al, eobrun)
+                else:
+                    eobrun = _prog_ac_refine(reader, ac_t, block, ss, se, al, eobrun)
+
+        # ---- parse markers until the next SOS or EOI ----
+        sos_seg = None
+        while pos + 2 <= len(data):
+            if data[pos] != 0xFF:
+                raise errors.InvalidDecode("expected marker between scans")
+            marker = data[pos + 1]
+            pos += 2
+            if marker == 0xD9:  # EOI
+                return _finish_scan(coeffs, width, height, components, qtables,
+                                    mcu_cols, mcu_rows, max_h, max_v,
+                                    fancy_upsampling)
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                continue
+            if pos + 2 > len(data):
+                raise errors.InvalidDecode("truncated marker segment")
+            seg_len = (data[pos] << 8) | data[pos + 1]
+            if seg_len < 2 or pos + seg_len > len(data):
+                raise errors.InvalidDecode("invalid segment length")
+            seg = data[pos + 2 : pos + seg_len]
+            pos += seg_len
+            if marker == 0xC4:  # DHT between scans
+                i = 0
+                while i < len(seg):
+                    tc = seg[i] >> 4
+                    th = seg[i] & 0x0F
+                    bits = seg[i + 1 : i + 17]
+                    total = sum(bits)
+                    vals = seg[i + 17 : i + 17 + total]
+                    if tc == 0:
+                        dc_tables[th] = _HuffTable(bits, vals)
+                    else:
+                        ac_tables[th] = _HuffTable(bits, vals)
+                    i += 17 + total
+            elif marker == 0xDB:  # DQT between scans
+                i = 0
+                while i < len(seg):
+                    pq = seg[i] >> 4
+                    tq = seg[i] & 0x0F
+                    i += 1
+                    if pq == 0:
+                        qtables[tq] = np.frombuffer(seg[i : i + 64], np.uint8).astype(np.uint16)
+                        i += 64
+                    else:
+                        qtables[tq] = np.frombuffer(seg[i : i + 128], ">u2").astype(np.uint16)
+                        i += 128
+            elif marker == 0xDD:  # DRI between scans
+                restart_interval = (seg[0] << 8) | seg[1]
+            elif marker == 0xDA:
+                sos_seg = seg
+                break
+            # APPn/COM and others: skipped
+        if sos_seg is None:
+            raise errors.InvalidDecode("progressive stream missing EOI")
