@@ -92,3 +92,17 @@ class TestMain:
 
     def test_missing_file(self, tmp_path):
         assert main([str(tmp_path / "nope.png"), "--quiet"]) == 1
+
+    def test_progressive_jpeg_input_transcodes(self, tmp_path):
+        """Max-preset (progressive) JPEG fed back through the CLI must
+        transcode — the reference CLI rejects its own max-preset output."""
+        from pixo_tpu import jpeg
+        from pixo_tpu.options import JpegOptions
+
+        img = synth_gradient(40, 56, 3)
+        data = jpeg.encode(img, JpegOptions.from_preset(56, 40, 85, 2))
+        inp = tmp_path / "prog.jpg"
+        inp.write_bytes(data)
+        out = tmp_path / "out.png"
+        assert main([str(inp), "-o", str(out), "--quiet"]) == 0
+        assert Image.open(out).size == (56, 40)
