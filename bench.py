@@ -70,8 +70,13 @@ def main() -> None:
 
     from pixo_tpu.jpeg.encoder import _device_coeffs_batch
     from pixo_tpu.jpeg.tables import HuffmanTables, QuantizationTables
-    from pixo_tpu.native import native_available, native_pack_scan
+    from pixo_tpu.native import (
+        native_available,
+        native_pack_scan,
+        native_pack_scan_sparse,
+    )
     from pixo_tpu.ops.blockify import scan_layout
+    from pixo_tpu.ops.sparse_pack import sparsify_blocks_batch
 
     size = int(os.environ.get("BENCH_SIZE", "512"))
     batch = int(os.environ.get("BENCH_BATCH", "16"))
@@ -105,25 +110,47 @@ def main() -> None:
             dt_dev = min(dt_dev, (time.perf_counter() - t0) / rounds)
     device_mps = mp_per_batch / dt_dev
 
-    # --- one-off coefficient fetch for the host-stage measurement ---
+    # --- device-side compaction (the production handoff: ~5x less PCIe
+    # traffic, host packer touches ~3 B per nonzero AC) ---
+    with Watchdog(WATCHDOG_S):
+        dc_d, counts_d, poss_d, vals_d, total_d = sparsify_blocks_batch(zz_dev)
+        jax.block_until_ready(total_d)
+
+    # --- one-off stream fetch for the host-stage measurement ---
     t0 = time.perf_counter()
     with Watchdog(WATCHDOG_S):
-        zz_host = np.asarray(zz_dev)
+        totals = np.asarray(total_d)
+        dc_h = np.asarray(dc_d)
+        counts_h = np.asarray(counts_d)
+        poss_h = np.asarray(poss_d)
+        vals_h = np.asarray(vals_d)
     dt_xfer = time.perf_counter() - t0
-    xfer_rate = zz_host.nbytes / max(dt_xfer, 1e-9) / 1e6
+    nbytes = dc_h.nbytes + counts_h.nbytes + poss_h.nbytes + vals_h.nbytes
+    xfer_rate = nbytes / max(dt_xfer, 1e-9) / 1e6
 
     # --- Stage 2: host entropy packing over the real streams ---
     _, _, pattern = scan_layout(size, size, "rgb", "420")
     huff = HuffmanTables()
     assert native_available(), "native packer required for the benchmark"
-    sizes = [
-        len(native_pack_scan(zz_host[i], pattern, huff, None)) for i in range(batch)
-    ]
+    cap = poss_h.shape[1]
+    if (totals <= cap).all():
+        def pack(i):
+            return native_pack_scan_sparse(
+                dc_h[i], counts_h[i], poss_h[i], vals_h[i], pattern, huff, None
+            )
+    else:  # compaction overflow: dense fallback (not hit on this content)
+        with Watchdog(WATCHDOG_S):
+            zz_host = np.asarray(zz_dev)
+
+        def pack(i):
+            return native_pack_scan(zz_host[i], pattern, huff, None)
+
+    sizes = [len(pack(i)) for i in range(batch)]
     dt_host = float("inf")
     for _ in range(7):
         t0 = time.perf_counter()
         for i in range(batch):
-            native_pack_scan(zz_host[i], pattern, huff, None)
+            pack(i)
         dt_host = min(dt_host, time.perf_counter() - t0)
     host_mps = mp_per_batch / dt_host
 

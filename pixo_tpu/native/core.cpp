@@ -264,6 +264,86 @@ EXPORT int64_t jpeg_pack_scan(
     return w.overflow ? -1 : w.pos;
 }
 
+// Sparse variant: consumes device-compacted streams (dc per block, nonzero
+// count per block, concatenated (position, value) pairs) instead of dense
+// [N,64] blocks. Byte-identical output to jpeg_pack_scan; the host touches
+// ~3 bytes per nonzero coefficient instead of 128 bytes per block.
+EXPORT int64_t jpeg_pack_scan_sparse(
+    const int16_t* dc_arr, const uint8_t* counts,
+    const uint8_t* poss, const int16_t* vals,
+    int64_t nblocks,
+    const uint8_t* pattern, int32_t bpm,
+    const uint16_t* dc_lum_c, const uint8_t* dc_lum_l,
+    const uint16_t* dc_chrom_c, const uint8_t* dc_chrom_l,
+    const uint16_t* ac_lum_c, const uint8_t* ac_lum_l,
+    const uint16_t* ac_chrom_c, const uint8_t* ac_chrom_l,
+    int32_t restart_interval,
+    uint8_t* out, int64_t out_cap) {
+    jpeg::MsbWriter w(out, out_cap);
+    int prev_dc[3] = {0, 0, 0};
+    int rst_idx = 0;
+    int64_t total_mcus = nblocks / bpm;
+
+    const uint16_t* dc_codes[3] = {dc_lum_c, dc_chrom_c, dc_chrom_c};
+    const uint8_t* dc_lens[3] = {dc_lum_l, dc_chrom_l, dc_chrom_l};
+    const uint16_t* ac_codes[3] = {ac_lum_c, ac_chrom_c, ac_chrom_c};
+    const uint8_t* ac_lens[3] = {ac_lum_l, ac_chrom_l, ac_chrom_l};
+
+    int64_t cursor = 0;  // index into poss/vals
+    for (int64_t mcu = 0; mcu < total_mcus; mcu++) {
+        for (int k = 0; k < bpm; k++) {
+            int64_t blk = mcu * bpm + k;
+            int comp = pattern[k];
+            const uint16_t* dcc = dc_codes[comp];
+            const uint8_t* dcl = dc_lens[comp];
+            const uint16_t* acc = ac_codes[comp];
+            const uint8_t* acl = ac_lens[comp];
+
+            int dc = dc_arr[blk];
+            int diff = dc - prev_dc[comp];
+            prev_dc[comp] = dc;
+            int cat = jpeg::category(diff);
+            {
+                int bits = (diff < 0) ? diff - 1 : diff;
+                uint32_t val = (uint32_t)bits & ((cat == 0) ? 0 : ((1u << cat) - 1));
+                w.write(((uint32_t)dcc[cat] << cat) | val, dcl[cat] + cat);
+            }
+
+            int c = counts[blk];
+            int prev_pos = 0;
+            for (int j = 0; j < c; j++) {
+                int pos = poss[cursor];
+                int ac = vals[cursor];
+                cursor++;
+                int zero_run = pos - prev_pos - 1;
+                while (zero_run >= 16) {
+                    w.write(acc[0xF0], acl[0xF0]);
+                    zero_run -= 16;
+                }
+                int ac_cat = jpeg::category(ac);
+                int rs = (zero_run << 4) | ac_cat;
+                int bits = (ac < 0) ? ac - 1 : ac;
+                uint32_t val = (uint32_t)bits & ((1u << ac_cat) - 1);
+                w.write(((uint32_t)acc[rs] << ac_cat) | val, acl[rs] + ac_cat);
+                prev_pos = pos;
+            }
+            if (prev_pos != 63) w.write(acc[0x00], acl[0x00]);
+        }
+        if (restart_interval > 0) {
+            int64_t mcu_count = mcu + 1;
+            if (mcu_count % restart_interval == 0 && mcu_count < total_mcus) {
+                w.flush_pad_ones();
+                uint8_t rst[2] = {0xFF, (uint8_t)(0xD0 + (rst_idx & 7))};
+                w.raw_bytes(rst, 2);
+                rst_idx = (rst_idx + 1) & 7;
+                prev_dc[0] = prev_dc[1] = prev_dc[2] = 0;
+            }
+        }
+    }
+    w.flush_pad_ones();
+    return w.overflow ? -1 : w.pos;
+}
+
 // Threaded batch variant: packs B independent images concurrently (the
 // native analog of the reference's rayon pool; each stream is written to
 // its own slice of `out` and lengths are returned per image).

@@ -120,6 +120,57 @@ class TestDeflate:
 
 
 @needs_native
+class TestSparsePack:
+    """Device-compacted streams must pack byte-identically to dense."""
+
+    def _streams(self, zz):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from pixo_tpu.ops.sparse_pack import sparsify_blocks
+
+        dc, counts, poss, vals, total = sparsify_blocks(np.asarray(zz))
+        return (np.asarray(dc), np.asarray(counts), np.asarray(poss),
+                np.asarray(vals), int(total))
+
+    def test_byte_identical_to_dense(self, rng):
+        from pixo_tpu.jpeg.tables import HuffmanTables
+
+        huff = HuffmanTables()
+        # sparse-ish content typical of quantized photographic blocks
+        zz = np.zeros((96, 64), np.int16)
+        nz = rng.random((96, 64)) < 0.08
+        zz[nz] = rng.integers(-80, 80, nz.sum())
+        zz[:, 0] = rng.integers(-300, 300, 96)
+        dc, counts, poss, vals, total = self._streams(zz)
+        assert total <= poss.shape[0]
+        for ri in (None, 4):
+            dense = native.native_pack_scan(zz, (0, 1, 2), huff, ri)
+            sparse = native.native_pack_scan_sparse(
+                dc, counts, poss, vals, (0, 1, 2), huff, ri
+            )
+            assert dense == sparse
+
+    def test_overflow_detected_on_dense_content(self, rng):
+        zz = rng.integers(-50, 50, (16, 64)).astype(np.int16)  # ~all nonzero
+        *_, total = self._streams(zz)
+        from pixo_tpu.ops.sparse_pack import DEFAULT_CAP_PER_BLOCK
+
+        assert total > 16 * DEFAULT_CAP_PER_BLOCK  # caller must fall back
+
+    def test_all_zero_blocks(self):
+        from pixo_tpu.jpeg.tables import HuffmanTables
+
+        zz = np.zeros((6, 64), np.int16)
+        dc, counts, poss, vals, total = self._streams(zz)
+        assert total == 0 and counts.sum() == 0
+        huff = HuffmanTables()
+        assert (native.native_pack_scan_sparse(dc, counts, poss, vals,
+                                               (0, 1, 2), huff, None)
+                == native.native_pack_scan(zz, (0, 1, 2), huff, None))
+
+
+@needs_native
 class TestChecksumsNative:
     def test_crc_adler_match_zlib(self, rng):
         data = rng.integers(0, 256, 99999, dtype=np.uint8).tobytes()
