@@ -57,9 +57,11 @@ def main():
         native_adler32,
         native_crc32,
         native_pack_scan,
+        native_pack_scan_sparse,
         native_trellis_quantize,
     )
     from pixo_tpu.ops.png_filters import filter_image
+    from pixo_tpu.ops.sparse_pack import sparsify_blocks
     from pixo_tpu.ops.resize_kernels import resize_lanczos3
     from pixo_tpu.utils.synthetic import synth_gradient, synth_noise
 
@@ -109,6 +111,13 @@ def main():
     huff = HuffmanTables()
     pattern = (0, 0, 0, 0, 1, 2)
     row("native pack_scan", timeit(lambda: native_pack_scan(zz, pattern, huff, None)),
+        mp=0.262144)
+    dc_d, counts_d, poss_d, vals_d, _ = sparsify_blocks(jnp.asarray(zz))
+    dc_h, counts_h = np.asarray(dc_d), np.asarray(counts_d)
+    poss_h, vals_h = np.asarray(poss_d), np.asarray(vals_d)
+    row("native pack_scan_sparse", timeit(
+        lambda: native_pack_scan_sparse(
+            dc_h, counts_h, poss_h, vals_h, pattern, huff, None)),
         mp=0.262144)
 
     print("== trellis (6144 blocks) ==")
