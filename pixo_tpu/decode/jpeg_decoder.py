@@ -65,12 +65,13 @@ class _Component:
 class _HuffTable:
     """Canonical decode table: per-length (min_code, max_code, value offset)."""
 
-    __slots__ = ("min_code", "max_code", "val_idx", "vals", "lut")
+    __slots__ = ("min_code", "max_code", "val_idx", "vals", "lut", "spec")
 
     LUT_BITS = 8
 
     def __init__(self, bits: bytes, vals: bytes):
         self.vals = vals
+        self.spec = (bytes(bits), bytes(vals))  # for the native decoders
         self.min_code = [0] * 17
         self.max_code = [-1] * 17
         self.val_idx = [0] * 17
@@ -549,6 +550,81 @@ def _prog_ac_refine(reader, ac_t, block, ss, se, al, eobrun):
     return eobrun
 
 
+def _seg_unit_ranges(nsegments, total_units, restart_interval):
+    """Unit range [u0, u1) covered by each entropy segment of a scan."""
+    if not restart_interval:
+        return [(0, total_units)] + [(0, 0)] * (nsegments - 1)
+    return [
+        (si * restart_interval, min((si + 1) * restart_interval, total_units))
+        for si in range(nsegments)
+    ]
+
+
+def _prog_dc_scan_native(segments, total_units, restart_interval, mcu_cols,
+                         ns, scan_comps, components, blk_dims, dc_ts, ah, al,
+                         coeffs) -> bool:
+    """Run a whole progressive DC scan through the native decoder.
+
+    Returns False when the native library is unavailable (the caller then
+    runs the pure-Python unit loop); raises InvalidDecode on malformed
+    entropy data or missing restart segments.
+    """
+    from ..native import NativeDecodeError, native_jpeg_prog_dc_segment
+
+    scan_ci = [ci for ci, _, _ in scan_comps]
+    ch = [components[ci].h for ci in scan_ci]
+    cv = [components[ci].v for ci in scan_ci]
+    bws = [blk_dims[ci][1] for ci in scan_ci]
+    specs = [t.spec for t in dc_ts] if ah == 0 else None
+    planes = [coeffs[ci] for ci in scan_ci]
+    prev_dc = np.zeros(ns, np.int32)
+    ranges = _seg_unit_ranges(len(segments), total_units, restart_interval)
+    try:
+        for seg, (u0, u1) in zip(segments, ranges):
+            if u0 >= u1:
+                continue
+            prev_dc[:] = 0
+            if not native_jpeg_prog_dc_segment(
+                seg, u0, u1, mcu_cols, ns > 1, ch, cv, bws, specs, ah, al,
+                planes, prev_dc,
+            ):
+                return False
+    except NativeDecodeError:
+        raise errors.InvalidDecode("invalid progressive entropy data")
+    if restart_interval and len(segments) < -(-total_units // restart_interval):
+        raise errors.InvalidDecode("missing restart segment")
+    return True
+
+
+def _prog_ac_scan_native(segments, total_units, restart_interval, stride, bw,
+                         ss, se, ah, al, ac_t, plane) -> bool:
+    """Run a whole progressive AC scan through the native decoder.
+
+    Same contract as _prog_dc_scan_native. The EOB run resets at each
+    restart segment (as the Python loop does) and carries across units
+    within a segment.
+    """
+    from ..native import NativeDecodeError, native_jpeg_prog_ac_segment
+
+    eobrun = np.zeros(1, np.int64)
+    ranges = _seg_unit_ranges(len(segments), total_units, restart_interval)
+    try:
+        for seg, (u0, u1) in zip(segments, ranges):
+            if u0 >= u1:
+                continue
+            eobrun[0] = 0
+            if not native_jpeg_prog_ac_segment(
+                seg, u0, u1, stride, bw, ss, se, ah, al, ac_t.spec, plane,
+                eobrun,
+            ):
+                return False
+    except NativeDecodeError:
+        raise errors.InvalidDecode("invalid progressive entropy data")
+    if restart_interval and len(segments) < -(-total_units // restart_interval):
+        raise errors.InvalidDecode("missing restart segment")
+    return True
+
+
 def _decode_progressive(
     data: bytes,
     pos: int,
@@ -619,10 +695,14 @@ def _decode_progressive(
             total_units = mcu_cols * mcu_rows if ns > 1 else (
                 blk_dims[scan_comps[0][0]][0] * blk_dims[scan_comps[0][0]][1]
             )
-            reader = _MsbReader(segments[0])
+            native_done = _prog_dc_scan_native(
+                segments, total_units, restart_interval, mcu_cols, ns,
+                scan_comps, components, blk_dims, dc_ts, ah, al, coeffs,
+            )
+            reader = None if native_done else _MsbReader(segments[0])
             seg_idx = 0
             prev_dc = [0] * len(components)
-            for unit in range(total_units):
+            for unit in range(0 if native_done else total_units):
                 if restart_interval and unit > 0 and unit % restart_interval == 0:
                     seg_idx += 1
                     if seg_idx >= len(segments):
@@ -657,10 +737,14 @@ def _decode_progressive(
             comp = components[ci]
             stride = mcu_cols * comp.h
             bh, bw = blk_dims[ci]
-            reader = _MsbReader(segments[0])
+            native_done = _prog_ac_scan_native(
+                segments, bh * bw, restart_interval, stride, bw,
+                ss, se, ah, al, ac_t, coeffs[ci],
+            )
+            reader = None if native_done else _MsbReader(segments[0])
             seg_idx = 0
             eobrun = 0
-            for unit in range(bh * bw):
+            for unit in range(0 if native_done else bh * bw):
                 if restart_interval and unit > 0 and unit % restart_interval == 0:
                     seg_idx += 1
                     if seg_idx >= len(segments):

@@ -144,6 +144,30 @@ def _configure(lib) -> None:
         i32p,
     ]
 
+    lib.jpeg_prog_dc_segment.restype = ctypes.c_int32
+    lib.jpeg_prog_dc_segment.argtypes = [
+        u8p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, i32p,
+        u8p, u8p, i32p,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(i16p),
+        i32p,
+    ]
+
+    lib.jpeg_prog_ac_segment.restype = ctypes.c_int32
+    i64p_ = ctypes.POINTER(ctypes.c_int64)
+    lib.jpeg_prog_ac_segment.argtypes = [
+        u8p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        u8p, u8p,
+        i16p,
+        i64p_,
+    ]
+
     lib.png_unfilter.restype = ctypes.c_int32
     lib.png_unfilter.argtypes = [
         u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, u8p,
@@ -516,6 +540,108 @@ def native_jpeg_decode_segment(
         prev_dc.ctypes.data_as(i32p),
     )
     return rc == 0
+
+
+def native_jpeg_prog_dc_segment(
+    seg: bytes,
+    unit_start: int,
+    unit_end: int,
+    mcu_cols: int,
+    interleaved: bool,
+    comp_h,
+    comp_v,
+    blk_w,
+    dc_specs,   # list of (bits16, vals) per scan component, or None if ah>0
+    ah: int,
+    al: int,
+    coeff_planes,  # list of np.int16 [nblocks, 64] arrays (written in place)
+    prev_dc: np.ndarray,  # int32 [ns], in/out
+) -> bool:
+    """Decode one progressive DC entropy segment in place; False if the
+    native library is unavailable. Raises nothing — a -1 return (malformed
+    stream) surfaces as False from the caller's perspective via
+    ``native_error``: the caller treats rc!=0 as InvalidDecode."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "jpeg_prog_dc_segment"):
+        return False
+    ns = len(comp_h)
+    seg_arr = np.frombuffer(seg, dtype=np.uint8) if seg else np.zeros(1, np.uint8)
+    ch = np.asarray(comp_h, dtype=np.int32)
+    cv = np.asarray(comp_v, dtype=np.int32)
+    bw = np.asarray(blk_w, dtype=np.int32)
+    if dc_specs is not None:
+        dc_bits = np.concatenate([np.frombuffer(b, np.uint8) for b, _ in dc_specs])
+        dc_vals = np.concatenate(
+            [np.frombuffer(v, np.uint8) if v else np.zeros(1, np.uint8)
+             for _, v in dc_specs])
+        dc_off = np.zeros(ns, np.int32)
+        o = 0
+        for i, (_, v) in enumerate(dc_specs):
+            dc_off[i] = o
+            o += max(len(v), 1)
+    else:  # refinement pass: tables unused
+        dc_bits = np.zeros(16 * ns, np.uint8)
+        dc_vals = np.zeros(1, np.uint8)
+        dc_off = np.zeros(ns, np.int32)
+
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    planes_arr = (i16p * ns)(*[p.ctypes.data_as(i16p) for p in coeff_planes])
+    rc = lib.jpeg_prog_dc_segment(
+        _u8(seg_arr), len(seg),
+        unit_start, unit_end,
+        mcu_cols, 1 if interleaved else 0, ns,
+        ch.ctypes.data_as(i32p), cv.ctypes.data_as(i32p), bw.ctypes.data_as(i32p),
+        _u8(dc_bits), _u8(dc_vals), dc_off.ctypes.data_as(i32p),
+        ah, al,
+        planes_arr,
+        prev_dc.ctypes.data_as(i32p),
+    )
+    if rc != 0:
+        raise NativeDecodeError("progressive DC segment")
+    return True
+
+
+def native_jpeg_prog_ac_segment(
+    seg: bytes,
+    unit_start: int,
+    unit_end: int,
+    stride: int,
+    blk_w: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    ac_spec,  # (bits16, vals)
+    plane: np.ndarray,     # int16 [nblocks, 64], written in place
+    eobrun: np.ndarray,    # int64 [1], in/out
+) -> bool:
+    """Decode one progressive AC entropy segment in place; False if the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "jpeg_prog_ac_segment"):
+        return False
+    seg_arr = np.frombuffer(seg, dtype=np.uint8) if seg else np.zeros(1, np.uint8)
+    bits, vals = ac_spec
+    bits_arr = np.frombuffer(bits, np.uint8)
+    vals_arr = np.frombuffer(vals, np.uint8) if vals else np.zeros(1, np.uint8)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    rc = lib.jpeg_prog_ac_segment(
+        _u8(seg_arr), len(seg),
+        unit_start, unit_end,
+        stride, blk_w,
+        ss, se, ah, al,
+        _u8(bits_arr), _u8(vals_arr),
+        plane.ctypes.data_as(i16p),
+        eobrun.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        raise NativeDecodeError("progressive AC segment")
+    return True
+
+
+class NativeDecodeError(Exception):
+    """Malformed entropy stream detected by a native decode segment."""
 
 
 def native_png_unfilter(rows, bpp: int):

@@ -1124,6 +1124,160 @@ EXPORT int32_t jpeg_decode_segment(
     return 0;
 }
 
+// Progressive (SOF2) scan decoding, one entropy segment at a time (T.81
+// G.1.2; mirrors the Python reference loops in decode/jpeg_decoder.py,
+// which mirror the encoder in pixo_tpu/jpeg/progressive.py — the reference
+// decoder rejects SOF2 entirely, src/decode/jpeg.rs).
+//
+// DC scans (interleaved or single-component): units [unit_start, unit_end)
+// of this segment. `interleaved` selects MCU addressing vs the component's
+// own ceil-block raster. All arrays are per *scan* component.
+EXPORT int32_t jpeg_prog_dc_segment(
+    const uint8_t* seg, int64_t seg_len,
+    int64_t unit_start, int64_t unit_end,
+    int32_t mcu_cols, int32_t interleaved, int32_t ns,
+    const int32_t* comp_h, const int32_t* comp_v, const int32_t* blk_w,
+    const uint8_t* dc_bits, const uint8_t* dc_vals_flat, const int32_t* dc_vals_off,
+    int32_t ah, int32_t al,
+    int16_t** coeff_planes,
+    int32_t* prev_dc) {
+    using namespace jdec;
+    HuffDec dct[4];
+    if (ah == 0)
+        for (int c = 0; c < ns; c++)
+            dct[c].build(dc_bits + 16 * c, dc_vals_flat + dc_vals_off[c]);
+    MsbReader r(seg, seg_len);
+    for (int64_t unit = unit_start; unit < unit_end; unit++) {
+        for (int c = 0; c < ns; c++) {
+            int64_t stride = (int64_t)mcu_cols * comp_h[c];
+            if (interleaved) {
+                int64_t my = unit / mcu_cols, mx = unit % mcu_cols;
+                for (int by = 0; by < comp_v[c]; by++) {
+                    for (int bx = 0; bx < comp_h[c]; bx++) {
+                        int16_t* block = coeff_planes[c] +
+                            ((my * comp_v[c] + by) * stride + mx * comp_h[c] + bx) * 64;
+                        if (ah == 0) {
+                            int s = r.decode(dct[c]);
+                            if (s < 0 || s > 15) return -1;
+                            int diff = s ? extend(r.read_bits(s), s) : 0;
+                            prev_dc[c] += diff;
+                            block[0] = (int16_t)(prev_dc[c] << al);
+                        } else if (r.read_bit()) {
+                            block[0] = (int16_t)(block[0] | (1 << al));
+                        }
+                        if (r.error) return -1;
+                    }
+                }
+            } else {
+                int64_t by = unit / blk_w[c], bx = unit % blk_w[c];
+                int16_t* block = coeff_planes[c] + (by * stride + bx) * 64;
+                if (ah == 0) {
+                    int s = r.decode(dct[c]);
+                    if (s < 0 || s > 15) return -1;
+                    int diff = s ? extend(r.read_bits(s), s) : 0;
+                    prev_dc[c] += diff;
+                    block[0] = (int16_t)(prev_dc[c] << al);
+                } else if (r.read_bit()) {
+                    block[0] = (int16_t)(block[0] | (1 << al));
+                }
+                if (r.error) return -1;
+            }
+        }
+    }
+    return 0;
+}
+
+// AC scans (always single-component, raster over the component's ceil
+// block grid). `eobrun` carries the end-of-band run across units in/out.
+EXPORT int32_t jpeg_prog_ac_segment(
+    const uint8_t* seg, int64_t seg_len,
+    int64_t unit_start, int64_t unit_end,
+    int32_t stride, int32_t blk_w,
+    int32_t ss, int32_t se, int32_t ah, int32_t al,
+    const uint8_t* ac_bits, const uint8_t* ac_vals,
+    int16_t* plane,
+    int64_t* eobrun_io) {
+    using namespace jdec;
+    HuffDec act;
+    act.build(ac_bits, ac_vals);
+    MsbReader r(seg, seg_len);
+    int64_t eobrun = *eobrun_io;
+    const int p1 = 1 << al, m1 = -(1 << al);
+
+    for (int64_t unit = unit_start; unit < unit_end; unit++) {
+        int64_t by = unit / blk_w, bx = unit % blk_w;
+        int16_t* block = plane + (by * (int64_t)stride + bx) * 64;
+        if (ah == 0) {  // first pass (G.1.2.2)
+            if (eobrun > 0) { eobrun--; continue; }
+            int k = ss;
+            while (k <= se) {
+                int rs = r.decode(act);
+                if (rs < 0) return -1;
+                int run = rs >> 4, size = rs & 0x0F;
+                if (size == 0) {
+                    if (run == 15) { k += 16; continue; }
+                    eobrun = ((int64_t)1 << run) - 1;
+                    if (run) eobrun += r.read_bits(run);
+                    break;
+                }
+                k += run;
+                if (k > se) return -1;
+                block[k] = (int16_t)(extend(r.read_bits(size), size) << al);
+                k++;
+            }
+        } else {  // refinement pass (G.1.2.3)
+            int k = ss;
+            if (eobrun == 0) {
+                while (k <= se) {
+                    int rs = r.decode(act);
+                    if (rs < 0) return -1;
+                    int run = rs >> 4, size = rs & 0x0F;
+                    int val = 0;
+                    if (size == 0) {
+                        if (run < 15) {
+                            eobrun = (int64_t)1 << run;
+                            if (run) eobrun += r.read_bits(run);
+                            break;
+                        }
+                        // run == 15: ZRL — pass 16 zero-history coefficients
+                    } else {
+                        if (size != 1) return -1;
+                        val = r.read_bit() ? p1 : m1;
+                    }
+                    while (k <= se) {
+                        if (block[k] != 0) {
+                            if (r.read_bit() && (block[k] & p1) == 0)
+                                block[k] = (int16_t)(block[k] + (block[k] > 0 ? p1 : m1));
+                        } else {
+                            if (run == 0) break;
+                            run--;
+                        }
+                        k++;
+                    }
+                    if (val) {
+                        if (k > se) return -1;
+                        block[k] = (int16_t)val;
+                    }
+                    k++;
+                }
+            }
+            if (eobrun > 0) {
+                while (k <= se) {
+                    if (block[k] != 0) {
+                        if (r.read_bit() && (block[k] & p1) == 0)
+                            block[k] = (int16_t)(block[k] + (block[k] > 0 ? p1 : m1));
+                    }
+                    k++;
+                }
+                eobrun--;
+            }
+        }
+        if (r.error) return -1;
+    }
+    *eobrun_io = eobrun;
+    return 0;
+}
+
 // ============================ PNG unfilter ==================================
 // Reverse per-row PNG filtering (parity with pixo src/decode/png.rs row
 // reconstruction). Sub/Average/Paeth carry an intra-row recurrence, so the

@@ -474,6 +474,51 @@ class TestProgressiveJpegDecode:
         pil = np.asarray(Image.open(buf).convert("L")).astype(int)
         assert np.abs(ours - pil).max() <= 1
 
+    @pytest.mark.parametrize("sub", [0, 2])
+    def test_pillow_progressive_with_restarts(self, sub):
+        """Restart markers reset DC predictors and EOB runs per segment in
+        every progressive scan type (the native fast path keeps the run
+        state in/out per entropy segment)."""
+        rng = np.random.default_rng(11)
+        img = (rng.integers(0, 256, (48, 80, 3), dtype=np.uint8) // 16 * 16)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(
+            buf, "JPEG", quality=85, progressive=True, subsampling=sub,
+            restart_marker_rows=1,
+        )
+        data = buf.getvalue()
+        assert b"\xff\xdd" in data  # DRI actually emitted
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB")).astype(int)
+        fancy = sub == 2
+        ours = decode_jpeg(data, fancy_upsampling=fancy).pixels.astype(int)
+        diff = np.abs(ours - pil)
+        max_tol = 32 if sub == 2 else 4
+        assert diff.max() <= max_tol and diff.mean() < 1.0, (sub, diff.max())
+
+    def test_progressive_native_matches_python(self, monkeypatch):
+        """The native per-segment scan decoders must write coefficient
+        planes identical to the pure-Python T.81 loops (restarts incl.)."""
+        rng = np.random.default_rng(13)
+        img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+        files = []
+        for kwargs in (
+            dict(quality=85, progressive=True, subsampling=0),
+            dict(quality=60, progressive=True, subsampling=2,
+                 restart_marker_rows=1),
+        ):
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, "JPEG", **kwargs)
+            files.append(buf.getvalue())
+        files.append(jpeg.encode(
+            img, JpegOptions(width=56, height=40, quality=85,
+                             progressive=True)))
+        for data in files:
+            with_native = decode_jpeg(data).pixels
+            monkeypatch.setenv("PIXO_TPU_DISABLE_NATIVE", "1")
+            pure = decode_jpeg(data).pixels
+            monkeypatch.delenv("PIXO_TPU_DISABLE_NATIVE")
+            np.testing.assert_array_equal(with_native, pure)
+
     def test_truncated_progressive_rejected(self):
         img = self._noisy(32, 32)
         data = jpeg.encode(
