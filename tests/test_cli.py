@@ -64,6 +64,18 @@ class TestMain:
         dec = np.asarray(Image.open(out).convert("RGB"))
         np.testing.assert_array_equal(dec, img)
 
+    def test_module_entry_point(self):
+        """``python -m pixo_tpu --help`` (the ``pixo`` binary analog)."""
+        import subprocess
+        import sys
+
+        r = subprocess.run(
+            [sys.executable, "-m", "pixo_tpu", "--help"],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert r.returncode == 0
+        assert "-o" in r.stdout and "--preset" in r.stdout
+
     def test_dry_run_writes_nothing(self, png_file, tmp_path):
         src, _ = png_file
         out = tmp_path / "never.png"
