@@ -106,6 +106,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-f", "--format", choices=["png", "jpeg"], help="output format override")
     p.add_argument("-q", "--quality", type=int, default=85, help="JPEG quality 1-100")
     p.add_argument("--jpeg-optimize-huffman", action="store_true")
+    p.add_argument("--jpeg-optimal-huffman", action="store_true",
+                   help="package-merge tables (beyond parity; never larger)")
     p.add_argument("--jpeg-restart-interval", type=int, default=0, metavar="N")
     p.add_argument("--jpeg-progressive", action="store_true")
     p.add_argument("--jpeg-trellis", action="store_true")
@@ -198,6 +200,8 @@ def main(argv=None) -> int:
                 jopts.subsampling = Subsampling.S420
             if args.jpeg_optimize_huffman:
                 jopts.optimize_huffman = True
+            if args.jpeg_optimal_huffman:
+                jopts.optimal_huffman = True
             if args.jpeg_progressive:
                 jopts.progressive = True
             if args.jpeg_trellis:

@@ -151,7 +151,7 @@ def _build_tables(
     pattern: Sequence[int],
     options: JpegOptions,
 ) -> HuffmanTables:
-    if not options.optimize_huffman:
+    if not (options.optimize_huffman or options.optimal_huffman):
         return HuffmanTables()
     dc_lum, dc_chrom, ac_lum, ac_chrom = _count(zz, pattern, options.restart_interval)
     is_gray = options.color_type == ColorType.GRAY
@@ -160,6 +160,7 @@ def _build_tables(
         None if is_gray else dc_chrom,
         ac_lum,
         None if is_gray else ac_chrom,
+        optimal=options.optimal_huffman,
     )
     return built if built is not None else HuffmanTables()
 
@@ -208,7 +209,9 @@ def _emit_jpeg(
             zz_scan, pattern, options.width, options.height
         )
         is_gray = options.color_type == ColorType.GRAY
-        huff = progressive.build_progressive_tables(comp_blocks, script, is_gray)
+        huff = progressive.build_progressive_tables(
+            comp_blocks, script, is_gray, optimal=options.optimal_huffman
+        )
         if huff is None:
             huff = HuffmanTables()
         markers.write_sof(

@@ -319,7 +319,7 @@ def _run_scan(scan: ScanSpec, comp_blocks, dc_sinks, ac_sinks) -> None:
 
 
 def build_progressive_tables(
-    comp_blocks, script: List[ScanSpec], is_gray: bool
+    comp_blocks, script: List[ScanSpec], is_gray: bool, optimal: bool = False
 ) -> Optional[HuffmanTables]:
     """Count the actual progressive scan symbols and build matching tables."""
     from ..native import native_count_progressive_scan
@@ -359,6 +359,7 @@ def build_progressive_tables(
         None if is_gray else dc_counts[1],
         ac_counts[0],
         None if is_gray else ac_counts[1],
+        optimal=optimal,
     )
 
 

@@ -134,6 +134,10 @@ class JpegOptions:
     optimize_huffman: bool = False
     progressive: bool = False
     trellis_quant: bool = False
+    # Beyond parity: build the two-pass tables with length-limited
+    # package-merge + the libjpeg dummy-symbol trick instead of the
+    # reference's depth+1 scheme (never larger; implies the counting pass).
+    optimal_huffman: bool = False
 
     @classmethod
     def fast(cls, width: int, height: int, quality: int = 75) -> "JpegOptions":

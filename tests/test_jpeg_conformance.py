@@ -76,6 +76,37 @@ class TestDecodeOracle:
         assert len(opt) <= len(base)
         np.testing.assert_array_equal(decode(base), decode(opt))
 
+    @pytest.mark.parametrize("prog", [False, True])
+    @pytest.mark.parametrize("sub", [Subsampling.S444, Subsampling.S420])
+    def test_optimal_huffman(self, prog, sub):
+        """Beyond parity: package-merge tables (optimal_huffman=True) decode
+        to identical pixels and are never larger than the reference's
+        depth+1 scheme (optimize_huffman=True) or the std tables."""
+        rng = np.random.default_rng(9)
+        img = synth_gradient(56, 72, 3).astype(np.int16)
+        img = (img + rng.integers(-20, 21, img.shape)).clip(0, 255).astype(np.uint8)
+        common = dict(width=72, height=56, quality=85, subsampling=sub,
+                      progressive=prog)
+        std = jpeg.encode(img, JpegOptions(**common))
+        ref_opt = jpeg.encode(img, JpegOptions(optimize_huffman=True, **common))
+        opt = jpeg.encode(img, JpegOptions(optimal_huffman=True, **common))
+        assert len(opt) <= len(ref_opt)
+        assert len(opt) <= len(std)
+        np.testing.assert_array_equal(decode(std), decode(opt))
+
+    def test_optimal_huffman_gray_and_edge(self):
+        """Gray path + tiny/solid images (degenerate histograms: single
+        symbols, empty chroma) stay valid JPEGs."""
+        solid = np.full((8, 8, 1), 200, np.uint8)
+        opts = JpegOptions(width=8, height=8, quality=85,
+                           color_type=ColorType.GRAY, optimal_huffman=True)
+        dec = decode(jpeg.encode(solid, opts), "L")
+        assert np.abs(dec.astype(int) - 200).max() <= 2
+        one = np.array([[[13]]], np.uint8)
+        opts = JpegOptions(width=1, height=1, quality=50,
+                           color_type=ColorType.GRAY, optimal_huffman=True)
+        decode(jpeg.encode(one, opts), "L")
+
     def test_restart_interval_same_pixels(self, gradient_rgb):
         a = jpeg.encode(gradient_rgb, JpegOptions(width=64, height=64, quality=85))
         b = jpeg.encode(
