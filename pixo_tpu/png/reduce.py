@@ -27,15 +27,33 @@ import numpy as np
 from ..color import ColorType
 
 
+_SAMPLE_CAP = 4096
+
+
+def _sample(data: np.ndarray) -> np.ndarray:
+    """Strided row sample for cheap early rejection (exact: a property that
+    fails on the sample fails on the full image)."""
+    n = data.shape[0]
+    if n <= _SAMPLE_CAP:
+        return data
+    return data[:: max(n // _SAMPLE_CAP, 1)]
+
+
 def all_gray_rgb(data: np.ndarray) -> bool:
     """data: [N, 3] uint8."""
+    s = _sample(data)
+    if not ((s[:, 0] == s[:, 1]).all() and (s[:, 1] == s[:, 2]).all()):
+        return False
     return bool((data[:, 0] == data[:, 1]).all() and (data[:, 1] == data[:, 2]).all())
 
 
 def analyze_rgba(data: np.ndarray) -> Tuple[bool, bool]:
     """data: [N, 4] uint8 -> (all_opaque, all_gray)."""
-    all_opaque = bool((data[:, 3] == 255).all())
-    all_gray = bool((data[:, 0] == data[:, 1]).all() and (data[:, 1] == data[:, 2]).all())
+    s = _sample(data)
+    all_opaque = bool((s[:, 3] == 255).all()) and bool((data[:, 3] == 255).all())
+    all_gray = bool(
+        (s[:, 0] == s[:, 1]).all() and (s[:, 1] == s[:, 2]).all()
+    ) and bool((data[:, 0] == data[:, 1]).all() and (data[:, 1] == data[:, 2]).all())
     return all_opaque, all_gray
 
 
@@ -196,6 +214,12 @@ def build_palette(
         ) | (pixels[:, 1].astype(np.uint32) << 16) | (
             pixels[:, 2].astype(np.uint32) << 8
         ) | pixels[:, 3].astype(np.uint32)
+    # cheap early rejection: if even a strided sample exceeds 256 unique
+    # colors, the full image certainly does (the full unique below argsorts
+    # every pixel — ~30 ms at 512x512 — so skip it for truecolor content)
+    if len(keys) > _SAMPLE_CAP:
+        if len(np.unique(keys[:: max(len(keys) // _SAMPLE_CAP, 1)])) > 256:
+            return None
     uniq, inv = np.unique(keys, return_inverse=True)
     if len(uniq) > 256:
         return None
