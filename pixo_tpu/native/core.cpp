@@ -2257,10 +2257,20 @@ EXPORT int64_t deflate_compress_optimal(const uint8_t* data, int64_t len,
 
             CostModel cm;
             cm.from_fixed();
-            std::vector<Token> tokens;
+            std::vector<Token> tokens, prev_tokens;
             for (int it = 0; it < iterations; it++) {
                 optimal_parse_block(p, cm, tokens);
+                // exact convergence: an unchanged parse yields the same
+                // histogram, hence the same cost model, hence the same
+                // parse on every further iteration — identical output,
+                // so stop early (the reference iterates on a 0.1% size
+                // threshold; token equality is the lossless version)
+                if (it > 0 && tokens.size() == prev_tokens.size() &&
+                    memcmp(tokens.data(), prev_tokens.data(),
+                           tokens.size() * sizeof(Token)) == 0)
+                    break;
                 if (it + 1 < iterations) {
+                    prev_tokens = tokens;
                     uint64_t lit_freq[286] = {0}, dist_freq[30] = {0};
                     for (const Token& t : tokens) {
                         if (t.v & 0x80000000u) {
