@@ -46,6 +46,28 @@ def deflate_optimal_zlib(data: bytes, iterations: int = 5) -> bytes:
     return greedy
 
 
+def _zlib_inflate_capped(data: bytes, wbits: int, expected_size: int | None) -> bytes:
+    """zlib fallback with the same decompression-bomb guard as the native
+    path: never materialize more than expected_size+1 bytes (the +1 makes
+    oversize detectable), and reject trailing unconsumed compressed input."""
+    if expected_size is None:
+        return _zlib.decompress(data, wbits)
+    from ..errors import InvalidDecode
+
+    d = _zlib.decompressobj(wbits)
+    try:
+        out = d.decompress(data, expected_size + 1)
+    except _zlib.error as e:
+        raise InvalidDecode(f"inflate failed: {e}") from e
+    if len(out) > expected_size:
+        raise InvalidDecode(
+            f"inflated output exceeds expected size {expected_size}"
+        )
+    if d.unconsumed_tail:
+        raise InvalidDecode("inflate: compressed input after expected output")
+    return out
+
+
 def inflate_zlib(data: bytes, expected_size: int | None = None) -> bytes:
     """Inverse of deflate_zlib; uses the native INFLATE when available."""
     from ..native import native_inflate
@@ -54,7 +76,7 @@ def inflate_zlib(data: bytes, expected_size: int | None = None) -> bytes:
         out = native_inflate(data, expected_size, True)
         if out is not None:
             return out
-    return _zlib.decompress(data)
+    return _zlib_inflate_capped(data, _zlib.MAX_WBITS, expected_size)
 
 
 def inflate_raw(data: bytes, expected_size: int | None = None) -> bytes:
@@ -64,4 +86,4 @@ def inflate_raw(data: bytes, expected_size: int | None = None) -> bytes:
         out = native_inflate(data, expected_size, False)
         if out is not None:
             return out
-    return _zlib.decompress(data, -15)
+    return _zlib_inflate_capped(data, -15, expected_size)
