@@ -173,6 +173,12 @@ def _configure(lib) -> None:
         u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, u8p,
     ]
 
+    lib.png_filter_apply.restype = ctypes.c_int32
+    lib.png_filter_apply.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, u8p,
+    ]
+
     lib.jpeg_trellis_quantize.restype = ctypes.c_int32
     lib.jpeg_trellis_quantize.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
@@ -642,6 +648,27 @@ def native_jpeg_prog_ac_segment(
 
 class NativeDecodeError(Exception):
     """Malformed entropy stream detected by a native decode segment."""
+
+
+def native_png_filter(rows, bpp: int, mode: int, sticky: bool):
+    """Forward filter [H, RB] uint8 rows -> [H, RB+1] rows with the filter
+    id as the leading byte, or None if the native tier is unavailable.
+
+    mode: 0-4 fixed id; 5 adaptive/min-sum; 6 adaptive-fast; 7 bigrams.
+    Bit-identical to the device filter bank (tests/test_filter_parity.py).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "png_filter_apply"):
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.uint8)
+    height, rb = rows.shape
+    out = np.empty((height, rb + 1), dtype=np.uint8)
+    rc = lib.png_filter_apply(
+        _u8(rows), height, rb, bpp, mode, 1 if sticky else 0, _u8(out)
+    )
+    if rc != 0:
+        return None
+    return out
 
 
 def native_png_unfilter(rows, bpp: int):

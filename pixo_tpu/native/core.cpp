@@ -1333,6 +1333,164 @@ EXPORT int32_t png_unfilter(const uint8_t* rows, int64_t height,
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Forward PNG filtering: the host tier of the filter bank. Bit-identical to
+// the device kernels in pixo_tpu/ops/png_filters.py (same candidates, same
+// signed-abs scores, same selection rules as the reference's
+// adaptive_filter / adaptive_filter_fast / bigrams_filter,
+// pixo src/png/filter.rs:302-527). Used for single-image encodes where a
+// device round-trip costs more than the filtering itself; the fused device
+// dispatch remains the batch path.
+// ---------------------------------------------------------------------------
+
+namespace pngfilter {
+
+static inline void filter_row(int f, const uint8_t* cur, const uint8_t* prev,
+                              int64_t rb, int bpp, uint8_t* out) {
+    switch (f) {
+        case 0:
+            memcpy(out, cur, (size_t)rb);
+            break;
+        case 1:  // Sub
+            for (int64_t i = 0; i < bpp && i < rb; i++) out[i] = cur[i];
+            for (int64_t i = bpp; i < rb; i++)
+                out[i] = (uint8_t)(cur[i] - cur[i - bpp]);
+            break;
+        case 2:  // Up
+            for (int64_t i = 0; i < rb; i++) out[i] = (uint8_t)(cur[i] - prev[i]);
+            break;
+        case 3:  // Average
+            for (int64_t i = 0; i < bpp && i < rb; i++)
+                out[i] = (uint8_t)(cur[i] - (prev[i] >> 1));
+            for (int64_t i = bpp; i < rb; i++)
+                out[i] = (uint8_t)(cur[i] - ((cur[i - bpp] + prev[i]) >> 1));
+            break;
+        default: {  // Paeth
+            for (int64_t i = 0; i < bpp && i < rb; i++)
+                out[i] = (uint8_t)(cur[i] - prev[i]);  // a=c=0 -> pred=b
+            for (int64_t i = bpp; i < rb; i++) {
+                int a = cur[i - bpp], b = prev[i], c = prev[i - bpp];
+                int p = a + b - c;
+                int pa = p > a ? p - a : a - p;
+                int pb = p > b ? p - b : b - p;
+                int pc = p > c ? p - c : c - p;
+                int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+                out[i] = (uint8_t)(cur[i] - pred);
+            }
+            break;
+        }
+    }
+}
+
+// sum of |byte as i8| (the reference's minimum-sum-of-absolute-differences
+// heuristic, score_filter src/png/filter.rs:614-627)
+static inline int64_t signed_abs_score(const uint8_t* row, int64_t rb) {
+    int64_t s = 0;
+    for (int64_t i = 0; i < rb; i++) {
+        int b = row[i];
+        s += b < 128 ? b : 256 - b;
+    }
+    return s;
+}
+
+}  // namespace pngfilter
+
+// mode: 0-4 fixed filter id; 5 adaptive/min-sum (early stop rb/4+1);
+//       6 adaptive-fast (Sub/Up/Paeth, early stop rb/8+1, optional sticky);
+//       7 bigrams (fewest distinct consecutive byte pairs).
+// out: height x (row_bytes+1) rows, leading byte = chosen filter id.
+EXPORT int32_t png_filter_apply(const uint8_t* data, int64_t height,
+                                int64_t row_bytes, int32_t bpp, int32_t mode,
+                                int32_t sticky, uint8_t* out) {
+    using pngfilter::filter_row;
+    using pngfilter::signed_abs_score;
+    const int64_t rb = row_bytes;
+    if (height <= 0 || rb <= 0 || bpp <= 0) return -1;
+    std::vector<uint8_t> zero(rb, 0);
+    std::vector<uint8_t> tmp((size_t)rb * 5);
+    // bigram distinct-count scratch: stamp array over 2^16 pair keys
+    std::vector<int32_t> marks;
+    int32_t gen = 0;
+    if (mode == 7) marks.assign(65536, -1);
+
+    int sticky_id = -1;
+    for (int64_t y = 0; y < height; y++) {
+        const uint8_t* cur = data + y * rb;
+        const uint8_t* prev = y == 0 ? zero.data() : data + (y - 1) * rb;
+        uint8_t* orow = out + y * (rb + 1);
+        int chosen;
+        if (mode <= 4) {
+            chosen = mode;
+            filter_row(chosen, cur, prev, rb, bpp, orow + 1);
+        } else if (mode == 6 && sticky_id >= 0) {
+            chosen = sticky_id;
+            filter_row(chosen, cur, prev, rb, bpp, orow + 1);
+        } else if (mode == 5) {
+            // reference adaptive_filter: try None,Sub,Up,Avg,Paeth in order,
+            // keep strict improvements, stop early at <= rb/4+1
+            const int64_t early = rb / 4 + 1;
+            int64_t best = INT64_MAX;
+            chosen = 0;
+            for (int f = 0; f < 5; f++) {
+                uint8_t* buf = tmp.data() + (size_t)f * rb;
+                filter_row(f, cur, prev, rb, bpp, buf);
+                int64_t s = signed_abs_score(buf, rb);
+                if (s < best) { best = s; chosen = f; }
+                if (best <= early) break;
+            }
+            memcpy(orow + 1, tmp.data() + (size_t)chosen * rb, (size_t)rb);
+        } else if (mode == 6) {
+            // reference adaptive_filter_fast: Sub, Up, Paeth; early rb/8+1
+            const int64_t early = rb / 8 + 1;
+            uint8_t* b1 = tmp.data() + (size_t)1 * rb;
+            uint8_t* b2 = tmp.data() + (size_t)2 * rb;
+            uint8_t* b4 = tmp.data() + (size_t)4 * rb;
+            filter_row(1, cur, prev, rb, bpp, b1);
+            int64_t s1 = signed_abs_score(b1, rb);
+            if (s1 <= early) {
+                chosen = 1;
+            } else {
+                filter_row(2, cur, prev, rb, bpp, b2);
+                int64_t s2 = signed_abs_score(b2, rb);
+                int best12 = s2 < s1 ? 2 : 1;
+                int64_t sb12 = s2 < s1 ? s2 : s1;
+                if (sb12 <= early) {
+                    chosen = best12;
+                } else {
+                    filter_row(4, cur, prev, rb, bpp, b4);
+                    int64_t s4 = signed_abs_score(b4, rb);
+                    chosen = s4 < sb12 ? 4 : best12;
+                }
+            }
+            memcpy(orow + 1, tmp.data() + (size_t)chosen * rb, (size_t)rb);
+            if (sticky) sticky_id = chosen;
+        } else if (mode == 7) {
+            // reference bigrams_filter: fewest distinct consecutive pairs
+            int64_t best = INT64_MAX;
+            chosen = 0;
+            for (int f = 0; f < 5; f++) {
+                uint8_t* buf = tmp.data() + (size_t)f * rb;
+                filter_row(f, cur, prev, rb, bpp, buf);
+                int64_t distinct = 0;
+                gen++;
+                for (int64_t i = 0; i + 1 < rb; i++) {
+                    uint32_t key = ((uint32_t)buf[i] << 8) | buf[i + 1];
+                    if (marks[key] != gen) {
+                        marks[key] = gen;
+                        distinct++;
+                    }
+                }
+                if (distinct < best) { best = distinct; chosen = f; }
+            }
+            filter_row(chosen, cur, prev, rb, bpp, orow + 1);
+        } else {
+            return -1;
+        }
+        orow[0] = (uint8_t)chosen;
+    }
+    return 0;
+}
+
 // =============================== DEFLATE ====================================
 
 namespace deflate {

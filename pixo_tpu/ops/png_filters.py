@@ -220,6 +220,44 @@ def apply_filters_batch(
     return [out[i].tobytes() for i in range(b)]
 
 
+_NATIVE_MODES = {
+    FilterStrategy.NONE: 0,
+    FilterStrategy.SUB: 1,
+    FilterStrategy.UP: 2,
+    FilterStrategy.AVERAGE: 3,
+    FilterStrategy.PAETH: 4,
+    FilterStrategy.ADAPTIVE: 5,
+    FilterStrategy.MIN_SUM: 5,
+    FilterStrategy.ADAPTIVE_FAST: 6,
+    FilterStrategy.BIGRAMS: 7,
+}
+
+
+def _native_filter_rows(rows, bpp, strategy, small, sticky):
+    """Host-tier forward filter; None when unavailable or disabled.
+
+    Same strategy semantics as filter_image (including the small-image
+    Sub override); bit-identical output (tests/test_filter_parity.py).
+    """
+    import os
+
+    pref = os.environ.get("PIXO_TPU_PNG_FILTER", "auto")
+    if pref == "device":
+        return None
+    from ..native import native_png_filter
+
+    strat = FilterStrategy(strategy) if isinstance(strategy, str) else strategy
+    if small and strat in (
+        FilterStrategy.ADAPTIVE, FilterStrategy.ADAPTIVE_FAST,
+        FilterStrategy.BIGRAMS,
+    ):
+        strat = FilterStrategy.SUB
+    return native_png_filter(
+        rows, bpp, _NATIVE_MODES[strat],
+        sticky and strat == FilterStrategy.ADAPTIVE_FAST,
+    )
+
+
 def apply_filters(
     data: np.ndarray,
     width: int,
@@ -233,10 +271,29 @@ def apply_filters(
     """Host wrapper: raw bytes -> PNG-filtered bytes with type-byte rows.
 
     Mirrors ``apply_filters_with_row_bytes`` (``src/png/filter.rs:64-206``).
+    Single images go through the native host tier when available (a device
+    round-trip costs more than the filtering itself and the filtered bytes
+    are needed on host for DEFLATE anyway); batches use the fused device
+    dispatch (apply_filters_batch). Override with PIXO_TPU_PNG_FILTER=
+    device|native|auto.
     """
     rows = np.frombuffer(data, dtype=np.uint8).reshape(height, row_bytes)
     small = width * height <= 4096
     sticky = height <= 32  # sequential path stickiness for AdaptiveFast
+    out = _native_filter_rows(rows, bpp, strategy, small, sticky)
+    if out is not None:
+        ids = out[:, 0]
+        if verbose_filter_log:
+            counts = np.bincount(ids, minlength=5)
+            import sys
+
+            print(
+                f"PNG filters: strategy={strategy.name}, rows={height} "
+                f"counts={{None:{counts[0]}, Sub:{counts[1]}, Up:{counts[2]}, "
+                f"Avg:{counts[3]}, Paeth:{counts[4]}}}",
+                file=sys.stderr,
+            )
+        return out.tobytes()
     filtered, ids = filter_image(
         jnp.asarray(rows),
         bpp=bpp,

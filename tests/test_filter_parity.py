@@ -100,3 +100,47 @@ class TestFilterMath:
         )
         assert np.asarray(ids)[0] == FILTER_NONE
         np.testing.assert_array_equal(np.asarray(filtered)[0], rows[0])
+
+
+class TestNativeHostTier:
+    """The C++ host filter tier (native png_filter_apply) must be
+    bit-identical to the device filter bank for every strategy — the same
+    contract as the reference's scalar/SIMD tier equality suite."""
+
+    def _cases(self):
+        import itertools
+
+        rng = np.random.default_rng(42)
+        shapes = [(1, 4, 1), (3, 7, 1), (16, 16, 3), (33, 20, 4), (40, 65, 2)]
+        for (h, w, bpp) in shapes:
+            smooth = rng.integers(0, 8, (h, w * bpp), np.uint8).cumsum(
+                axis=1, dtype=np.uint32).astype(np.uint8)
+            noisy = rng.integers(0, 256, (h, w * bpp), np.uint8)
+            for rows in (smooth, noisy):
+                yield h, w, bpp, rows
+
+    def test_native_matches_device_all_strategies(self):
+        import pytest
+
+        from pixo_tpu.native import native_available
+        from pixo_tpu.options import FilterStrategy
+        from pixo_tpu.ops.png_filters import _native_filter_rows, filter_image
+
+        if not native_available():
+            pytest.skip("native tier unavailable")
+        for h, w, bpp, rows in self._cases():
+            small = w * h <= 4096
+            sticky = h <= 32
+            for strat in FilterStrategy:
+                native = _native_filter_rows(rows, bpp, strat, small, sticky)
+                assert native is not None
+                filtered, ids = filter_image(
+                    jnp.asarray(rows), bpp=bpp, strategy=strat.value,
+                    small_image=small, sticky_fast=sticky,
+                )
+                assert np.array_equal(
+                    native[:, 0].astype(np.int32), np.asarray(ids)
+                ), (h, w, bpp, strat)
+                assert np.array_equal(native[:, 1:], np.asarray(filtered)), (
+                    h, w, bpp, strat,
+                )
