@@ -20,6 +20,7 @@
 #include <cstdlib>
 #include <vector>
 #include <algorithm>
+#include <cmath>
 #if defined(__AVX2__)
 #include <immintrin.h>
 #endif
@@ -1666,18 +1667,24 @@ static inline Token match_token(int len, int dist) {
 struct Lz77Config { int chain, depth_cap, nice, lazy; };
 
 static Lz77Config config_for_level(int level) {
-    // Capability-parity ladder with pixo's level table
-    // (src/compress/lz77.rs:1415-1488): chain length, search depth,
-    // nice-match cutoff, lazy policy all scale with level.
+    // pixo's level table (src/compress/lz77.rs:1415-1488):
+    // {max_chain_length, max_search_depth, nice_length, lazy kind}; the
+    // effective walk limit is min(chain, depth) like the reference's
+    // chain_limit.min(max_search_depth). Levels 2 and 6 (the fast/balanced
+    // preset workhorses) keep deeper search + higher nice cutoffs than the
+    // reference: its {8,6,10}/{128,35,65} lose 18-32% to zlib on
+    // interleaved mostly-zero residual rows (row-period matches sit deeper
+    // than 35 in the zero-gram chain), which is exactly the content PNG
+    // filtering emits — see test_ratio_competitive_on_filtered_rows.
     switch (level) {
         case 1: return {4, 4, 32, 0};
         case 2: return {8, 8, 48, 0};
-        case 3: return {16, 16, 64, 0};
-        case 4: return {24, 24, 96, 1};
-        case 5: return {48, 48, 128, 1};
-        case 6: return {128, 96, 192, 1};
-        case 7: return {256, 160, 258, 2};
-        case 8: return {1024, 320, 258, 2};
+        case 3: return {16, 12, 14, 0};
+        case 4: return {32, 16, 30, 0};
+        case 5: return {64, 16, 30, 1};
+        case 6: return {128, 128, 128, 1};
+        case 7: return {256, 100, 130, 1};
+        case 8: return {1024, 300, 258, 2};
         default: return {4096, 600, 258, 2};
     }
 }
@@ -1742,13 +1749,53 @@ struct Matcher {
         return head3[hash3(data + pos)];
     }
 
-    // find best match at pos; returns length (0 if none), sets dist
-    inline int find(int64_t pos, int chain, int nice, int* dist_out) {
-        if (pos + MIN_MATCH > n) return 0;
+    // find best match at pos; returns length (0 if none < mml), sets dist.
+    // mml is the content-adaptive minimum match length (parity with pixo's
+    // calculate_min_match_len, lz77.rs:329-360 / libdeflate): on
+    // high-literal-diversity data, short matches cost more bits than the
+    // entropy-coded literals they replace and grinding the chains for them
+    // dominates runtime.
+    inline int find(int64_t pos, int chain, int nice, int mml, int* dist_out) {
+        if (pos + mml > n) return 0;
         int max_len = (int)std::min<int64_t>(MAX_MATCH, n - pos);
-        int best_len = 0, best_dist = 0;
+        int best_len = mml - 1, best_dist = 0;
         const uint8_t* cur = data + pos;
+        // same-byte-run seed (parity with pixo detect_same_byte_run,
+        // lz77.rs:617-637): dist-1 is optimal for runs, and seeding it here
+        // is what makes the sparse RLE hash inserts safe — without it a
+        // deep chain walks far-away run candidates instead of breaking
+        if (pos >= 1 && cur[0] == data[pos - 1]) {
+            int run = 1;
+            while (run < max_len && cur[run] == cur[0]) run++;
+            if (run >= mml) {
+                if (run >= nice || run == max_len) {
+                    *dist_out = 1;
+                    return run;
+                }
+                best_len = run;
+                best_dist = 1;
+            }
+        }
+        if (mml <= MIN_MATCH && best_dist == 0) {  // hash3: len-3 coverage
+            int32_t c3 = probe3(pos);
+            if (c3 >= 0) {
+                int64_t dist = pos - c3;
+                if (dist > 0 && dist <= WINDOW) {
+                    int len = match_length(cur, data + c3, max_len);
+                    if (len > best_len) {
+                        best_len = len;
+                        best_dist = (int)dist;
+                        if (best_len >= nice || best_len == max_len) {
+                            *dist_out = best_dist;
+                            return best_len;
+                        }
+                    }
+                }
+            }
+        }
         if (pos + 4 <= n) {  // 4-byte chain search (guard the 4-byte read)
+            uint32_t cur32;
+            memcpy(&cur32, cur, 4);
             uint32_t h = hash4(cur);
             int32_t cand = head[h];
             while (cand >= 0 && chain-- > 0) {
@@ -1756,7 +1803,12 @@ struct Matcher {
                 if (dist > WINDOW) break;
                 if (dist > 0) {
                     const uint8_t* cp = data + cand;
-                    if (best_len == 0 || cp[best_len] == cur[best_len]) {
+                    // quick rejection: candidate must extend the current
+                    // best and share the 4-byte prefix (hash4 can collide)
+                    uint32_t c32;
+                    memcpy(&c32, cp, 4);
+                    if (c32 == cur32 &&
+                        (best_len < 4 || cp[best_len] == cur[best_len])) {
                         int len = match_length(cur, cp, max_len);
                         if (len > best_len) {
                             best_len = len;
@@ -1768,24 +1820,29 @@ struct Matcher {
                 cand = prev[cand];
             }
         }
-        if (best_len < MIN_MATCH) {
-            int32_t c3 = probe3(pos);
-            if (c3 >= 0) {
-                int64_t dist = pos - c3;
-                if (dist > 0 && dist <= WINDOW) {
-                    int len = match_length(cur, data + c3, max_len);
-                    if (len > best_len && len >= MIN_MATCH) {
-                        best_len = len;
-                        best_dist = (int)dist;
-                    }
-                }
-            }
-        }
-        if (best_len < MIN_MATCH) return 0;
+        if (best_dist == 0) return 0;
         *dist_out = best_dist;
         return best_len;
     }
 };
+
+// content-adaptive minimum match length (parity with pixo
+// choose_min_match_len, lz77.rs:343-360): count distinct byte values in the
+// first 4 KiB; diverse literals + deep search => require longer matches.
+static int calc_min_match(const uint8_t* data, int64_t len, int depth) {
+    if (depth <= 4) return MIN_MATCH;
+    bool used[256] = {false};
+    int num_used = 0;
+    int64_t scan = std::min<int64_t>(len, 4096);
+    for (int64_t i = 0; i < scan; i++) {
+        if (!used[data[i]]) { used[data[i]] = true; num_used++; }
+    }
+    int mml = MIN_MATCH;
+    if (num_used > 32) mml = 4;
+    if (num_used > 64 && depth >= 10) mml = 5;
+    if (num_used > 96 && depth >= 20) mml = 6;
+    return mml;
+}
 
 // emit a block of tokens with the best of (dynamic, fixed) huffman coding
 static void emit_block(LsbWriter& w, const std::vector<Token>& tokens,
@@ -1951,22 +2008,32 @@ namespace deflate {
 // even on random data, by the birthday bound) — incompressible inputs
 // are instead caught by the per-block stored-vs-dynamic size comparison
 // in emit_block, matching the reference's observed behavior.
+// Stored-block bail: fire only when the sample shows (a) essentially no
+// repeated 4-grams (no LZ matches to find) AND (b) a near-flat byte
+// histogram (no entropy-coding win either). Measured exact 4-gram duplicate
+// rates: random 0.000, JPEG bytes 0.026, entropy-codable PNG residuals
+// 0.0004 but ~6.5-bit literals (must NOT bail), text 0.99.
 static bool is_high_entropy(const uint8_t* data, int64_t len) {
     if (len < 4096) return false;
     int64_t sample_len = std::min<int64_t>(len, 8192);
-    const int HASH_SIZE = 4096;
-    bool seen[HASH_SIZE];
-    memset(seen, 0, sizeof(seen));
-    int64_t collisions = 0;
-    for (int64_t i = 0; i + 4 <= sample_len; i++) {
-        uint32_t v;
-        memcpy(&v, data + i, 4);
-        uint32_t h = (v * 0x1E35A7BDu) >> 20;
-        if (seen[h & (HASH_SIZE - 1)]) collisions++;
-        else seen[h & (HASH_SIZE - 1)] = true;
+    // (b) literal entropy over the sample
+    int64_t hist[256] = {0};
+    for (int64_t i = 0; i < sample_len; i++) hist[data[i]]++;
+    double entropy = 0.0;
+    for (int v = 0; v < 256; v++) {
+        if (!hist[v]) continue;
+        double p = (double)hist[v] / (double)sample_len;
+        entropy -= p * std::log2(p);
     }
+    if (entropy <= 7.9) return false;
+    // (a) exact distinct-4-gram count over the sample
     int64_t total = sample_len - 3;
-    return (float)collisions / (float)total < 0.05f;
+    std::vector<uint32_t> grams((size_t)total);
+    for (int64_t i = 0; i < total; i++) memcpy(&grams[i], data + i, 4);
+    std::sort(grams.begin(), grams.end());
+    int64_t dups = 0;
+    for (int64_t i = 1; i < total; i++) dups += grams[i] == grams[i - 1];
+    return (double)dups / (double)total < 0.01;
 }
 
 static void emit_stored_all(LsbWriter& w, const uint8_t* data, int64_t len) {
@@ -2121,6 +2188,7 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
     } else {
         Lz77Config cfg = config_for_level(level);
         Matcher m(data, len);
+        const int mml = calc_min_match(data, len, cfg.depth_cap);
         // Block every ~256 KiB of input for histogram locality.
         const int64_t BLOCK_INPUT = 256 * 1024;
         int64_t pos = 0;
@@ -2133,11 +2201,16 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
             // incompressible-mode heuristic state (parity concept with
             // pixo src/compress/lz77.rs: after a long literal run, throttle)
             int64_t literal_run = 0;
+            // lazy-deferral carry: the match already found at this position
+            // during the previous iteration's lookahead (parity with pixo's
+            // pending_match, lz77.rs:419,484-489 — prevents both cascading
+            // deferrals and a wasted duplicate chain walk)
+            int pend_len = 0, pend_dist = 0;
 
             while (pos < block_end) {
                 // same-byte-run fast path (dist=1 RLE, parity concept with
                 // pixo detect_same_byte_run, lz77.rs:272-316)
-                if (pos > 0 && data[pos] == data[pos - 1] &&
+                if (pend_len == 0 && pos > 0 && data[pos] == data[pos - 1] &&
                     pos + MIN_MATCH <= len && data[pos + 1] == data[pos] &&
                     data[pos + 2] == data[pos]) {
                     int run = 0;
@@ -2151,7 +2224,7 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
                     // beats zero-run + literal parses by >20%. The hash
                     // chain finds the same dist-1 run anyway (nearest-first),
                     // so nothing is lost by falling through.
-                    if (run == (int)limit && run >= MIN_MATCH) {
+                    if (run == (int)limit && run >= mml) {
                         tokens.push_back(match_token(run, 1));
                         literal_run = 0;
                         int64_t end = pos + run;
@@ -2165,7 +2238,7 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
                 // src/compress/lz77.rs: after 512 straight literals, probe
                 // sparsely and update the hash sparsely until data turns
                 // compressible again)
-                if (literal_run > 512) {
+                if (pend_len == 0 && literal_run > 512) {
                     if ((pos & 255) != 0) {
                         tokens.push_back(lit_token(data[pos]));
                         if ((pos & 63) == 0) m.insert(pos);
@@ -2174,7 +2247,7 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
                         continue;
                     }
                     int dist_i = 0;
-                    int best_i = m.find(pos, 1, cfg.nice, &dist_i);
+                    int best_i = m.find(pos, 1, cfg.nice, mml, &dist_i);
                     if (best_i >= MIN_MATCH) {
                         tokens.push_back(match_token(best_i, dist_i));
                         literal_run = 0;
@@ -2190,42 +2263,65 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
                     continue;
                 }
                 int dist = 0;
-                int chain = cfg.chain;
-                int best = m.find(pos, chain, cfg.nice, &dist);
-                // len-3 matches at long range cost more bits than the
-                // literals they replace (zlib's TOO_FAR rule) and keep
-                // random data out of incompressible mode
-                if (best == MIN_MATCH && dist > 4096) best = 0;
+                int best;
+                bool cur_inserted = false;  // pos already in the hash chains?
+                if (pend_len != 0) {
+                    // use the lookahead match found last iteration directly
+                    best = pend_len;
+                    dist = pend_dist;
+                    pend_len = 0;
+                } else {
+                    best = m.find(pos, std::min(cfg.chain, cfg.depth_cap), cfg.nice, mml, &dist);
+                    // len-3 matches at long range cost more bits than the
+                    // literals they replace (zlib's TOO_FAR rule) and keep
+                    // random data out of incompressible mode
+                    if (best == MIN_MATCH && dist > 8192) best = 0;
 
-                if (best >= MIN_MATCH && cfg.lazy && best < cfg.nice && pos + 1 < block_end) {
-                    // lazy evaluation: check if next position has a better match
-                    m.insert(pos);
-                    int dist2 = 0;
-                    int best2 = m.find(pos + 1, chain, cfg.nice, &dist2);
-                    if (best2 > best + (cfg.lazy >= 2 ? 0 : 1)) {
-                        tokens.push_back(lit_token(data[pos]));
-                        literal_run++;
-                        pos += 1;
-                        continue;
+                    // lazy evaluation (parity with lz77.rs:513-561): skip
+                    // for "good enough" matches (GOOD_MATCH_LENGTH=16) and
+                    // defer only when the next match is >= 3 bytes longer
+                    // (a literal costs ~8-9 bits; +3 match bytes justify it)
+                    // or reaches the nice cutoff. Lazy2 halves the chain.
+                    const int GOOD_MATCH = 16;
+                    if (best >= MIN_MATCH && cfg.lazy && best < cfg.nice &&
+                        best < GOOD_MATCH && pos + 1 < block_end) {
+                        m.insert(pos);
+                        cur_inserted = true;
+                        int next_chain = cfg.lazy >= 2
+                            ? (cfg.chain / 2 > 1 ? cfg.chain / 2 : 1)
+                            : cfg.chain;
+                        next_chain = std::min(next_chain, cfg.depth_cap);
+                        int dist2 = 0;
+                        int best2 = m.find(pos + 1, next_chain, cfg.nice, mml, &dist2);
+                        if (best2 >= best + 3 || best2 >= cfg.nice) {
+                            tokens.push_back(lit_token(data[pos]));
+                            literal_run++;
+                            pend_len = best2;
+                            pend_dist = dist2;
+                            pos += 1;
+                            continue;
+                        }
                     }
-                    // keep original match; insert positions it covers
-                    tokens.push_back(match_token(best, dist));
-                    literal_run = 0;
-                    int64_t end = pos + best;
-                    for (int64_t p = pos + 1; p < end && p < len; p++) m.insert(p);
-                    pos = end;
-                    continue;
                 }
 
                 if (best >= MIN_MATCH) {
                     tokens.push_back(match_token(best, dist));
                     literal_run = 0;
                     int64_t end = pos + best;
-                    for (int64_t p = pos; p < end && p < len; p++) m.insert(p);
+                    if (dist == 1) {
+                        // RLE match: chain only first and last positions so
+                        // dist-1 runs don't degenerate the hash chains
+                        // (parity with lz77.rs:565-575)
+                        if (!cur_inserted) m.insert(pos);
+                        if (end - 1 > pos && end - 1 < len) m.insert(end - 1);
+                    } else {
+                        for (int64_t p = pos + (cur_inserted ? 1 : 0);
+                             p < end && p < len; p++) m.insert(p);
+                    }
                     pos = end;
                 } else {
                     tokens.push_back(lit_token(data[pos]));
-                    m.insert(pos);
+                    if (!cur_inserted) m.insert(pos);
                     literal_run++;
                     pos += 1;
                 }

@@ -30,13 +30,17 @@ GOLDEN = {
     "jpeg_opt_checker": "91f9e03e196663b7d1159e1e70ef8eabce49b492f21744fa9b3af28d1640240e",
     "jpeg_prog": "b70ed3ec2ea4ff79b4917f5c6d456151e04f5c9300dfb2ad52b50dbdd6203445",
     "jpeg_max": "570eb96417cc414d1f187eb00736e73360914f8f90370e3f3381d9aeec5b7fa4",
-    # png_fast / png_adaptive_l9 updated 2026-08: the same-byte-run LZ77
-    # shortcut now only fires on maximal runs, letting long row-period
-    # matches win on interleaved residual rows (-20%+ on those outputs);
-    # plus a secondary 3-byte hash for len-3 coverage.
-    "png_fast": "ce97a02748cf32caef490be7a7ccdcb32065ae6a7d23621a7e43151a81b27379",
-    "png_balanced": "e6eddd35fb280c0fca2c2a8bd3bc1b999dce20f21a45894e9686a72e89da12ec",
-    "png_adaptive_l9": "f31f2791affee9be9754c8904fb4bd475e459a1967d4c98674273ea95a231b36",
+    # PNG digests updated 2026-08 (round 2): the LZ77 matcher now mirrors
+    # the reference's exact decision policy — its level ladder
+    # (chain/depth/nice/lazy, lz77.rs:1415-1488), GOOD_MATCH_LENGTH=16 lazy
+    # skip, +3 lazy deferral threshold with pending-match carry, adaptive
+    # min-match-length (choose_min_match_len), same-byte-run seeding, and
+    # sparse dist-1 hash inserts. Dense-residual DEFLATE got 2.8x faster;
+    # 512x512 sizes stayed below the reference presets (gradient balanced
+    # 4.4 KB vs the reference's 10.1 KB).
+    "png_fast": "754383923fe7a7b304fe2d6d2aed0ef1da8a44bbf6c80a4e16b2677c70ade80b",
+    "png_balanced": "ac7fe67069cb3aaf10890d94bfdba0ee53fa1cec7e84c9657196401ddff17049",
+    "png_adaptive_l9": "0c09fa7fa9d4a3dd62d1b318c92356344e5620e09b68689719841e6cfe4ce26d",
     "deflate_l6": "6fcb33821e5a9bbf64f10e8baea16e98c35323c07c348b043dd84146981ab1f1",
 }
 
