@@ -86,6 +86,47 @@ def main() -> None:
     rng = np.random.default_rng(0)
     imgs = np.stack([np.roll(base, int(s), axis=1) for s in rng.integers(0, 17, batch)])
 
+    # --- Secondary metric (BASELINE.json): PNG encode MP/s at matched
+    # compressed size. Host-tier measurement (native filter + DEFLATE; no
+    # TPU dependency). Reference rows (reference/benches/BENCHMARKS.md):
+    # balanced 512x512 gradient 10.1 KB / 4.70 ms (~55.8 MP/s);
+    # kodim photos level 6 ~8.5 MP/s.
+    try:
+        from pixo_tpu.color import ColorType
+        from pixo_tpu.options import PngOptions
+        from pixo_tpu.png import encoder as penc
+
+        rng2 = np.random.default_rng(1)
+        xg = np.linspace(0, 255, size)
+        photo = (
+            np.add.outer(xg, xg)[..., None] / 2
+            + rng2.normal(0, 12, (size, size, 3))
+        ).clip(0, 255).astype(np.uint8)
+        popts = PngOptions.balanced(size, size)
+        popts.color_type = ColorType.RGB
+        mp = size * size / 1e6
+        rows = {}
+        for pname, img in (("gradient", base), ("photo", photo)):
+            with Watchdog(WATCHDOG_S):
+                out = penc.encode(img, popts)
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    out = penc.encode(img, popts)
+                    best = min(best, time.perf_counter() - t0)
+            rows[pname] = (mp / best, len(out))
+        print(
+            "bench PNG balanced 512x512 (host tier): "
+            + " | ".join(
+                f"{k} {v[0]:.1f} MP/s, {v[1]} B" for k, v in rows.items()
+            )
+            + " (reference: gradient 55.8 MP/s @ 10.1 KB, photos ~8.5 MP/s)",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: png measurement failed: {exc}", file=sys.stderr)
+
+
     quant = QuantizationTables(85)
     lum = jnp.asarray(quant.luminance_table.reshape(8, 8))
     chrom = jnp.asarray(quant.chrominance_table.reshape(8, 8))
@@ -155,13 +196,46 @@ def main() -> None:
     host_mps = mp_per_batch / dt_host
 
     pipeline_mps = min(device_mps, host_mps)
+
+    # --- Stage 3: MEASURED double-buffered stream (not just min(stage)
+    # arithmetic): encode_jpeg_stream over >=8 batches, device-compacted
+    # sparse streams included. On the dev tunnel the per-batch d2h fetch
+    # sits in this wall clock, so it is a lower bound for real hosts.
+    measured_mps = None
+    try:
+        from pixo_tpu.options import JpegOptions
+        from pixo_tpu.parallel.pipeline import encode_jpeg_stream
+
+        opts = JpegOptions(width=size, height=size, quality=85)
+        n_stream = int(os.environ.get("BENCH_STREAM_BATCHES", "8"))
+        with Watchdog(WATCHDOG_S):
+            # warm (compile of the sharded path)
+            for _ in encode_jpeg_stream([imgs], opts):
+                pass
+            t0 = time.perf_counter()
+            total_imgs = 0
+            for outs in encode_jpeg_stream(
+                (imgs for _ in range(n_stream)), opts
+            ):
+                total_imgs += len(outs)
+            dt_stream = time.perf_counter() - t0
+        measured_mps = total_imgs * size * size / 1e6 / dt_stream
+    except Exception as exc:  # noqa: BLE001 - tunnel stalls must not kill bench
+        print(f"bench: stream measurement failed: {exc}", file=sys.stderr)
+
     print(
         f"bench: {batch}x{size}x{size} q85 420 | device {device_mps:.0f} MP/s | "
-        f"host pack {host_mps:.0f} MP/s | pipelined {pipeline_mps:.0f} MP/s | "
-        f"avg {int(np.mean(sizes))} B/img | d2h fetch {xfer_rate:.1f} MB/s "
-        f"(dev-tunnel artifact, excluded; v5e PCIe is ~3 orders faster)",
+        f"host pack {host_mps:.0f} MP/s | pipelined min(stage) {pipeline_mps:.0f} MP/s | "
+        f"measured stream {('%.0f' % measured_mps) if measured_mps else 'n/a'} MP/s "
+        f"(incl. dev-tunnel d2h) | avg {int(np.mean(sizes))} B/img | "
+        f"d2h fetch {xfer_rate:.1f} MB/s "
+        f"(dev-tunnel artifact; v5e PCIe is ~3 orders faster)",
         file=sys.stderr,
     )
+
+    # Headline stays the steady-state min(stage) figure: the measured
+    # stream number (reported above) includes the dev tunnel's MB/s-range
+    # d2h per batch, which real v5e PCIe hosts do not see.
     print(json.dumps({
         "metric": "jpeg_q85_420_encode_throughput",
         "value": round(pipeline_mps, 1),

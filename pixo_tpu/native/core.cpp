@@ -21,6 +21,8 @@
 #include <vector>
 #include <algorithm>
 #include <cmath>
+#include <cstdio>
+#include <ctime>
 #if defined(__AVX2__)
 #include <immintrin.h>
 #endif
@@ -2351,41 +2353,59 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
 
 namespace deflate {
 
+// Per-position match table stored as distance segments: lengths
+// MIN_MATCH..maxlen are covered contiguously (nearest-first first-write-wins
+// traversal), and the minimal distance changes only at a handful of length
+// breakpoints. Segment k covers lengths (hi[k-1], hi[k]] at distance
+// dist[k]. This replaces the dense 259-entry sublen row (68 MB per 128 KiB
+// block) with ~8.4 MB and lets the DP hoist the distance cost per segment.
+static const int MAX_SEGS = 15;
+
+struct PosSegs {
+    uint16_t hi[MAX_SEGS];
+    uint16_t dist[MAX_SEGS];
+    uint16_t count;
+};
+
 struct OptimalParser {
     const uint8_t* data;
     int64_t n;
     int64_t block_start, block_len;
-    // sublen[pos * 259 + len] = min distance achieving `len` at pos (0 = none)
-    std::vector<uint16_t> sublen;
+    std::vector<PosSegs> segs;
     std::vector<uint16_t> maxlen;
 
     OptimalParser(const uint8_t* d, int64_t total, int64_t start, int64_t blen)
         : data(d), n(total), block_start(start), block_len(blen) {}
 
     void build_matches(Matcher& m, int chain_limit) {
-        sublen.assign((size_t)block_len * 259, 0);
+        segs.assign((size_t)block_len, PosSegs{{0}, {0}, 0});
         maxlen.assign(block_len, 0);
         for (int64_t i = 0; i < block_len; i++) {
             int64_t pos = block_start + i;
             if (pos + MIN_MATCH <= n) {
                 int max_here = (int)std::min<int64_t>(MAX_MATCH, n - pos);
-                uint16_t* sl = sublen.data() + (size_t)i * 259;
+                PosSegs& sg = segs[i];
                 int best = 0;
                 const uint8_t* cur = data + pos;
                 // 3-byte head first: it is the globally most recent matching
                 // position (any 4-byte match also matches 3 bytes), so
-                // first-write-wins still records the minimum distance
+                // nearest-first still records the minimum distance per length
                 int32_t c3 = m.probe3(pos);
                 if (c3 >= 0) {
                     int64_t dist = pos - c3;
                     if (dist > 0 && dist <= WINDOW) {
                         int len = match_length(cur, data + c3, max_here);
-                        for (int l = MIN_MATCH; l <= len; l++)
-                            if (!sl[l]) sl[l] = (uint16_t)dist;
-                        if (len > best) best = len;
+                        if (len >= MIN_MATCH) {
+                            sg.hi[0] = (uint16_t)len;
+                            sg.dist[0] = (uint16_t)dist;
+                            sg.count = 1;
+                            best = len;
+                        }
                     }
                 }
                 if (pos + 4 <= n && best < max_here) {
+                    uint32_t cur32;
+                    memcpy(&cur32, cur, 4);
                     uint32_t h = hash4(cur);
                     int32_t cand = m.head[h];
                     int chain = chain_limit;
@@ -2393,12 +2413,27 @@ struct OptimalParser {
                         int64_t dist = pos - cand;
                         if (dist > WINDOW) break;
                         if (dist > 0) {
-                            int len = match_length(cur, data + cand, max_here);
-                            // nearest-first traversal: first write wins
-                            for (int l = best + 1; l <= len; l++)
-                                if (!sl[l]) sl[l] = (uint16_t)dist;
-                            if (len > best) best = len;
-                            if (best == max_here) break;
+                            const uint8_t* cp = data + cand;
+                            // exact pruning: a candidate contributes only
+                            // lengths > best, which requires the 4-byte
+                            // prefix to match (len-3 entries come from the
+                            // nearer hash3 probe above) and byte [best] to
+                            // extend the current frontier
+                            uint32_t c32;
+                            memcpy(&c32, cp, 4);
+                            if (c32 == cur32 &&
+                                (best < 4 || cp[best] == cur[best])) {
+                                int len = match_length(cur, cp, max_here);
+                                if (len > best) {
+                                    if (sg.count == MAX_SEGS) break;
+                                    // lengths best+1..len at this distance
+                                    sg.hi[sg.count] = (uint16_t)len;
+                                    sg.dist[sg.count] = (uint16_t)dist;
+                                    sg.count++;
+                                    best = len;
+                                    if (best == max_here) break;
+                                }
+                            }
                         }
                         cand = m.prev[cand];
                     }
@@ -2442,27 +2477,39 @@ static void optimal_parse_block(
     std::vector<uint16_t> from_dist(blen + 1, 0);
     cost[0] = 0.0f;
     const uint8_t* base = p.data + p.block_start;
+    // hoisted per-length cost LUT (length symbol + extra bits)
+    float len_cost[MAX_MATCH + 1];
+    for (int l = MIN_MATCH; l <= MAX_MATCH; l++) {
+        int ls = 257 + len_to_sym[l];
+        len_cost[l] = cm.lit_cost[ls] + LEN_EXTRA[ls - 257];
+    }
     for (int64_t i = 0; i < blen; i++) {
         float c = cost[i];
         if (c >= 1e30f) continue;
         // literal edge
         float lc = c + cm.lit_cost[base[i]];
         if (lc < cost[i + 1]) { cost[i + 1] = lc; from_len[i + 1] = 1; from_dist[i + 1] = 0; }
-        // match edges
+        // match edges: distance segments, so the distance cost is computed
+        // once per segment and the inner loop is one add + compare per length
         int ml = std::min<int>(p.maxlen[i], (int)(blen - i));
         if (ml >= MIN_MATCH) {
-            const uint16_t* sl = p.sublen.data() + (size_t)i * 259;
-            for (int l = MIN_MATCH; l <= ml; l++) {
-                uint16_t d = sl[l];
-                if (!d) continue;
-                int ls = 257 + len_to_sym[l];
+            const PosSegs& sg = p.segs[i];
+            float* cost_i = cost.data() + i;
+            int32_t* flen_i = from_len.data() + i;
+            uint16_t* fdist_i = from_dist.data() + i;
+            int l = MIN_MATCH;
+            for (int k = 0; k < sg.count && l <= ml; k++) {
+                uint16_t d = sg.dist[k];
+                int seg_end = std::min<int>(sg.hi[k], ml);
                 int ds = dist_symbol(d);
-                float mc = c + cm.lit_cost[ls] + LEN_EXTRA[ls - 257] +
-                           cm.dist_cost[ds] + DIST_EXTRA[ds];
-                if (mc < cost[i + l]) {
-                    cost[i + l] = mc;
-                    from_len[i + l] = l;
-                    from_dist[i + l] = d;
+                float dc = c + cm.dist_cost[ds] + DIST_EXTRA[ds];
+                for (; l <= seg_end; l++) {
+                    float mc = dc + len_cost[l];
+                    if (mc < cost_i[l]) {
+                        cost_i[l] = mc;
+                        flen_i[l] = l;
+                        fdist_i[l] = d;
+                    }
                 }
             }
         }
@@ -2507,39 +2554,82 @@ EXPORT int64_t deflate_compress_optimal(const uint8_t* data, int64_t len,
         while (pos < len) {
             int64_t blen = std::min(len - pos, BLOCK);
             OptimalParser p(data, len, pos, blen);
+            const bool dbg = getenv("PIXO_TPU_OPT_DEBUG") != nullptr;
+            auto tick = [] {
+                struct timespec ts;
+                clock_gettime(CLOCK_MONOTONIC, &ts);
+                return ts.tv_sec + ts.tv_nsec * 1e-9;
+            };
+            double t0 = dbg ? tick() : 0.0;
             p.build_matches(m, 1024);
+            if (dbg) fprintf(stderr, "opt: build_matches %.0f ms (block %lld)\n",
+                             (tick() - t0) * 1e3, (long long)blen);
 
             CostModel cm;
             cm.from_fixed();
-            std::vector<Token> tokens, prev_tokens;
+            std::vector<Token> tokens, prev_tokens, best_tokens;
+            double prev_cost = 1e300, best_cost = 1e300;
             for (int it = 0; it < iterations; it++) {
+                if (dbg) t0 = tick();
                 optimal_parse_block(p, cm, tokens);
+                // parse self-entropy (model-independent quality measure):
+                // sum of -log2(p) over the parse's own symbol histogram
+                // plus the extra bits — comparable across iterations.
+                uint64_t lit_freq[286] = {0}, dist_freq[30] = {0};
+                double extra_bits = 0.0;
+                for (const Token& t : tokens) {
+                    if (t.v & 0x80000000u) {
+                        int l = (t.v >> 16) & 0x1FF;
+                        int ls = 257 + len_to_sym[l];
+                        int ds = dist_symbol((int)(t.v & 0xFFFF));
+                        lit_freq[ls]++;
+                        dist_freq[ds]++;
+                        extra_bits += LEN_EXTRA[ls - 257] + DIST_EXTRA[ds];
+                    } else {
+                        lit_freq[t.v & 0xFF]++;
+                    }
+                }
+                lit_freq[256]++;
+                uint64_t lt = 0, dt = 0;
+                for (int s = 0; s < 286; s++) lt += lit_freq[s];
+                for (int s = 0; s < 30; s++) dt += dist_freq[s];
+                double self_cost = extra_bits;
+                for (int s = 0; s < 286; s++)
+                    if (lit_freq[s])
+                        self_cost -= (double)lit_freq[s] *
+                            log2((double)lit_freq[s] / (double)lt);
+                for (int s = 0; s < 30; s++)
+                    if (dist_freq[s])
+                        self_cost -= (double)dist_freq[s] *
+                            log2((double)dist_freq[s] / (double)dt);
+                if (dbg) fprintf(stderr,
+                                 "opt: DP iter %d %.0f ms (%zu tokens, %.0f est bits)\n",
+                                 it, (tick() - t0) * 1e3, tokens.size(),
+                                 self_cost);
+                if (self_cost < best_cost) {
+                    best_cost = self_cost;
+                    best_tokens = tokens;
+                }
                 // exact convergence: an unchanged parse yields the same
                 // histogram, hence the same cost model, hence the same
-                // parse on every further iteration — identical output,
-                // so stop early (the reference iterates on a 0.1% size
-                // threshold; token equality is the lossless version)
+                // parse forever
                 if (it > 0 && tokens.size() == prev_tokens.size() &&
                     memcmp(tokens.data(), prev_tokens.data(),
                            tokens.size() * sizeof(Token)) == 0)
                     break;
+                // near-convergence: <0.1% estimated improvement (the
+                // reference's iteration threshold, deflate.rs:291-357);
+                // the best parse seen so far is kept either way
+                if (it > 0 && self_cost >= prev_cost * 0.999)
+                    break;
+                prev_cost = self_cost;
                 if (it + 1 < iterations) {
                     prev_tokens = tokens;
-                    uint64_t lit_freq[286] = {0}, dist_freq[30] = {0};
-                    for (const Token& t : tokens) {
-                        if (t.v & 0x80000000u) {
-                            int l = (t.v >> 16) & 0x1FF;
-                            lit_freq[257 + len_to_sym[l]]++;
-                            dist_freq[dist_symbol((int)(t.v & 0xFFFF))]++;
-                        } else {
-                            lit_freq[t.v & 0xFF]++;
-                        }
-                    }
-                    lit_freq[256]++;
                     cm.from_histogram(lit_freq, dist_freq);
                 }
             }
-            emit_block_split(w, tokens, data, pos, blen, pos + blen == len);
+            emit_block_split(w, best_tokens, data, pos, blen,
+                             pos + blen == len);
             pos += blen;
         }
         w.flush();

@@ -37,6 +37,16 @@ def _color_sub(options: JpegOptions):
     return color, sub
 
 
+@functools.lru_cache(maxsize=64)
+def _coeffs_jitted(color: str, sub: str, sharding):
+    """Cached jitted sharded-coefficients step: rebuilding jax.jit(lambda)
+    per call would recompile on every batch of a stream."""
+    fn = functools.partial(
+        jenc._device_coeffs_batch.__wrapped__, color=color, subsampling=sub
+    )
+    return jax.jit(fn, out_shardings=sharding)
+
+
 def jpeg_coeffs_sharded(imgs, options: JpegOptions, mesh=None):
     """[B, H, W, C] uint8 -> [B, nblocks, 64] int16 coefficients, with the
     batch axis sharded across the mesh. Returns a sharded jax array."""
@@ -53,12 +63,76 @@ def jpeg_coeffs_sharded(imgs, options: JpegOptions, mesh=None):
     if pad:
         arr = jnp.concatenate([arr, jnp.repeat(arr[:1], pad, axis=0)], axis=0)
     imgs_sharded = jax.device_put(arr, sharding)
-    fn = functools.partial(
-        jenc._device_coeffs_batch.__wrapped__, color=color, subsampling=sub
-    )
-    jitted = jax.jit(lambda bt: fn(bt, lum, chrom), out_shardings=sharding)
-    out = jitted(imgs_sharded)
+    out = _coeffs_jitted(color, sub, sharding)(imgs_sharded, lum, chrom)
     return out[:b] if pad else out
+
+
+def _use_sparse_fast_path(options: JpegOptions) -> bool:
+    from ..native import native_available
+
+    return (not options.optimize_huffman and not options.progressive
+            and native_available())
+
+
+def _pack_compacted_batch(
+    zz_dev, compacted, n: int, options: JpegOptions, pattern,
+    ex: concurrent.futures.ThreadPoolExecutor,
+) -> List[bytes]:
+    """Fetch device-compacted (position,value) streams and entropy-pack on
+    host threads (ctypes releases the GIL -> true host parallelism). Falls
+    back to the dense threaded packer on compaction overflow."""
+    from ..jpeg.tables import HuffmanTables
+    from ..native import (
+        native_pack_scan,
+        native_pack_scan_batch,
+        native_pack_scan_sparse,
+    )
+
+    huff = HuffmanTables()
+    dc_d, counts_d, poss_d, vals_d, total_d = compacted
+    totals = np.asarray(total_d)
+    cap = poss_d.shape[1]
+    if (totals <= cap).all():
+        dc_h, counts_h = np.asarray(dc_d), np.asarray(counts_d)
+        poss_h, vals_h = np.asarray(poss_d), np.asarray(vals_d)
+
+        def pack_sparse(i: int) -> bytes:
+            return native_pack_scan_sparse(
+                dc_h[i], counts_h[i], poss_h[i], vals_h[i],
+                pattern, huff, options.restart_interval,
+            )
+
+        return list(ex.map(pack_sparse, range(n)))
+    zz_all = np.asarray(zz_dev)
+    return native_pack_scan_batch(
+        zz_all, pattern, huff, options.restart_interval,
+        nthreads=ex._max_workers,
+    ) or [
+        native_pack_scan(zz_all[i], pattern, huff, options.restart_interval)
+        for i in range(n)
+    ]
+
+
+def _assemble_jpeg(scan: bytes, options: JpegOptions, quant) -> bytes:
+    """Wrap a baseline std-table entropy scan in the JPEG marker frame."""
+    from ..jpeg import markers
+    from ..jpeg.tables import HuffmanTables
+
+    out = bytearray()
+    markers.write_soi(out)
+    markers.write_app0(out)
+    markers.write_dqt(out, quant)
+    markers.write_sof(
+        out, markers.SOF0, options.width, options.height,
+        options.color_type, options.subsampling,
+    )
+    markers.write_dht(out, HuffmanTables())
+    if options.restart_interval is not None:
+        markers.write_dri(out, options.restart_interval)
+    markers.write_sos(out, options.color_type)
+    out += scan
+    markers.write_eoi(out)
+    return bytes(out)
 
 
 def encode_jpeg_batch_sharded(
@@ -67,78 +141,28 @@ def encode_jpeg_batch_sharded(
     mesh=None,
     host_workers: int = 8,
 ) -> List[bytes]:
-    """Batched JPEG encode: sharded device coefficients + threaded packing."""
+    """Batched JPEG encode: sharded device coefficients + threaded packing.
+
+    Fast path (baseline + std tables): the device compacts the coefficient
+    stream (ops/sparse_pack.py) so the host fetches ~5x fewer bytes over
+    PCIe and the packer touches ~3 B per nonzero AC."""
     quant = QuantizationTables(options.quality)
     color, sub = _color_sub(options)
     _, _, pattern = scan_layout(options.width, options.height, color, sub)
 
-    # Fast path: shared std tables + baseline. The device compacts the
-    # coefficient stream (ops/sparse_pack.py) so the host fetches ~5x
-    # fewer bytes over PCIe and the packer touches ~3 B per nonzero AC;
-    # falls back to the dense threaded packer on compaction overflow.
-    from ..native import native_available
-
-    if (not options.optimize_huffman and not options.progressive
-            and native_available()):
-        from ..jpeg.tables import HuffmanTables
-        from ..native import (
-            native_pack_scan,
-            native_pack_scan_batch,
-            native_pack_scan_sparse,
-        )
+    if _use_sparse_fast_path(options):
         from ..ops.sparse_pack import sparsify_blocks_batch
 
         zz_dev = jpeg_coeffs_sharded(imgs, options, mesh)
-        dc_d, counts_d, poss_d, vals_d, total_d = sparsify_blocks_batch(zz_dev)
-        totals = np.asarray(total_d)
-        cap = poss_d.shape[1]
-        huff = HuffmanTables()
-        scans: List[bytes] = [b""] * imgs.shape[0]
-        if (totals <= cap).all():
-            dc_h, counts_h = np.asarray(dc_d), np.asarray(counts_d)
-            poss_h, vals_h = np.asarray(poss_d), np.asarray(vals_d)
-
-            def pack_sparse(i: int) -> bytes:
-                return native_pack_scan_sparse(
-                    dc_h[i], counts_h[i], poss_h[i], vals_h[i],
-                    pattern, huff, options.restart_interval,
-                )
-
-            with concurrent.futures.ThreadPoolExecutor(
-                max_workers=host_workers
-            ) as ex:  # ctypes releases the GIL -> true host parallelism
-                scans = list(ex.map(pack_sparse, range(imgs.shape[0])))
-        else:
-            zz_all = np.asarray(zz_dev)
-            scans = native_pack_scan_batch(
-                zz_all, pattern, huff, options.restart_interval,
-                nthreads=host_workers,
-            ) or [
-                native_pack_scan(zz_all[i], pattern, huff,
-                                 options.restart_interval)
-                for i in range(imgs.shape[0])
-            ]
+        compacted = sparsify_blocks_batch(zz_dev)
+        with concurrent.futures.ThreadPoolExecutor(
+            max_workers=host_workers
+        ) as ex:
+            scans = _pack_compacted_batch(
+                zz_dev, compacted, imgs.shape[0], options, pattern, ex
+            )
         if scans is not None:
-            from ..jpeg import markers
-
-            results = []
-            for i in range(imgs.shape[0]):
-                out = bytearray()
-                markers.write_soi(out)
-                markers.write_app0(out)
-                markers.write_dqt(out, quant)
-                markers.write_sof(
-                    out, markers.SOF0, options.width, options.height,
-                    options.color_type, options.subsampling,
-                )
-                markers.write_dht(out, huff)
-                if options.restart_interval is not None:
-                    markers.write_dri(out, options.restart_interval)
-                markers.write_sos(out, options.color_type)
-                out += scans[i]
-                markers.write_eoi(out)
-                results.append(bytes(out))
-            return results
+            return [_assemble_jpeg(s, options, quant) for s in scans]
 
     zz_all = np.asarray(jpeg_coeffs_sharded(imgs, options, mesh))
 
@@ -219,33 +243,41 @@ def encode_jpeg_stream(
     color, sub = _color_sub(options)
     _, _, pattern = scan_layout(options.width, options.height, color, sub)
 
-    it = iter(batches)
-    prev_imgs = None
-    prev_zz_dev = None
-    with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:
-        for imgs in it:
-            zz_dev = jpeg_coeffs_sharded(imgs, options, mesh)  # async dispatch
-            if prev_zz_dev is not None:
-                zz_host = np.asarray(prev_zz_dev)  # waits on batch i-1 only
-                yield list(
-                    ex.map(
-                        lambda i: jenc._emit_jpeg(
-                            zz_host[i], prev_imgs[i], options, quant, pattern
-                        ),
-                        range(prev_imgs.shape[0]),
-                    )
-                )
-            prev_imgs, prev_zz_dev = imgs, zz_dev
-        if prev_zz_dev is not None:
-            zz_host = np.asarray(prev_zz_dev)
-            yield list(
-                ex.map(
-                    lambda i: jenc._emit_jpeg(
-                        zz_host[i], prev_imgs[i], options, quant, pattern
-                    ),
-                    range(prev_imgs.shape[0]),
-                )
+    sparse = _use_sparse_fast_path(options)
+    if sparse:
+        from ..ops.sparse_pack import sparsify_blocks_batch
+
+    def dispatch(imgs):
+        zz_dev = jpeg_coeffs_sharded(imgs, options, mesh)  # async dispatch
+        compacted = sparsify_blocks_batch(zz_dev) if sparse else None
+        return imgs, zz_dev, compacted
+
+    def finish(prev, ex) -> List[bytes]:
+        imgs, zz_dev, compacted = prev  # fetches wait on batch i-1 only
+        if sparse:
+            scans = _pack_compacted_batch(
+                zz_dev, compacted, imgs.shape[0], options, pattern, ex
             )
+            return [_assemble_jpeg(s, options, quant) for s in scans]
+        zz_host = np.asarray(zz_dev)
+        return list(
+            ex.map(
+                lambda i: jenc._emit_jpeg(
+                    zz_host[i], imgs[i], options, quant, pattern
+                ),
+                range(imgs.shape[0]),
+            )
+        )
+
+    prev = None
+    with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:
+        for imgs in iter(batches):
+            nxt = dispatch(imgs)
+            if prev is not None:
+                yield finish(prev, ex)
+            prev = nxt
+        if prev is not None:
+            yield finish(prev, ex)
 
 
 def decode_jpeg_batch(
