@@ -1730,12 +1730,25 @@ struct Matcher {
     std::vector<int32_t> head3;  // 3-byte hash -> most recent pos (no chain);
                                  // catches len-3 matches whose 4th byte
                                  // differs, which the 4-byte chains never see
+    std::vector<uint16_t> same;  // run length of identical bytes starting at
+                                 // pos, saturated at MAX_MATCH+1 (zopfli's
+                                 // `same` array): makes the dist-1 run seed
+                                 // O(1) instead of O(run) per position,
+                                 // which was quadratic over flat regions
     const uint8_t* data;
     int64_t n;
 
     Matcher(const uint8_t* d, int64_t len)
         : head(HASH_SIZE, -1), prev(len, -1), head3(HASH3_SIZE, -1),
-          data(d), n(len) {}
+          same(len ? len : 1), data(d), n(len) {
+        if (len) {
+            same[len - 1] = 1;
+            for (int64_t i = len - 2; i >= 0; i--)
+                same[i] = d[i] == d[i + 1]
+                    ? (uint16_t)std::min<int>(same[i + 1] + 1, MAX_MATCH + 1)
+                    : (uint16_t)1;
+        }
+    }
 
     inline void insert(int64_t pos) {
         if (pos + 3 <= n) head3[hash3(data + pos)] = (int32_t)pos;
@@ -1767,8 +1780,7 @@ struct Matcher {
         // is what makes the sparse RLE hash inserts safe — without it a
         // deep chain walks far-away run candidates instead of breaking
         if (pos >= 1 && cur[0] == data[pos - 1]) {
-            int run = 1;
-            while (run < max_len && cur[run] == cur[0]) run++;
+            int run = (int)std::min<int>(same[pos], max_len);
             if (run >= mml) {
                 if (run >= nice || run == max_len) {
                     *dist_out = 1;
@@ -2077,30 +2089,63 @@ static double entropy_cost_bits(const uint64_t* lit_freq, const uint64_t* dist_f
     return bits;
 }
 
+// Split-search cost oracle over chunked prefix-sum histograms: one O(T)
+// pass builds per-chunk symbol histograms, after which any range cost is
+// O(316) from prefix differences (the naive per-evaluation token scan made
+// the split search the dominant fixed cost of whole-file DEFLATE: ~8 full
+// passes per recursion level). Split points land on chunk boundaries; with
+// a 300-bit block overhead the sub-chunk precision is irrelevant.
 struct TokenRangeCost {
-    const std::vector<Token>* tokens;
+    static const size_t CHUNK = 1024;
+    static const int NSYM = 286 + 30;
+    size_t ntokens;
+    size_t nchunks;
+    std::vector<uint32_t> cum;  // (nchunks+1) x NSYM prefix histograms
 
-    double cost(size_t a, size_t b) const {
-        uint64_t lit[286] = {0}, dist[30] = {0};
-        for (size_t i = a; i < b; i++) {
-            const Token& t = (*tokens)[i];
-            if (t.v & 0x80000000u) {
-                lit[257 + len_to_sym[(t.v >> 16) & 0x1FF]]++;
-                dist[dist_symbol((int)(t.v & 0xFFFF))]++;
-            } else {
-                lit[t.v & 0xFF]++;
+    explicit TokenRangeCost(const std::vector<Token>& tokens)
+        : ntokens(tokens.size()),
+          nchunks((tokens.size() + CHUNK - 1) / CHUNK),
+          cum((nchunks + 1) * NSYM, 0) {
+        for (size_t k = 0; k < nchunks; k++) {
+            uint32_t* h = cum.data() + (k + 1) * NSYM;
+            const uint32_t* prev = cum.data() + k * NSYM;
+            memcpy(h, prev, NSYM * sizeof(uint32_t));
+            size_t end = std::min(ntokens, (k + 1) * CHUNK);
+            for (size_t i = k * CHUNK; i < end; i++) {
+                const Token& t = tokens[i];
+                if (t.v & 0x80000000u) {
+                    h[257 + len_to_sym[(t.v >> 16) & 0x1FF]]++;
+                    h[286 + dist_symbol((int)(t.v & 0xFFFF))]++;
+                } else {
+                    h[t.v & 0xFF]++;
+                }
             }
         }
+    }
+
+    // cost of chunk range [ca, cb)
+    double cost(size_t ca, size_t cb) const {
+        uint64_t lit[286], dist[30];
+        const uint32_t* a = cum.data() + ca * NSYM;
+        const uint32_t* b = cum.data() + cb * NSYM;
+        for (int s = 0; s < 286; s++) lit[s] = b[s] - a[s];
+        for (int s = 0; s < 30; s++) dist[s] = b[286 + s] - a[286 + s];
         lit[256]++;
         return entropy_cost_bits(lit, dist);
     }
+
+    // chunk boundary -> token index
+    size_t token_index(size_t c) const {
+        return std::min(ntokens, c * CHUNK);
+    }
 };
 
-// Find split points in [a, b); appends boundaries (exclusive) to `splits`.
+// Find split points in chunk range [a, b); appends chunk boundaries
+// (exclusive) to `splits`.
 static void find_splits(const TokenRangeCost& rc, size_t a, size_t b,
                         int* blocks_left, std::vector<size_t>* splits) {
     const double OVERHEAD = 300.0, MIN_GAIN = 10.0;
-    if (*blocks_left <= 1 || b - a < 512) return;
+    if (*blocks_left <= 1 || b - a < 2) return;
     double whole = rc.cost(a, b);
     // coarse 8-point search
     double best_gain = 0.0;
@@ -2136,14 +2181,16 @@ static void emit_block_split(LsbWriter& w, const std::vector<Token>& tokens,
         emit_block(w, tokens, data, raw_start, raw_len, last);
         return;
     }
-    TokenRangeCost rc{&tokens};
+    TokenRangeCost rc(tokens);
     int blocks_left = 15;
-    std::vector<size_t> splits;
-    find_splits(rc, 0, tokens.size(), &blocks_left, &splits);
-    if (splits.empty()) {
+    std::vector<size_t> chunk_splits;
+    find_splits(rc, 0, rc.nchunks, &blocks_left, &chunk_splits);
+    if (chunk_splits.empty()) {
         emit_block(w, tokens, data, raw_start, raw_len, last);
         return;
     }
+    std::vector<size_t> splits;
+    for (size_t c : chunk_splits) splits.push_back(rc.token_index(c));
     splits.push_back(tokens.size());
     size_t a = 0;
     int64_t roff = raw_start;
@@ -2215,9 +2262,8 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
                 if (pend_len == 0 && pos > 0 && data[pos] == data[pos - 1] &&
                     pos + MIN_MATCH <= len && data[pos + 1] == data[pos] &&
                     data[pos + 2] == data[pos]) {
-                    int run = 0;
                     int64_t limit = std::min<int64_t>(len - pos, MAX_MATCH);
-                    while (run < limit && data[pos + run] == data[pos - 1]) run++;
+                    int run = (int)std::min<int64_t>(m.same[pos], limit);
                     // Only shortcut when the run is maximal (hits MAX_MATCH
                     // or the end of input). A shorter run must compete with
                     // regular matching: on interleaved content (e.g. PNG

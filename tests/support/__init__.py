@@ -7,4 +7,10 @@ is unavailable (this environment has zero egress, so the cache only
 serves files that are already present locally).
 """
 
-from .corpus import CorpusFile, fetch_corpus_file, kodak_subset, pngsuite_files
+from .corpus import (
+    CorpusFile,
+    fetch_corpus_file,
+    kodak_subset,
+    local_corpus,
+    pngsuite_files,
+)

@@ -1,4 +1,15 @@
-"""SHA-256-pinned corpus cache (tests/support/kodak.rs analog)."""
+"""Corpus management (tests/support/kodak.rs analog).
+
+Two tiers:
+- a checked-in deterministic photographic corpus (``tests/fixtures/
+  corpus_*.png``: 512x512 crops derived from the reference repo's public
+  fixture images, re-encoded with Pillow) so photographic conformance and
+  ratio regression never skip offline;
+- optional downloaded suites (Kodak), verified by SHA-256. Entries without
+  a known digest use trust-on-first-use: the digest is recorded next to
+  the file on first download and enforced on every later load — there is
+  no "accept anything" bypass.
+"""
 
 from __future__ import annotations
 
@@ -14,23 +25,23 @@ CACHE_DIR = Path(
     os.environ.get("PIXO_TPU_CORPUS_DIR", "/tmp/pixo_tpu_corpus")
 )
 
+FIXTURES_DIR = Path(__file__).resolve().parent.parent / "fixtures"
+
 
 @dataclasses.dataclass(frozen=True)
 class CorpusFile:
     name: str
     url: str
-    sha256: str
+    sha256: Optional[str] = None  # None => pin on first verified download
 
 
 # Kodak Lossless True Color Suite subset (the reference uses r0k.us).
+# No egress in this sandbox, so the true digests cannot be pre-pinned;
+# trust-on-first-use pins them at download time.
 KODAK_SUBSET: List[CorpusFile] = [
-    CorpusFile("kodim01.png", "http://r0k.us/graphics/kodak/kodak/kodim01.png",
-               "a4b84a7c6e2b2e3f000000000000000000000000000000000000000000000000"),
-    CorpusFile("kodim03.png", "http://r0k.us/graphics/kodak/kodak/kodim03.png",
-               "c3d84a7c6e2b2e3f000000000000000000000000000000000000000000000000"),
+    CorpusFile("kodim01.png", "http://r0k.us/graphics/kodak/kodak/kodim01.png"),
+    CorpusFile("kodim03.png", "http://r0k.us/graphics/kodak/kodak/kodim03.png"),
 ]
-# NOTE: digests are placeholders until first online fetch pins them; with a
-# mismatch or no network the caller must skip (this sandbox has no egress).
 
 
 def _sha256(path: Path) -> str:
@@ -41,6 +52,10 @@ def _sha256(path: Path) -> str:
     return h.hexdigest()
 
 
+def _pin_path(path: Path) -> Path:
+    return path.with_suffix(path.suffix + ".sha256")
+
+
 def fetch_corpus_file(spec: CorpusFile, timeout: float = 10.0) -> Optional[Path]:
     """Return a verified local path, downloading + pinning if needed.
 
@@ -49,10 +64,13 @@ def fetch_corpus_file(spec: CorpusFile, timeout: float = 10.0) -> Optional[Path]
     CACHE_DIR.mkdir(parents=True, exist_ok=True)
     path = CACHE_DIR / spec.name
     if path.exists():
-        digest = _sha256(path)
-        if digest == spec.sha256 or spec.sha256.endswith("0" * 48):
+        expected = spec.sha256
+        if expected is None and _pin_path(path).exists():
+            expected = _pin_path(path).read_text().strip()
+        if expected is not None and _sha256(path) == expected:
             return path
-        path.unlink()  # re-download on mismatch (kodak.rs:141 behavior)
+        path.unlink()  # unverifiable or mismatched: re-download
+        # (kodak.rs:141 behavior)
     try:
         with urllib.request.urlopen(spec.url, timeout=timeout) as resp:
             data = resp.read()
@@ -61,9 +79,11 @@ def fetch_corpus_file(spec: CorpusFile, timeout: float = 10.0) -> Optional[Path]
     tmp = path.with_suffix(".part")
     tmp.write_bytes(data)
     digest = _sha256(tmp)
-    if spec.sha256 != digest and not spec.sha256.endswith("0" * 48):
+    if spec.sha256 is not None and spec.sha256 != digest:
         tmp.unlink()
         return None
+    if spec.sha256 is None:  # trust-on-first-use: pin for later loads
+        _pin_path(path).write_text(digest + "\n")
     tmp.rename(path)
     return path
 
@@ -82,3 +102,8 @@ def pngsuite_files() -> List[Path]:
     """Locally cached PNGSuite files if a mirror populated the cache."""
     d = CACHE_DIR / "pngsuite"
     return sorted(d.glob("*.png")) if d.is_dir() else []
+
+
+def local_corpus() -> List[Path]:
+    """The checked-in deterministic photographic corpus (never skips)."""
+    return sorted(FIXTURES_DIR.glob("corpus_*.png"))

@@ -126,11 +126,26 @@ class TestCorpusCache:
         assert corpus.fetch_corpus_file(spec, timeout=0.2) is None
         assert not (tmp_path / "x.bin").exists()  # bad cache purged
 
-    def test_placeholder_digest_accepts_cache(self, tmp_path, monkeypatch):
+    def test_unpinned_entry_uses_trust_on_first_use(self, tmp_path, monkeypatch):
+        # An entry without a digest must NOT accept an unverifiable cached
+        # file (the old zero-pad placeholder bypass); it records a pin at
+        # download time and enforces it on later loads.
+        import hashlib
+
         import tests.support.corpus as corpus
 
         monkeypatch.setattr(corpus, "CACHE_DIR", tmp_path)
-        spec = corpus.CorpusFile("y.bin", "http://127.0.0.1:1/none",
-                                 "ab" + "0" * 62)
+        spec = corpus.CorpusFile("y.bin", "http://127.0.0.1:1/none")
+        (tmp_path / "y.bin").write_bytes(b"poisoned")
+        # no pin on disk and offline: the cached file must be rejected
+        assert corpus.fetch_corpus_file(spec, timeout=0.2) is None
+        assert not (tmp_path / "y.bin").exists()
+        # a recorded pin is enforced: matching content passes ...
         (tmp_path / "y.bin").write_bytes(b"data")
+        pin = hashlib.sha256(b"data").hexdigest()
+        (tmp_path / "y.bin.sha256").write_text(pin + "\n")
         assert corpus.fetch_corpus_file(spec, timeout=0.2) == tmp_path / "y.bin"
+        # ... and tampered content is purged
+        (tmp_path / "y.bin").write_bytes(b"tampered")
+        assert corpus.fetch_corpus_file(spec, timeout=0.2) is None
+        assert not (tmp_path / "y.bin").exists()

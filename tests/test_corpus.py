@@ -100,3 +100,57 @@ class TestDownloadedCorpora:
             except errors.PixoError:
                 pass  # suite includes intentionally-corrupt files
         assert decoded > 0
+
+
+class TestLocalPhotographicCorpus:
+    """Checked-in deterministic 512x512 photographic corpus (derived from
+    the reference repo's public fixtures) — BASELINE configs #2/#4 coverage
+    that never skips offline, unlike the downloaded suites."""
+
+    def _corpus(self):
+        from tests.support import local_corpus
+
+        files = local_corpus()
+        assert len(files) >= 4, "checked-in corpus missing"
+        return files
+
+    def test_decode_conformance_vs_pillow(self):
+        from PIL import Image
+        import io
+
+        for path in self._corpus():
+            data = path.read_bytes()
+            img = decode_png(data)
+            pil = Image.open(io.BytesIO(data))
+            pil.load()
+            assert (img.width, img.height) == pil.size == (512, 512)
+            ref = np.asarray(pil.convert("RGB"))
+            np.testing.assert_array_equal(img.pixels, ref, err_msg=path.name)
+
+    @pytest.mark.parametrize("preset", ["fast", "balanced"])
+    def test_lossless_reencode_and_ratio(self, preset):
+        """Re-encode each corpus image losslessly and track the size ratio
+        vs Pillow's optimized PNG (zlib-9 + adaptive filtering) — the
+        ratio-at-matched-content regression of BASELINE config #2."""
+        from PIL import Image
+        import io
+
+        worst = 0.0
+        for path in self._corpus():
+            img = decode_png(path.read_bytes())
+            px = img.pixels
+            opts = getattr(PngOptions, preset)(img.width, img.height)
+            from pixo_tpu import ColorType
+
+            opts.color_type = ColorType.RGB
+            out = png.encode(px, opts)
+            back = decode_png(out)
+            np.testing.assert_array_equal(back.pixels, px, err_msg=path.name)
+
+            buf = io.BytesIO()
+            Image.fromarray(px).save(buf, format="PNG", optimize=True)
+            ratio = len(out) / buf.tell()
+            worst = max(worst, ratio)
+        # balanced must stay within 5% of Pillow-optimized (zlib 9);
+        # fast trades ratio for speed but must stay in the same ballpark
+        assert worst <= (1.05 if preset == "balanced" else 1.45), worst
