@@ -104,6 +104,15 @@ def lanczos_weight_matrix(src: int, dst: int, a: float = 3.0) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("dst_w", "dst_h"))
+def resize_lanczos3_batch(imgs, *, dst_w: int, dst_h: int):
+    """[B, H, W, C] uint8 -> [B, dst_h, dst_w, C] uint8: one fused dispatch
+    resizes a whole same-shape group (bit-identical to the per-image path;
+    the weight matmuls batch along B on the MXU)."""
+    fn = functools.partial(resize_lanczos3.__wrapped__, dst_w=dst_w, dst_h=dst_h)
+    return jax.vmap(fn)(imgs)
+
+
+@functools.partial(jax.jit, static_argnames=("dst_w", "dst_h"))
 def resize_lanczos3(img, *, dst_w: int, dst_h: int):
     """[H, W, C] uint8 -> [dst_h, dst_w, C] uint8 via two weight matmuls.
 

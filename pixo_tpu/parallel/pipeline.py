@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import concurrent.futures
 import functools
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +26,7 @@ import numpy as np
 from ..color import ColorType
 from ..jpeg import encoder as jenc
 from ..jpeg.tables import QuantizationTables
-from ..options import JpegOptions, PngOptions, ResizeFilter, ResizeOptions, Subsampling
+from ..options import JpegOptions, PngOptions, Subsampling
 from ..ops.blockify import scan_layout
 from .mesh import batch_sharding, make_mesh
 
@@ -173,6 +173,64 @@ def encode_jpeg_batch_sharded(
         return list(ex.map(pack_one, range(imgs.shape[0])))
 
 
+def _png_route_batch(px, options: PngOptions):
+    """Route each image to a fused-batch group or the per-image path.
+
+    Mirrors the decision order of ``png.reduce.maybe_reduce_color_type``
+    (pixo ``src/png/mod.rs:683-836``): palette screen first, then
+    gray/opacity reductions. Returns (groups, fallback_idx) where groups
+    maps (mode, out_color_type) -> index array; an image is grouped only
+    when the device predicates prove the per-image encoder would take
+    exactly that layout (so grouped bytes == per-image bytes).
+    """
+    from ..ops.reduce_analysis import analyze_png_batch
+
+    b = px.shape[0]
+    ct = options.color_type
+    idx = np.arange(b)
+
+    if ct == ColorType.GRAY:
+        return {("pass", ct): idx}, idx[:0]
+    if ct == ColorType.GRAY_ALPHA:
+        return {("pass", ct): idx}, idx[:0]
+
+    need_analysis = options.reduce_color_type or options.reduce_palette
+    if not need_analysis:
+        return {("pass", ct): idx}, idx[:0]
+
+    all_gray, all_opaque, palette_possible = analyze_png_batch(px)
+    fallback = (
+        np.array(palette_possible) if options.reduce_palette else np.zeros(b, bool)
+    )
+
+    groups = {}
+    if ct == ColorType.RGB:
+        if options.reduce_color_type:
+            fallback |= all_gray
+        keep = idx[~fallback]
+        if keep.size:
+            groups[("pass", ct)] = keep
+        return groups, idx[fallback]
+
+    # RGBA
+    if options.reduce_color_type:
+        fallback |= all_opaque & all_gray  # gray path: sub-8-bit packing
+        strip = ~fallback & all_opaque
+        ga = ~fallback & ~all_opaque & all_gray
+        plain = ~fallback & ~all_opaque & ~all_gray
+        if strip.any():
+            groups[("strip", ColorType.RGB)] = idx[strip]
+        if ga.any():
+            groups[("ga", ColorType.GRAY_ALPHA)] = idx[ga]
+        if plain.any():
+            groups[("pass", ct)] = idx[plain]
+    else:
+        keep = idx[~fallback]
+        if keep.size:
+            groups[("pass", ct)] = keep
+    return groups, idx[fallback]
+
+
 def encode_png_batch_sharded(
     imgs: np.ndarray,
     options: PngOptions,
@@ -182,46 +240,70 @@ def encode_png_batch_sharded(
     """Batched PNG encode: one fused device dispatch filters the whole
     batch; DEFLATE + chunk framing fan out over host threads.
 
-    Falls back to per-image encoding when per-image reductions or
-    quantization are enabled (those produce image-dependent layouts)."""
+    Reduction *analyses* (all-gray / all-opaque / palette screen) run as a
+    single batched device dispatch (SURVEY §2.3 all-reduce predicates), so
+    balanced/max-preset batches stay on the fused filter path; only images
+    where an image-dependent layout applies (palette indices, sub-8-bit
+    gray, quantization) fall back to per-image host encoding. Output bytes
+    are identical to ``png.encode`` per image in every case."""
     from ..options import QuantizationMode
     from ..png import chunks as pchunks
     from ..png import encoder as penc
 
-    simple = (
-        not options.reduce_color_type
-        and not options.reduce_palette
-        and not options.optimize_alpha
-        and options.quantization.mode == QuantizationMode.OFF
-    )
-    if not simple:
-        with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:
-            return list(
-                ex.map(lambda i: penc.encode(imgs[i], options), range(imgs.shape[0]))
-            )
-
-    from ..ops.png_filters import apply_filters_batch
-
     b = imgs.shape[0]
     w, h = options.width, options.height
     bpp = options.color_type.bytes_per_pixel
-    penc._validate(options, imgs[0].size)
-    row_bytes = w * bpp
-    filtered = apply_filters_batch(
-        imgs.reshape(b, -1), w, h, row_bytes, bpp, options.filter_strategy
-    )
+    flat = np.ascontiguousarray(imgs).reshape(b, -1)
+    penc._validate(options, flat.shape[1])
 
-    def finish(i: int) -> bytes:
-        out = bytearray()
-        out += pchunks.PNG_SIGNATURE
-        pchunks.write_ihdr(out, w, h, 8, options.color_type.png_color_type)
-        compressed = penc._compress(filtered[i], options)
-        pchunks.write_idat_chunks(out, compressed)
-        pchunks.write_iend(out)
-        return bytes(out)
+    if options.quantization.mode != QuantizationMode.OFF:
+        # Quantization decisions/palettes are image-dependent end to end.
+        with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:
+            return list(
+                ex.map(lambda i: penc.encode(flat[i], options), range(b))
+            )
 
+    from ..ops.png_filters import apply_filters_batch
+    from ..ops.reduce_analysis import transform_png_group
+
+    px = flat.reshape(b, -1, bpp)
+    groups, fallback_idx = _png_route_batch(px, options)
+
+    results: List[bytes] = [b""] * b
     with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:
-        return list(ex.map(finish, range(b)))
+        fb_futures = {
+            i: ex.submit(penc.encode, flat[i], options) for i in fallback_idx
+        }
+
+        for (mode, out_ct), gidx in groups.items():
+            opt_alpha = options.optimize_alpha and out_ct in (
+                ColorType.RGBA, ColorType.GRAY_ALPHA
+            )
+            if mode == "pass" and not opt_alpha:
+                payload = flat[gidx]
+            else:
+                payload = transform_png_group(px[gidx], mode, opt_alpha)
+            out_bpp = out_ct.bytes_per_pixel
+            filtered = apply_filters_batch(
+                payload, w, h, w * out_bpp, out_bpp, options.filter_strategy
+            )
+
+            def finish(args) -> bytes:
+                i, filt = args
+                out = bytearray()
+                out += pchunks.PNG_SIGNATURE
+                pchunks.write_ihdr(out, w, h, 8, out_ct.png_color_type)
+                compressed = penc._compress(filt, options)
+                pchunks.write_idat_chunks(out, compressed)
+                pchunks.write_iend(out)
+                return bytes(out)
+
+            for i, data in zip(gidx, ex.map(finish, zip(gidx, filtered))):
+                results[i] = data
+
+        for i, fut in fb_futures.items():
+            results[i] = fut.result()
+    return results
 
 
 def encode_jpeg_stream(
@@ -300,47 +382,117 @@ def decode_png_batch(
         return list(ex.map(decode_png, encoded))
 
 
+def _to_rgb(px: np.ndarray) -> np.ndarray:
+    if px.shape[2] == 4:
+        return np.ascontiguousarray(px[..., :3])
+    if px.shape[2] == 2:
+        return np.repeat(px[..., :1], 3, axis=-1)
+    if px.shape[2] == 1:
+        return np.repeat(px, 3, axis=-1)
+    return px
+
+
 def thumbnail_pipeline(
     encoded: Sequence[bytes],
     thumb_size: int = 128,
     quality: int = 85,
     host_workers: int = 8,
+    chunk_size: int = 64,
+    mesh=None,
+    stats: Optional[dict] = None,
 ) -> List[bytes]:
-    """Batched decode -> resize -> re-encode (BASELINE.json config #5).
+    """Overlapped decode -> resize -> re-encode (BASELINE.json config #5).
 
-    Stage 1 (host threads): entropy decode of inputs.
-    Stage 2 (device): batched resize for same-shape groups.
-    Stage 3 (host threads + device): JPEG re-encode.
+    Stage 1 (host threads): every input's entropy decode is queued up
+    front, so decoding of later chunks proceeds while earlier chunks are
+    on device or being packed (the C++ decoders release the GIL).
+    Stage 2 (device): decoded images are grouped by shape and each group
+    resized in ONE batched dispatch (``resize_lanczos3_batch``); the
+    chunk's JPEG coefficients are dispatched sharded over the mesh.
+    Stage 3 (host threads): entropy packing of chunk i runs while chunk
+    i+1's device work is already in flight (double buffering, the PP
+    analog of the reference's main-thread <-> worker split,
+    ``web/src/lib/compress-client.ts:16-63``).
+
+    ``stats``, when given, accumulates per-stage wall seconds
+    (decode_wait_s, device_s, pack_s) for the bench harness.
     """
+    import time
+
     from ..cli import load_image
-    from ..resize import resize as do_resize
+    from ..ops.resize_kernels import resize_lanczos3_batch
 
-    def decode_one(data: bytes):
-        px, w, h, _ct = load_image(data)
-        return px, w, h
-
-    with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:
-        decoded = list(ex.map(decode_one, encoded))
-
-    # Stage 2: resize each image on device (per-shape jit caches by shape;
-    # repeated shapes in a corpus amortize to one compile).
-    thumbs = np.empty((len(decoded), thumb_size, thumb_size, 3), np.uint8)
-    for i, (px, w, h) in enumerate(decoded):
-        if px.shape[2] == 4:
-            px = px[..., :3]
-        elif px.shape[2] == 2:
-            px = np.repeat(px[..., :1], 3, axis=-1)
-        elif px.shape[2] == 1:
-            px = np.repeat(px, 3, axis=-1)
-        ropts = ResizeOptions(
-            src_width=w, src_height=h, dst_width=thumb_size, dst_height=thumb_size,
-            color_type=ColorType.RGB, filter=ResizeFilter.LANCZOS3,
-        )
-        thumbs[i] = do_resize(np.ascontiguousarray(px), ropts)
-
-    # Stage 3: one batched sharded device dispatch + threaded packing.
+    mesh = mesh or make_mesh()
     jopts = JpegOptions(
         width=thumb_size, height=thumb_size, quality=quality,
         color_type=ColorType.RGB,
     )
-    return encode_jpeg_batch_sharded(thumbs, jopts, host_workers=host_workers)
+    quant = QuantizationTables(quality)
+    color, sub = _color_sub(jopts)
+    _, _, pattern = scan_layout(thumb_size, thumb_size, color, sub)
+    sparse = _use_sparse_fast_path(jopts)
+    if sparse:
+        from ..ops.sparse_pack import sparsify_blocks_batch
+
+    n = len(encoded)
+    results: List[bytes] = [b""] * n
+    timings = {"decode_wait_s": 0.0, "device_s": 0.0, "pack_s": 0.0}
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:
+        dec_futs = [ex.submit(load_image, data) for data in encoded]
+
+        def device_stage(lo: int, hi: int):
+            t0 = time.perf_counter()
+            decoded = [dec_futs[i].result() for i in range(lo, hi)]
+            t1 = time.perf_counter()
+            timings["decode_wait_s"] += t1 - t0
+            thumbs = np.empty((hi - lo, thumb_size, thumb_size, 3), np.uint8)
+            groups: dict = {}
+            for k, (px, _w, _h, _ct) in enumerate(decoded):
+                rgb = _to_rgb(px)
+                groups.setdefault(rgb.shape[:2], []).append((k, rgb))
+            for items in groups.values():
+                stacked = np.stack([rgb for _k, rgb in items])
+                out = np.asarray(
+                    resize_lanczos3_batch(
+                        stacked, dst_w=thumb_size, dst_h=thumb_size
+                    )
+                )
+                for (k, _), o in zip(items, out):
+                    thumbs[k] = o
+            zz = jpeg_coeffs_sharded(thumbs, jopts, mesh)  # async dispatch
+            compacted = sparsify_blocks_batch(zz) if sparse else None
+            timings["device_s"] += time.perf_counter() - t1
+            return lo, hi, thumbs, zz, compacted
+
+        def pack_stage(state) -> None:
+            lo, hi, thumbs, zz, compacted = state
+            t0 = time.perf_counter()
+            if sparse:
+                scans = _pack_compacted_batch(
+                    zz, compacted, hi - lo, jopts, pattern, ex
+                )
+                outs = [_assemble_jpeg(s, jopts, quant) for s in scans]
+            else:
+                zz_h = np.asarray(zz)
+                outs = list(ex.map(
+                    lambda i: jenc._emit_jpeg(
+                        zz_h[i], thumbs[i], jopts, quant, pattern
+                    ),
+                    range(hi - lo),
+                ))
+            results[lo:hi] = outs
+            timings["pack_s"] += time.perf_counter() - t0
+
+        prev = None
+        for lo in range(0, n, chunk_size):
+            cur = device_stage(lo, min(lo + chunk_size, n))
+            if prev is not None:
+                pack_stage(prev)
+            prev = cur
+        if prev is not None:
+            pack_stage(prev)
+
+    if stats is not None:
+        stats.update(timings)
+    return results

@@ -57,6 +57,52 @@ class TestSharding:
         single = [png.encode(batch[i], opts) for i in range(batch.shape[0])]
         assert sharded == single
 
+    def test_png_balanced_rgba_batch_matches_per_image(self):
+        """Balanced preset (reductions + alpha opt on): the batched path
+        must route each image exactly as the per-image encoder would and
+        produce identical bytes across every route (VERDICT r1 item 7)."""
+        from pixo_tpu import ColorType, png
+        from pixo_tpu.parallel.pipeline import _png_route_batch
+
+        rng = np.random.default_rng(7)
+        w, h = 80, 64  # > 4096 px: exercises the adaptive strategy
+        imgs = []
+        # rgba-pass: noisy color + alpha variation incl. fully transparent px
+        a = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        a[::7, ::3, 3] = 0
+        imgs.append(a)
+        # strip: all-opaque colorful -> reduces to RGB
+        b = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        b[..., 3] = 255
+        imgs.append(b)
+        # ga: gray channels + varying alpha -> GrayAlpha
+        g = rng.integers(0, 256, (h, w, 1), dtype=np.uint8)
+        ga = np.concatenate([g, g, g, rng.integers(0, 255, (h, w, 1), dtype=np.uint8)], axis=-1)
+        imgs.append(ga)
+        # per-image gray: all-opaque all-gray (sub-8-bit packing path)
+        gg = np.concatenate([g, g, g, np.full((h, w, 1), 255, np.uint8)], axis=-1)
+        imgs.append(gg)
+        # per-image palette: few unique colors
+        p = np.zeros((h, w, 4), np.uint8)
+        p[..., 0] = (np.arange(w) % 7 * 30).astype(np.uint8)
+        p[..., 3] = 255
+        imgs.append(p)
+        imgs += [rng.integers(0, 256, (h, w, 4), dtype=np.uint8) for _ in range(3)]
+        batch = np.stack(imgs)
+
+        opts = PngOptions.balanced(w, h)  # RGBA default color type
+        groups, fallback = _png_route_batch(
+            batch.reshape(len(imgs), -1, 4), opts
+        )
+        assert ("pass", ColorType.RGBA) in groups
+        assert ("strip", ColorType.RGB) in groups
+        assert ("ga", ColorType.GRAY_ALPHA) in groups
+        assert 3 in fallback and 4 in fallback
+
+        sharded = encode_png_batch_sharded(batch, opts)
+        single = [png.encode(batch[i], opts) for i in range(batch.shape[0])]
+        assert sharded == single
+
     def test_graft_entry(self):
         import sys, os
 
@@ -84,6 +130,38 @@ class TestSharding:
         assert len(thumbs) == 3
         for t in thumbs:
             assert t[:2] == b"\xff\xd8" and t[-2:] == b"\xff\xd9"
+
+    def test_thumbnail_pipeline_matches_sequential(self, batch):
+        """Chunked/overlapped pipeline with mixed input shapes must equal
+        the naive per-image decode->resize->encode composition."""
+        from pixo_tpu import ColorType, JpegOptions, jpeg
+        from pixo_tpu.cli import load_image
+        from pixo_tpu.options import ResizeFilter, ResizeOptions
+        from pixo_tpu.resize import resize as do_resize
+
+        rng = np.random.default_rng(3)
+        encoded = []
+        for w, h in [(32, 32), (48, 24), (32, 32), (48, 24), (40, 40)]:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            encoded.append(jpeg.encode(img, JpegOptions.fast(w, h, 90)))
+
+        stats = {}
+        got = thumbnail_pipeline(
+            encoded, thumb_size=16, quality=85, chunk_size=2, stats=stats
+        )
+        assert set(stats) == {"decode_wait_s", "device_s", "pack_s"}
+
+        jopts = JpegOptions(width=16, height=16, quality=85, color_type=ColorType.RGB)
+        want = []
+        for data in encoded:
+            px, w, h, _ct = load_image(data)
+            ropts = ResizeOptions(
+                src_width=w, src_height=h, dst_width=16, dst_height=16,
+                color_type=ColorType.RGB, filter=ResizeFilter.LANCZOS3,
+            )
+            thumb = do_resize(np.ascontiguousarray(px[..., :3]), ropts)
+            want.append(jpeg.encode(thumb, jopts))
+        assert got == want
 
     def test_stream_pipeline_matches_batch(self, batch):
         from pixo_tpu import jpeg
