@@ -130,8 +130,35 @@ def trellis_quantize(
     chrom_q_zz: np.ndarray,
     lambda_: float = 1.0,
     prefer_native: bool = True,
+    mode: str = None,
 ) -> np.ndarray:
-    """[nblocks, 64] zigzag f32 DCT -> [nblocks, 64] int16 quantized."""
+    """[nblocks, 64] zigzag f32 DCT -> [nblocks, 64] int16 quantized.
+
+    ``mode`` (or ``PIXO_TPU_TRELLIS``): "host" (default; native C++ with
+    Python-mirror fallback) or "device" (batched 63-step Viterbi scan on
+    the accelerator, ``ops/trellis_device.py`` — bit-identical output).
+    Host stays the default here because the dev tunnel's d2h link makes
+    the [B, 64] int16 fetch the bottleneck; on real PCIe/ICI hosts the
+    device path removes trellis from the host critical path entirely.
+    """
+    import os
+
+    mode = mode or os.environ.get("PIXO_TPU_TRELLIS", "host")
+    if mode == "device":
+        from ..ops.trellis_device import trellis_quantize_batch_device
+
+        nb = dct_zz.shape[0]
+        bpm = len(pattern)
+        pat = np.asarray(pattern, np.int32)
+        sel = np.tile(pat, nb // bpm + 1)[:nb] != 0
+        q = np.where(
+            sel[:, None], np.asarray(chrom_q_zz)[None, :],
+            np.asarray(lum_q_zz)[None, :],
+        ).astype(np.float32)
+        out = trellis_quantize_batch_device(
+            np.ascontiguousarray(dct_zz, np.float32), q, np.float32(lambda_)
+        )
+        return np.asarray(out).astype(np.int16)
     if prefer_native:
         from ..native import native_trellis_quantize
 

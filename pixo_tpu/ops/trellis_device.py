@@ -62,15 +62,24 @@ def _round_half_away_exact(x):
     return jnp.where(x < 0, -m, m)
 
 
-def _category(av):
-    """bit_length of |v| for 0 <= |v| < 2^16, as int32."""
-    thresholds = jnp.asarray([1 << k for k in range(16)], av.dtype)
-    return jnp.sum(av[..., None] >= thresholds, axis=-1).astype(jnp.int32)
-
-
 def _step(carry, xs, lam):
+    """One zigzag position for the whole batch.
+
+    Key collapse (same insight as the C++ candidate-major merge): the
+    candidate VALUES depend only on the coefficient, not the state, so
+    every nonzero candidate v dedups to one (v, run=0) entry whose cost
+    is the min over the 8 parent states — an [B, 8, 4] reduction — and
+    the zero candidate yields <=8 children deduped by their run value
+    (an [B, 8, 8] mask). That is <=12 sort entries per step instead of
+    the naive 40-combo dedup. Host insertion order is preserved: the
+    host iterates states (pi) outer, candidates (slot 0..4) inner, so a
+    nonzero key's first occurrence is order=slot (state 0 is always
+    valid and its fl/rd/ce/ext slots apply to every state), and a zero
+    key (0, nr)'s first occurrence is 5*min(valid pi with that nr).
+    """
     cost, run = carry  # [B, 8] f32 / i32
     coef, q = xs  # [B]
+    b = cost.shape[0]
 
     fq = coef / q  # f32
     fl = jnp.floor(fq)
@@ -78,81 +87,89 @@ def _step(carry, xs, lam):
     ce = jnp.ceil(fq)
     ext = jnp.where(fq >= 0, ce + 1, fl - 1)
 
-    # candidate slots in host insertion order: [0, fl, rd, ce, ext]
-    cands = jnp.stack(
-        [jnp.zeros_like(fl), fl, rd, ce, ext], axis=-1
-    )  # [B, 5] f32
-    cvalid = jnp.stack(
+    # nonzero candidate slots in host insertion order: [fl, rd, ce, ext]
+    nz = jnp.stack([fl, rd, ce, ext], axis=-1)  # [B, 4] f32
+    nzvalid = jnp.stack(
         [
-            jnp.ones_like(fl, bool),
             fl != 0,
             (rd != 0) & (rd != fl),
             (ce != 0) & (ce != fl) & (ce != rd),
             jnp.abs(fq) > 1.5,
         ],
         axis=-1,
-    )  # [B, 5]
+    )  # [B, 4]
+    nz_i = nz.astype(jnp.int32)
 
-    cand_i = cands.astype(jnp.int32)
-    recon = cands * q[:, None]  # f32 [B, 5]
+    # host f32 op order per combo: f32((pcost + rate) + lambda * dist)
+    recon = nz * q[:, None]
     d = coef[:, None] - recon
-    dist = d * d
+    dist_nz = d * d  # [B, 4]
+    # rate = LUT[(run<<4)|cat] via two one-hot contractions (a gather here
+    # serializes on TPU: measured 145 -> 26 ms for the whole 63-step scan).
+    # Each product has exactly one nonzero term, so the f32 sums are exact.
+    av = jnp.abs(nz_i)
+    pow2 = jnp.asarray([1 << k for k in range(16)], jnp.int32)
+    # cat == c  <=>  2^(c-1) <= |v| < 2^c  (c>=1);  cat == 0  <=>  v == 0
+    lo = jnp.concatenate([jnp.zeros(1, jnp.int32), pow2[:15]])
+    onehot_cat = (
+        (av[..., None] >= lo) & (av[..., None] < pow2)
+    ).astype(jnp.float32)  # [B, 4, 16]
+    onehot_run = (
+        run[..., None] == jnp.arange(16, dtype=jnp.int32)
+    ).astype(jnp.float32)  # [B, 8, 16]
+    lut2 = jnp.asarray(_RATE_LUT.reshape(16, 16))  # [run, cat]
+    tmp = jnp.einsum(
+        "bsr,rc->bsc", onehot_run, lut2, preferred_element_type=jnp.float32
+    )
+    # [B,8,1,16] * [B,1,4,16] summed over cat: plain vector ops beat a
+    # batched tiny matmul here
+    rate = jnp.sum(tmp[:, :, None, :] * onehot_cat[:, None, :, :], axis=-1)
+    svalid = jnp.isfinite(cost)
+    full = (cost[:, :, None] + rate) + lam * dist_nz[:, None, :]  # [B, 8, 4]
+    full = jnp.where(svalid[:, :, None], full, jnp.inf)
+    par_nz = jnp.argmin(full, axis=1).astype(jnp.int32)  # ties -> lowest pi
+    cost_nz = jnp.min(full, axis=1)
+    cost_nz = jnp.where(nzvalid, cost_nz, jnp.inf)
+    order_nz = jnp.broadcast_to(
+        jnp.arange(1, NCAND, dtype=jnp.int32), (b, NCAND - 1)
+    )
 
-    # transitions: [B, 8, 5]
-    prun = run[:, :, None]
-    is_zero = cand_i[:, None, :] == 0
-    nr = prun + 1
+    # zero children: one per state, dedup by resulting run
+    nr = run + 1
     wrap = nr >= 16
     zrate = jnp.where(wrap, jnp.float32(10.0), jnp.float32(0.0))
-    zrun = jnp.where(wrap, 0, nr)
-    cat = _category(jnp.abs(cand_i))  # [B, 5]
-    rs = (prun << 4) | cat[:, None, :]
-    nzrate = jnp.asarray(_RATE_LUT)[rs]
-    rate = jnp.where(is_zero, zrate, nzrate)
-    nrun = jnp.where(is_zero, zrun, 0)
-    # host order: f32((pcost + rate) + lambda * distortion)
-    tcost = (cost[:, :, None] + rate) + lam * dist[:, None, :]
-
-    svalid = jnp.isfinite(cost)  # valid state slots
-    valid = svalid[:, :, None] & cvalid[:, None, :]
-
-    b = cost.shape[0]
-    tcost = jnp.where(valid, tcost, jnp.inf).reshape(b, _COMBOS)
-    nrun = jnp.broadcast_to(nrun, (b, MAX_STATES, NCAND)).reshape(b, _COMBOS)
-    value = jnp.broadcast_to(
-        cand_i[:, None, :], (b, MAX_STATES, NCAND)
-    ).reshape(b, _COMBOS)
-    parent = jnp.broadcast_to(
-        jnp.arange(MAX_STATES, dtype=jnp.int32)[None, :, None],
-        (b, MAX_STATES, NCAND),
-    ).reshape(b, _COMBOS)
-    order = jnp.arange(_COMBOS, dtype=jnp.int32)[None, :]
-    validf = valid.reshape(b, _COMBOS)
-
-    # dedup by (value, run): runs < 16 so value*16 + run is collision-free;
-    # invalid combos get unique sentinel keys so they can never capture a
-    # real key's first-occurrence slot.
-    key = jnp.where(validf, value * 16 + nrun, 0x7F000000 + order)
-
-    same = key[:, :, None] == key[:, None, :]  # [B, C, C]
-    cost_j = jnp.broadcast_to(tcost[:, None, :], same.shape)
-    order_j = jnp.broadcast_to(order[:, None, :], same.shape)
+    znr = jnp.where(wrap, 0, nr)  # [B, 8]
+    dist0 = coef * coef  # [B]
+    zcost = (cost + zrate) + lam * dist0[:, None]  # inf stays inf
+    zorder = jnp.broadcast_to(
+        jnp.arange(MAX_STATES, dtype=jnp.int32) * NCAND, (b, MAX_STATES)
+    )
+    same = svalid[:, None, :] & (znr[:, :, None] == znr[:, None, :])
+    zc_j = jnp.broadcast_to(zcost[:, None, :], same.shape)
+    zo_j = jnp.broadcast_to(zorder[:, None, :], same.shape)
     better = same & (
-        (cost_j < tcost[:, :, None])
-        | ((cost_j == tcost[:, :, None]) & (order_j < order[:, :, None]))
+        (zc_j < zcost[:, :, None])
+        | ((zc_j == zcost[:, :, None]) & (zo_j < zorder[:, :, None]))
     )
-    winner = ~jnp.any(better, axis=2)  # argmin (ties -> lowest order) per key
-    first_order = jnp.min(
-        jnp.where(same, order_j, _COMBOS), axis=2
+    zwin = ~jnp.any(better, axis=2)
+    zfirst = jnp.min(
+        jnp.where(same, zo_j, _COMBOS), axis=2
     ).astype(jnp.int32)
+    zc = jnp.where(zwin, zcost, jnp.inf)
 
-    sort_cost = jnp.where(winner, tcost, jnp.inf)
-    s_cost, s_order, s_run, s_val, s_par = jax.lax.sort(
-        (sort_cost, first_order, nrun, value, parent), num_keys=2
+    # merge <=12 entries, stable sort by (cost, first-occurrence order)
+    costs = jnp.concatenate([zc, cost_nz], axis=1)
+    orders = jnp.concatenate([zfirst, order_nz], axis=1)
+    runs = jnp.concatenate([znr, jnp.zeros_like(par_nz)], axis=1)
+    vals = jnp.concatenate([jnp.zeros_like(znr), nz_i], axis=1)
+    pars = jnp.concatenate(
+        [jnp.broadcast_to(jnp.arange(MAX_STATES, dtype=jnp.int32), (b, MAX_STATES)), par_nz],
+        axis=1,
     )
-    new_cost = s_cost[:, :MAX_STATES]
-    new_run = s_run[:, :MAX_STATES]
-    return (new_cost, new_run), (
+    s_cost, _so, s_run, s_val, s_par = jax.lax.sort(
+        (costs, orders, runs, vals, pars), num_keys=2
+    )
+    return (s_cost[:, :MAX_STATES], s_run[:, :MAX_STATES]), (
         s_par[:, :MAX_STATES],
         s_val[:, :MAX_STATES],
     )

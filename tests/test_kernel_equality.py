@@ -202,3 +202,76 @@ class TestBlockify:
         img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
         dev = np.asarray(blocks_420(jnp.asarray(img)))
         np.testing.assert_array_equal(dev, blocks_420_np(img))
+
+
+class TestTrellisDevice:
+    """Batched device trellis vs the host implementations (VERDICT r1 #10).
+
+    Contract: bit-identical int16 output including tie-breaking (the host
+    DP's insert-then-stable-sort order is reproduced with masked dedup)."""
+
+    def _host(self, dct, q):
+        from pixo_tpu.jpeg.trellis import trellis_quantize_block
+
+        return np.stack(
+            [trellis_quantize_block(dct[i], q[i]) for i in range(dct.shape[0])]
+        )
+
+    def test_random_blocks_match_mirror(self, rng):
+        from pixo_tpu.ops.trellis_device import trellis_quantize_batch_device
+
+        dct = rng.normal(0, 80, (48, 64)).astype(np.float32)
+        dct[:, 0] = rng.normal(0, 500, 48).astype(np.float32)
+        dct[rng.random((48, 64)) < 0.5] = 0.0
+        q = rng.integers(1, 80, (48, 64)).astype(np.float32)
+        dev = np.asarray(trellis_quantize_batch_device(dct, q))
+        np.testing.assert_array_equal(dev, self._host(dct, q))
+
+    def test_sparse_and_dense_extremes(self, rng):
+        from pixo_tpu.ops.trellis_device import trellis_quantize_batch_device
+
+        q = np.full((4, 64), 16.0, np.float32)
+        dct = np.zeros((4, 64), np.float32)
+        dct[1] = rng.normal(0, 400, 64).astype(np.float32)  # dense
+        dct[2, 63] = 100.0  # lone tail coefficient
+        dct[3, 1] = 8.0     # near rounding boundary
+        dev = np.asarray(trellis_quantize_batch_device(dct, q))
+        np.testing.assert_array_equal(dev, self._host(dct, q))
+
+    def test_real_dct_content_and_pattern(self, rng):
+        """Full trellis_quantize(mode=device) vs host on real image DCTs
+        with an interleaved lum/chrom pattern."""
+        import jax.numpy as jnp
+
+        from pixo_tpu.jpeg import encoder as jenc
+        from pixo_tpu.jpeg.tables import ZIGZAG, QuantizationTables
+        from pixo_tpu.jpeg.trellis import trellis_quantize
+        from pixo_tpu.ops.blockify import scan_layout
+        from tests.conftest import synth_gradient
+
+        img = synth_gradient(48, 32, 3)
+        dct_zz = np.asarray(
+            jenc._device_dct_zz(jnp.asarray(img), color="rgb", subsampling="444")
+        )
+        _, _, pattern = scan_layout(48, 32, "rgb", "444")
+        quant = QuantizationTables(85)
+        lum_zz = quant.luminance_table[ZIGZAG]
+        chrom_zz = quant.chrominance_table[ZIGZAG]
+        host = trellis_quantize(dct_zz, pattern, lum_zz, chrom_zz, mode="host")
+        dev = trellis_quantize(dct_zz, pattern, lum_zz, chrom_zz, mode="device")
+        np.testing.assert_array_equal(dev, host)
+
+    def test_full_max_preset_encode_matches_host(self, monkeypatch):
+        """PIXO_TPU_TRELLIS=device routes the encoder's trellis through the
+        batched device DP; output files must be byte-identical."""
+        from pixo_tpu import JpegOptions, jpeg
+        from tests.conftest import synth_gradient
+
+        img = synth_gradient(32, 24, 3)
+        opts = JpegOptions.max(32, 24, 85)
+        assert opts.trellis_quant
+        monkeypatch.delenv("PIXO_TPU_TRELLIS", raising=False)
+        host = jpeg.encode(img, opts)
+        monkeypatch.setenv("PIXO_TPU_TRELLIS", "device")
+        dev = jpeg.encode(img, opts)
+        assert host == dev
