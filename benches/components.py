@@ -80,6 +80,12 @@ def main():
     row("level 6 random (stored)", timeit(lambda: deflate_zlib(mb, 6)), nbytes=1 << 20)
     small = compressible[:65536]
     row("optimal 64 KiB (5 iter)", timeit(lambda: deflate_optimal_zlib(small, 5)), nbytes=65536)
+    # A/B: device LZ77 assist (chain candidates + match lengths on device,
+    # host consumes; byte-identical). Includes the device dispatch + d2h.
+    os.environ["PIXO_TPU_LZ77"] = "device"
+    deflate_optimal_zlib(small, 5)  # compile warm
+    row("optimal 64 KiB device-assist", timeit(lambda: deflate_optimal_zlib(small, 5)), nbytes=65536)
+    del os.environ["PIXO_TPU_LZ77"]
 
     print("== PNG filter bank (512x512 RGBA, device) ==")
     img = synth_gradient(512, 512, 4)

@@ -36,14 +36,41 @@ def deflate_raw(data: bytes, level: int = 6) -> bytes:
 def deflate_optimal_zlib(data: bytes, iterations: int = 5) -> bytes:
     """Zopfli-style iterative optimal parse (pixo ``deflate_optimal_zlib``):
     per-position sublen match tables + entropy cost model + shortest-path
-    DP, iterated. Falls back to max-level greedy when native unavailable."""
+    DP, iterated. Falls back to max-level greedy when native unavailable.
+
+    ``PIXO_TPU_LZ77=device`` routes the match-table build's first chain
+    steps through the device (hash bucketing + batched match-length
+    scoring, ``ops/lz77_assist.chain_candidates``); the host walks only
+    chain tails. Byte-identical output either way. Off by default: the
+    dev tunnel's MB/s d2h makes shipping [N, K] candidate tables a net
+    loss — flip it on real PCIe/ICI hosts.
+    """
+    import os
+
     from ..native import native_deflate_optimal
 
-    out = native_deflate_optimal(data, iterations, True)
+    out = None
+    if os.environ.get("PIXO_TPU_LZ77") == "device" and data:
+        out = _deflate_optimal_device_assisted(data, iterations)
+    if out is None:
+        out = native_deflate_optimal(data, iterations, True)
     greedy = deflate_zlib(data, 9)
     if out is not None and len(out) < len(greedy):
         return out
     return greedy
+
+
+def _deflate_optimal_device_assisted(data: bytes, iterations: int):
+    import numpy as np
+
+    from ..native import native_deflate_optimal_assisted
+    from ..ops.lz77_assist import chain_candidates
+
+    arr = np.frombuffer(data, dtype=np.uint8)
+    cand, lens = chain_candidates(arr, k=16)
+    return native_deflate_optimal_assisted(
+        data, iterations, True, np.asarray(cand), np.asarray(lens)
+    )
 
 
 def _zlib_inflate_capped(data: bytes, wbits: int, expected_size: int | None) -> bytes:

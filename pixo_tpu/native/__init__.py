@@ -212,6 +212,16 @@ def _configure(lib) -> None:
         u8p, ctypes.c_int64,
     ]
 
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.deflate_compress_optimal_assisted.restype = ctypes.c_int64
+    lib.deflate_compress_optimal_assisted.argtypes = [
+        u8p, ctypes.c_int64,
+        ctypes.c_int32,                  # iterations
+        ctypes.c_int32,                  # zlib wrap
+        i32p, i32p, ctypes.c_int32,      # cand [N,K], clen [N,K], K
+        u8p, ctypes.c_int64,
+    ]
+
     lib.inflate_decompress.restype = ctypes.c_int64
     lib.inflate_decompress.argtypes = [
         u8p, ctypes.c_int64,             # input
@@ -422,6 +432,35 @@ def native_deflate_optimal(data: bytes, iterations: int, zlib_wrap: bool) -> Opt
     n = lib.deflate_compress_optimal(
         _u8(src) if len(src) else _u8(np.zeros(1, dtype=np.uint8)),
         len(src), iterations, 1 if zlib_wrap else 0, _u8(out), cap,
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def native_deflate_optimal_assisted(
+    data: bytes, iterations: int, zlib_wrap: bool,
+    cand: "np.ndarray", clen: "np.ndarray",
+) -> Optional[bytes]:
+    """Optimal parse consuming device-precomputed chain candidates
+    (ops/lz77_assist.chain_candidates). Byte-identical to the plain entry."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "deflate_compress_optimal_assisted"):
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    cand = np.ascontiguousarray(cand, dtype=np.int32)
+    clen = np.ascontiguousarray(clen, dtype=np.int32)
+    if cand.shape != clen.shape or cand.shape[0] != len(src):
+        return None
+    k = cand.shape[1]
+    cap = len(data) + (len(data) >> 3) + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    n = lib.deflate_compress_optimal_assisted(
+        _u8(src) if len(src) else _u8(np.zeros(1, dtype=np.uint8)),
+        len(src), iterations, 1 if zlib_wrap else 0,
+        cand.ctypes.data_as(i32), clen.ctypes.data_as(i32), k,
+        _u8(out), cap,
     )
     if n < 0:
         return None

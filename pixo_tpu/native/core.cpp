@@ -2413,6 +2413,18 @@ struct PosSegs {
     uint16_t count;
 };
 
+// Device-precomputed chain assist (SURVEY §7 step 4: hash/candidate
+// passes on device, decisions on host). cand/clen are [N, K] row-major:
+// cand[pos*K+k] = the (k+1)-th most recent position sharing pos's 4-byte
+// hash (-1 past the chain end), clen the exact match length against pos.
+// The arrays cover the first K chain steps; the host walks m.prev for
+// deeper chains, so output is identical to the unassisted build.
+struct AssistView {
+    const int32_t* cand;
+    const int32_t* clen;
+    int k;
+};
+
 struct OptimalParser {
     const uint8_t* data;
     int64_t n;
@@ -2423,7 +2435,8 @@ struct OptimalParser {
     OptimalParser(const uint8_t* d, int64_t total, int64_t start, int64_t blen)
         : data(d), n(total), block_start(start), block_len(blen) {}
 
-    void build_matches(Matcher& m, int chain_limit) {
+    void build_matches(Matcher& m, int chain_limit,
+                       const AssistView* av = nullptr) {
         segs.assign((size_t)block_len, PosSegs{{0}, {0}, 0});
         maxlen.assign(block_len, 0);
         for (int64_t i = 0; i < block_len; i++) {
@@ -2455,6 +2468,39 @@ struct OptimalParser {
                     uint32_t h = hash4(cur);
                     int32_t cand = m.head[h];
                     int chain = chain_limit;
+                    bool done = false;
+                    if (av && av->k > 0) {
+                        // consume the device-scored prefix of the chain;
+                        // the acceptance logic mirrors the walk below
+                        // (candidates only contribute lengths > best, so
+                        // the prefix/frontier pruning is subsumed by the
+                        // exact device lengths)
+                        const int32_t* ac = av->cand + (size_t)pos * av->k;
+                        const int32_t* al = av->clen + (size_t)pos * av->k;
+                        int kk = 0;
+                        for (; kk < av->k; kk++) {
+                            int32_t c = ac[kk];
+                            if (c < 0 || chain-- <= 0) { done = true; break; }
+                            int64_t dist = pos - c;
+                            if (dist > WINDOW) { done = true; break; }
+                            if (dist > 0) {
+                                int len = al[kk];
+                                if (len > max_here) len = max_here;
+                                if (len > best) {
+                                    if (sg.count == MAX_SEGS) { done = true; break; }
+                                    sg.hi[sg.count] = (uint16_t)len;
+                                    sg.dist[sg.count] = (uint16_t)dist;
+                                    sg.count++;
+                                    best = len;
+                                    if (best == max_here) { done = true; break; }
+                                }
+                            }
+                            cand = c;  // last consumed chain entry
+                        }
+                        if (done) cand = -1;
+                        else cand = cand >= 0 && kk == av->k ? m.prev[cand]
+                                                             : m.head[h];
+                    }
                     while (cand >= 0 && chain-- > 0) {
                         int64_t dist = pos - cand;
                         if (dist > WINDOW) break;
@@ -2578,9 +2624,10 @@ static void optimal_parse_block(
 
 }  // namespace deflate
 
-EXPORT int64_t deflate_compress_optimal(const uint8_t* data, int64_t len,
-                                        int32_t iterations, int32_t zlib_wrap,
-                                        uint8_t* out, int64_t out_cap) {
+static int64_t deflate_optimal_impl(const uint8_t* data, int64_t len,
+                                    int32_t iterations, int32_t zlib_wrap,
+                                    const deflate::AssistView* av,
+                                    uint8_t* out, int64_t out_cap) {
     using namespace deflate;
     if (iterations < 1) iterations = 1;
     LsbWriter w(out, out_cap);
@@ -2607,7 +2654,7 @@ EXPORT int64_t deflate_compress_optimal(const uint8_t* data, int64_t len,
                 return ts.tv_sec + ts.tv_nsec * 1e-9;
             };
             double t0 = dbg ? tick() : 0.0;
-            p.build_matches(m, 1024);
+            p.build_matches(m, 1024, av);
             if (dbg) fprintf(stderr, "opt: build_matches %.0f ms (block %lld)\n",
                              (tick() - t0) * 1e3, (long long)blen);
 
@@ -2686,6 +2733,26 @@ EXPORT int64_t deflate_compress_optimal(const uint8_t* data, int64_t len,
         w.raw_bytes(tail, 4);
     }
     return w.overflow ? -1 : w.pos;
+}
+
+EXPORT int64_t deflate_compress_optimal(const uint8_t* data, int64_t len,
+                                        int32_t iterations, int32_t zlib_wrap,
+                                        uint8_t* out, int64_t out_cap) {
+    return deflate_optimal_impl(data, len, iterations, zlib_wrap, nullptr,
+                                out, out_cap);
+}
+
+// Optimal parse with device-precomputed chain candidates (the [HK] split
+// of SURVEY §2.2: hash bucketing + match-length scoring on device, the
+// sequential DP and bit emission on host). cand/clen: [len, k] row-major
+// int32 (see AssistView). Byte-identical to the unassisted entry.
+EXPORT int64_t deflate_compress_optimal_assisted(
+    const uint8_t* data, int64_t len, int32_t iterations, int32_t zlib_wrap,
+    const int32_t* cand, const int32_t* clen, int32_t k,
+    uint8_t* out, int64_t out_cap) {
+    deflate::AssistView av{cand, clen, (int)k};
+    return deflate_optimal_impl(data, len, iterations, zlib_wrap,
+                                k > 0 ? &av : nullptr, out, out_cap);
 }
 
 // =============================== INFLATE ====================================

@@ -40,7 +40,7 @@ def hash4(data_u8):
     n = d.shape[0]
 
     def shifted(k):
-        pad = jnp.zeros((k,), jnp.uint32)
+        pad = jnp.zeros((min(k, n),), jnp.uint32)
         return jnp.concatenate([d[k:], pad])
 
     v = d | (shifted(1) << 8) | (shifted(2) << 16) | (shifted(3) << 24)
@@ -79,6 +79,72 @@ def batched_match_lengths(data_u8, pos, cand, *, max_len: int = 258):
     first_bad = jnp.argmin(eq, axis=1)
     all_eq = jnp.all(eq, axis=1)
     return jnp.where(all_eq, max_len, first_bad).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def chain_candidates(data_u8, *, k: int = 16):
+    """First k hash-chain candidates per position, with exact match lengths.
+
+    The host Matcher's chain at position p is exactly the positions
+    q < p sharing p's 4-byte hash, nearest first (every position is
+    inserted; ``core.cpp Matcher::insert``). A lexicographic sort by
+    (hash, position) makes the chain the k sorted predecessors within
+    the same-hash run, so one sort + k shifted compares reproduce the
+    first k chain steps for EVERY position in parallel.
+
+    Returns (cand [N, k] int32, lens [N, k] int32); cand is -1 past the
+    chain end (callers resume the host walk from m.prev there). Tail
+    positions (pos+4 > n) are never inserted by the host and get unique
+    sentinel keys so they join no bucket.
+    """
+    n = data_u8.shape[0]
+    h = hash4(data_u8)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(pos + 4 <= n, h, (1 << HASH_BITS) + pos)
+    skey, spos = jax.lax.sort((key, pos), num_keys=2)
+
+    cols = []
+    for kk in range(1, k + 1):
+        pad = min(kk, n)
+        c = jnp.concatenate(
+            [jnp.full((pad,), -1, jnp.int32), spos[: max(n - kk, 0)]]
+        )
+        ck = jnp.concatenate(
+            [jnp.full((pad,), -1, jnp.int32), skey[: max(n - kk, 0)]]
+        )
+        cols.append(jnp.where(ck == skey, c, -1))
+    cand_sorted = jnp.stack(cols, axis=1)  # [N, k] in sorted order
+    cand = jnp.zeros((n, k), jnp.int32).at[spos].set(cand_sorted)
+
+    flat = cand.reshape(-1)
+    pos_rep = jnp.repeat(pos, k)
+    lens = batched_match_lengths(data_u8, pos_rep, jnp.maximum(flat, 0))
+    lens = jnp.where(flat >= 0, lens, 0).reshape(n, k)
+    return cand, lens
+
+
+def chain_candidates_np(data: np.ndarray, k: int = 16):
+    """NumPy mirror of ``chain_candidates`` via literal chain simulation."""
+    n = len(data)
+    head: dict = {}
+    prev = np.full(n, -1, np.int64)
+    cand = np.full((n, k), -1, np.int32)
+    lens = np.zeros((n, k), np.int32)
+    for p in range(n):
+        if p + 4 <= n:
+            h = int(hash4_np(data[p : p + 4])[0])
+            c = head.get(h, -1)
+            for kk in range(k):
+                if c < 0:
+                    break
+                cand[p, kk] = c
+                lens[p, kk] = batched_match_lengths_np(
+                    data, np.array([p]), np.array([c])
+                )[0]
+                c = prev[c]
+            prev[p] = head.get(h, -1)
+            head[h] = p
+    return cand, lens
 
 
 def batched_match_lengths_np(

@@ -275,3 +275,45 @@ class TestTrellisDevice:
         monkeypatch.setenv("PIXO_TPU_TRELLIS", "device")
         dev = jpeg.encode(img, opts)
         assert host == dev
+
+
+class TestChainCandidates:
+    """Device hash-chain assist vs a literal chain simulation, and byte
+    identity of the assisted optimal DEFLATE (VERDICT r1 #4)."""
+
+    def test_matches_chain_simulation(self, rng):
+        from pixo_tpu.ops.lz77_assist import chain_candidates, chain_candidates_np
+
+        data = rng.integers(0, 6, 3000, dtype=np.uint8)  # deep chains
+        c_dev, l_dev = (np.asarray(x) for x in chain_candidates(data, k=4))
+        c_np, l_np = chain_candidates_np(data, k=4)
+        np.testing.assert_array_equal(c_dev, c_np)
+        np.testing.assert_array_equal(l_dev, l_np)
+
+    def test_tiny_inputs(self):
+        from pixo_tpu.ops.lz77_assist import chain_candidates
+
+        for n in (0, 1, 3, 4, 5):
+            data = np.arange(n, dtype=np.uint8)
+            c, l = chain_candidates(data, k=3)
+            assert c.shape == (n, 3) and l.shape == (n, 3)
+            assert (np.asarray(c) == -1).all()  # distinct 4-grams: no chains
+
+    def test_assisted_optimal_deflate_byte_identical(self, rng, monkeypatch):
+        import zlib
+
+        from pixo_tpu.compress.deflate import deflate_optimal_zlib
+        from pixo_tpu.native import native_available
+
+        if not native_available():
+            pytest.skip("native tier unavailable")
+        # PNG-residual-like content: sparse small deltas + flat runs
+        resid = rng.integers(-3, 4, 20000).astype(np.int8).astype(np.uint8)
+        resid[rng.random(20000) < 0.6] = 0
+        payload = resid.tobytes()
+        monkeypatch.delenv("PIXO_TPU_LZ77", raising=False)
+        plain = deflate_optimal_zlib(payload)
+        monkeypatch.setenv("PIXO_TPU_LZ77", "device")
+        assisted = deflate_optimal_zlib(payload)
+        assert plain == assisted
+        assert zlib.decompress(assisted) == payload
