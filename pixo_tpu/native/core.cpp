@@ -18,6 +18,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <memory>
 #include <vector>
 #include <algorithm>
 #include <cmath>
@@ -1348,6 +1349,77 @@ EXPORT int32_t png_unfilter(const uint8_t* rows, int64_t height,
 
 namespace pngfilter {
 
+// AVX2 tier for the hot per-byte loops (the analog of the reference's
+// hand-written SIMD filters, src/simd/x86_64.rs:601-1009). All-integer, so
+// bit-identical to the scalar fallbacks below by construction.
+#ifdef __AVX2__
+static inline __m256i paeth_pred_epi16(__m256i a, __m256i b, __m256i c) {
+    __m256i p = _mm256_sub_epi16(_mm256_add_epi16(a, b), c);
+    __m256i pa = _mm256_abs_epi16(_mm256_sub_epi16(p, a));
+    __m256i pb = _mm256_abs_epi16(_mm256_sub_epi16(p, b));
+    __m256i pc = _mm256_abs_epi16(_mm256_sub_epi16(p, c));
+    // pred = (pa<=pb && pa<=pc) ? a : (pb<=pc ? b : c)
+    __m256i not_a = _mm256_or_si256(_mm256_cmpgt_epi16(pa, pb),
+                                    _mm256_cmpgt_epi16(pa, pc));
+    __m256i bc = _mm256_blendv_epi8(b, c, _mm256_cmpgt_epi16(pb, pc));
+    return _mm256_blendv_epi8(a, bc, not_a);
+}
+
+static inline void paeth_avx2(const uint8_t* cur, const uint8_t* prev,
+                              int64_t rb, int bpp, uint8_t* out) {
+    int64_t i = bpp;
+    const __m256i mask_ff = _mm256_set1_epi16(0xFF);
+    for (; i + 32 <= rb; i += 32) {
+        __m256i x = _mm256_loadu_si256((const __m256i*)(cur + i));
+        __m256i A = _mm256_loadu_si256((const __m256i*)(cur + i - bpp));
+        __m256i B = _mm256_loadu_si256((const __m256i*)(prev + i));
+        __m256i C = _mm256_loadu_si256((const __m256i*)(prev + i - bpp));
+        __m256i x0 = _mm256_cvtepu8_epi16(_mm256_castsi256_si128(x));
+        __m256i x1 = _mm256_cvtepu8_epi16(_mm256_extracti128_si256(x, 1));
+        __m256i p0 = paeth_pred_epi16(
+            _mm256_cvtepu8_epi16(_mm256_castsi256_si128(A)),
+            _mm256_cvtepu8_epi16(_mm256_castsi256_si128(B)),
+            _mm256_cvtepu8_epi16(_mm256_castsi256_si128(C)));
+        __m256i p1 = paeth_pred_epi16(
+            _mm256_cvtepu8_epi16(_mm256_extracti128_si256(A, 1)),
+            _mm256_cvtepu8_epi16(_mm256_extracti128_si256(B, 1)),
+            _mm256_cvtepu8_epi16(_mm256_extracti128_si256(C, 1)));
+        __m256i r0 = _mm256_and_si256(_mm256_sub_epi16(x0, p0), mask_ff);
+        __m256i r1 = _mm256_and_si256(_mm256_sub_epi16(x1, p1), mask_ff);
+        __m256i packed = _mm256_permute4x64_epi64(
+            _mm256_packus_epi16(r0, r1), 0xD8);
+        _mm256_storeu_si256((__m256i*)(out + i), packed);
+    }
+    for (; i < rb; i++) {
+        int a = cur[i - bpp], b = prev[i], c = prev[i - bpp];
+        int p = a + b - c;
+        int pa = p > a ? p - a : a - p;
+        int pb = p > b ? p - b : b - p;
+        int pc = p > c ? p - c : c - p;
+        int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+        out[i] = (uint8_t)(cur[i] - pred);
+    }
+}
+
+static inline void average_avx2(const uint8_t* cur, const uint8_t* prev,
+                                int64_t rb, int bpp, uint8_t* out) {
+    int64_t i = bpp;
+    const __m256i one = _mm256_set1_epi8(1);
+    for (; i + 32 <= rb; i += 32) {
+        __m256i x = _mm256_loadu_si256((const __m256i*)(cur + i));
+        __m256i a = _mm256_loadu_si256((const __m256i*)(cur + i - bpp));
+        __m256i b = _mm256_loadu_si256((const __m256i*)(prev + i));
+        // floor avg: avg_epu8 rounds up, subtract the carry bit
+        __m256i fl = _mm256_sub_epi8(
+            _mm256_avg_epu8(a, b),
+            _mm256_and_si256(_mm256_xor_si256(a, b), one));
+        _mm256_storeu_si256((__m256i*)(out + i), _mm256_sub_epi8(x, fl));
+    }
+    for (; i < rb; i++)
+        out[i] = (uint8_t)(cur[i] - ((cur[i - bpp] + prev[i]) >> 1));
+}
+#endif
+
 static inline void filter_row(int f, const uint8_t* cur, const uint8_t* prev,
                               int64_t rb, int bpp, uint8_t* out) {
     switch (f) {
@@ -1365,12 +1437,19 @@ static inline void filter_row(int f, const uint8_t* cur, const uint8_t* prev,
         case 3:  // Average
             for (int64_t i = 0; i < bpp && i < rb; i++)
                 out[i] = (uint8_t)(cur[i] - (prev[i] >> 1));
+#ifdef __AVX2__
+            average_avx2(cur, prev, rb, bpp, out);
+#else
             for (int64_t i = bpp; i < rb; i++)
                 out[i] = (uint8_t)(cur[i] - ((cur[i - bpp] + prev[i]) >> 1));
+#endif
             break;
         default: {  // Paeth
             for (int64_t i = 0; i < bpp && i < rb; i++)
                 out[i] = (uint8_t)(cur[i] - prev[i]);  // a=c=0 -> pred=b
+#ifdef __AVX2__
+            paeth_avx2(cur, prev, rb, bpp, out);
+#else
             for (int64_t i = bpp; i < rb; i++) {
                 int a = cur[i - bpp], b = prev[i], c = prev[i - bpp];
                 int p = a + b - c;
@@ -1380,16 +1459,31 @@ static inline void filter_row(int f, const uint8_t* cur, const uint8_t* prev,
                 int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
                 out[i] = (uint8_t)(cur[i] - pred);
             }
+#endif
             break;
         }
     }
 }
 
 // sum of |byte as i8| (the reference's minimum-sum-of-absolute-differences
-// heuristic, score_filter src/png/filter.rs:614-627)
+// heuristic, score_filter src/png/filter.rs:614-627). AVX2: |int8| via
+// abs_epi8 (|-128| stays 0x80 = 128 unsigned, which IS min(b, 256-b) for
+// b=128), summed with SAD against zero — the reference's exact trick
+// (src/simd/x86_64.rs:569).
 static inline int64_t signed_abs_score(const uint8_t* row, int64_t rb) {
-    int64_t s = 0;
-    for (int64_t i = 0; i < rb; i++) {
+    int64_t i = 0, s = 0;
+#ifdef __AVX2__
+    __m256i acc = _mm256_setzero_si256();
+    const __m256i zero = _mm256_setzero_si256();
+    for (; i + 32 <= rb; i += 32) {
+        __m256i v = _mm256_loadu_si256((const __m256i*)(row + i));
+        acc = _mm256_add_epi64(acc, _mm256_sad_epu8(_mm256_abs_epi8(v), zero));
+    }
+    alignas(32) int64_t lanes[4];
+    _mm256_store_si256((__m256i*)lanes, acc);
+    s = lanes[0] + lanes[1] + lanes[2] + lanes[3];
+#endif
+    for (; i < rb; i++) {
         int b = row[i];
         s += b < 128 ? b : 256 - b;
     }
@@ -1724,44 +1818,88 @@ static inline int match_length(const uint8_t* a, const uint8_t* b, int max) {
     return i;
 }
 
+// Reusable per-thread matcher buffers (the pool analog of the reference's
+// global Mutex<Deflater> pool, src/compress/deflate.rs:77-96). Hash heads
+// are epoch-gated: a head entry is live only when its epoch stamp matches
+// the current call's, so no per-call -1 fills of the 256 KiB head table or
+// the O(len) prev array are needed (prev entries are only ever read for
+// positions inserted this epoch, which wrote them first).
+struct MatcherState {
+    std::vector<int32_t> head, head3, prev;
+};
+
+// Length of the run of bytes equal to d[pos] starting at pos, capped at
+// lim_abs (callers pass pos + min(cap, n - pos)). Word-at-a-time; replaces
+// the precomputed zopfli-style same[] array: both consumers cap at
+// MAX_MATCH anyway and runs are consumed wholesale by the RLE paths, so
+// on-demand scans are amortized O(n) while the precompute wrote an O(n)
+// u16 array per call (~0.8 ms per 512x512 image, pure memory traffic).
+static inline int run_length_capped(const uint8_t* d, int64_t pos,
+                                    int64_t lim_abs) {
+    const uint8_t b = d[pos];
+    int64_t e = pos + 1;
+    while (e + 8 <= lim_abs) {
+        uint64_t w;
+        memcpy(&w, d + e, 8);
+        uint64_t x = w ^ (0x0101010101010101ull * b);
+        if (x) {
+            e += (int64_t)(__builtin_ctzll(x) >> 3);
+            return (int)(e - pos);
+        }
+        e += 8;
+    }
+    while (e < lim_abs && d[e] == b) e++;
+    return (int)(e - pos);
+}
+
+static MatcherState& matcher_state() {
+    static thread_local MatcherState st;
+    return st;
+}
+
 struct Matcher {
-    std::vector<int32_t> head;   // 4-byte hash -> most recent pos (chained)
-    std::vector<int32_t> prev;   // pos -> previous pos with same 4-byte hash
-    std::vector<int32_t> head3;  // 3-byte hash -> most recent pos (no chain);
-                                 // catches len-3 matches whose 4th byte
-                                 // differs, which the 4-byte chains never see
-    std::vector<uint16_t> same;  // run length of identical bytes starting at
-                                 // pos, saturated at MAX_MATCH+1 (zopfli's
-                                 // `same` array): makes the dist-1 run seed
-                                 // O(1) instead of O(run) per position,
-                                 // which was quadratic over flat regions
+    // head: 4-byte hash -> most recent pos (chained through prev);
+    // head3: 3-byte hash -> most recent pos (no chain) for len-3 matches
+    // whose 4th byte differs; same: run length of identical bytes starting
+    // at pos, saturated at MAX_MATCH+1 (zopfli's `same` array, keeps the
+    // dist-1 run seed O(1) over flat regions).
+    std::unique_ptr<MatcherState> own;  // huge inputs skip the pool so the
+                                        // thread-local footprint stays small
+    MatcherState& st;
     const uint8_t* data;
     int64_t n;
 
     Matcher(const uint8_t* d, int64_t len)
-        : head(HASH_SIZE, -1), prev(len, -1), head3(HASH3_SIZE, -1),
-          same(len ? len : 1), data(d), n(len) {
-        if (len) {
-            same[len - 1] = 1;
-            for (int64_t i = len - 2; i >= 0; i--)
-                same[i] = d[i] == d[i + 1]
-                    ? (uint16_t)std::min<int>(same[i + 1] + 1, MAX_MATCH + 1)
-                    : (uint16_t)1;
+        : own(len > (64 << 20) ? new MatcherState() : nullptr),
+          st(own ? *own : matcher_state()), data(d), n(len) {
+        if ((int64_t)st.prev.size() < len) {
+            // prev is never cleared: prev[p] is only read for positions
+            // inserted this call, which wrote it first.
+            st.prev.resize(len);
         }
+        if (st.head.empty()) {
+            st.head.resize(HASH_SIZE);
+            st.head3.resize(HASH3_SIZE);
+        }
+        memset(st.head.data(), 0xFF, HASH_SIZE * sizeof(int32_t));
+        memset(st.head3.data(), 0xFF, HASH3_SIZE * sizeof(int32_t));
     }
 
+    inline int32_t head4_at(uint32_t h) const { return st.head[h]; }
+    inline int32_t head3_at(uint32_t h) const { return st.head3[h]; }
+
     inline void insert(int64_t pos) {
-        if (pos + 3 <= n) head3[hash3(data + pos)] = (int32_t)pos;
+        if (pos + 3 <= n) st.head3[hash3(data + pos)] = (int32_t)pos;
         if (pos + 4 > n) return;
         uint32_t h = hash4(data + pos);
-        prev[pos] = head[h];
-        head[h] = (int32_t)pos;
+        st.prev[pos] = st.head[h];
+        st.head[h] = (int32_t)pos;
     }
 
     // most recent position sharing 3 bytes with pos, or -1
     inline int32_t probe3(int64_t pos) const {
         if (pos + 3 > n) return -1;
-        return head3[hash3(data + pos)];
+        return head3_at(hash3(data + pos));
     }
 
     // find best match at pos; returns length (0 if none < mml), sets dist.
@@ -1780,7 +1918,7 @@ struct Matcher {
         // is what makes the sparse RLE hash inserts safe — without it a
         // deep chain walks far-away run candidates instead of breaking
         if (pos >= 1 && cur[0] == data[pos - 1]) {
-            int run = (int)std::min<int>(same[pos], max_len);
+            int run = run_length_capped(data, pos, pos + max_len);
             if (run >= mml) {
                 if (run >= nice || run == max_len) {
                     *dist_out = 1;
@@ -1811,7 +1949,7 @@ struct Matcher {
             uint32_t cur32;
             memcpy(&cur32, cur, 4);
             uint32_t h = hash4(cur);
-            int32_t cand = head[h];
+            int32_t cand = head4_at(h);
             while (cand >= 0 && chain-- > 0) {
                 int64_t dist = pos - cand;
                 if (dist > WINDOW) break;
@@ -1831,7 +1969,7 @@ struct Matcher {
                         }
                     }
                 }
-                cand = prev[cand];
+                cand = st.prev[cand];
             }
         }
         if (best_dist == 0) return 0;
@@ -2235,9 +2373,21 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
         emit_stored_all(w, data, len);
         w.flush();
     } else {
+        const bool dbg = getenv("PIXO_TPU_DEFLATE_DEBUG") != nullptr;
+        auto tick = [] {
+            struct timespec ts;
+            clock_gettime(CLOCK_MONOTONIC, &ts);
+            return ts.tv_sec + ts.tv_nsec * 1e-9;
+        };
+        double t0 = dbg ? tick() : 0.0;
         Lz77Config cfg = config_for_level(level);
         Matcher m(data, len);
         const int mml = calc_min_match(data, len, cfg.depth_cap);
+        if (const char* ov = getenv("PIXO_TPU_CHAIN")) {
+            int c = atoi(ov);
+            if (c > 0) cfg.chain = c;
+        }
+        if (dbg) { fprintf(stderr, "deflate: setup %.2f ms\n", (tick() - t0) * 1e3); t0 = tick(); }
         // Block every ~256 KiB of input for histogram locality.
         const int64_t BLOCK_INPUT = 256 * 1024;
         int64_t pos = 0;
@@ -2263,7 +2413,7 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
                     pos + MIN_MATCH <= len && data[pos + 1] == data[pos] &&
                     data[pos + 2] == data[pos]) {
                     int64_t limit = std::min<int64_t>(len - pos, MAX_MATCH);
-                    int run = (int)std::min<int64_t>(m.same[pos], limit);
+                    int run = run_length_capped(data, pos, pos + limit);
                     // Only shortcut when the run is maximal (hits MAX_MATCH
                     // or the end of input). A shorter run must compete with
                     // regular matching: on interleaved content (e.g. PNG
@@ -2356,10 +2506,15 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
                     tokens.push_back(match_token(best, dist));
                     literal_run = 0;
                     int64_t end = pos + best;
-                    if (dist == 1) {
-                        // RLE match: chain only first and last positions so
-                        // dist-1 runs don't degenerate the hash chains
-                        // (parity with lz77.rs:565-575)
+                    bool run_span = dist == 1 ||
+                        (best >= 32 && data[pos] == data[pos + 1] &&
+                         run_length_capped(data, pos, end) == best);
+                    if (run_span) {
+                        // RLE match, or a match whose span is one equal-byte
+                        // run: chain only first and last positions. Interior
+                        // positions all hash into the same bucket and only
+                        // degenerate the chain (parity with lz77.rs:565-575;
+                        // the run seed re-finds them at dist 1 anyway).
                         if (!cur_inserted) m.insert(pos);
                         if (end - 1 > pos && end - 1 < len) m.insert(end - 1);
                     } else {
@@ -2376,8 +2531,10 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
             }
             // matches may run past block_end; the block's raw span is the
             // range the tokens actually cover
+            if (dbg) { fprintf(stderr, "deflate: lz77 %.2f ms (%zu tokens)\n", (tick() - t0) * 1e3, tokens.size()); t0 = tick(); }
             emit_block_split(w, tokens, data, block_start, pos - block_start,
                              pos == len);
+            if (dbg) { fprintf(stderr, "deflate: emit %.2f ms\n", (tick() - t0) * 1e3); t0 = tick(); }
         }
         w.flush();
     }
@@ -2466,7 +2623,7 @@ struct OptimalParser {
                     uint32_t cur32;
                     memcpy(&cur32, cur, 4);
                     uint32_t h = hash4(cur);
-                    int32_t cand = m.head[h];
+                    int32_t cand = m.head4_at(h);
                     int chain = chain_limit;
                     bool done = false;
                     if (av && av->k > 0) {
@@ -2498,8 +2655,8 @@ struct OptimalParser {
                             cand = c;  // last consumed chain entry
                         }
                         if (done) cand = -1;
-                        else cand = cand >= 0 && kk == av->k ? m.prev[cand]
-                                                             : m.head[h];
+                        else cand = cand >= 0 && kk == av->k ? m.st.prev[cand]
+                                                             : m.head4_at(h);
                     }
                     while (cand >= 0 && chain-- > 0) {
                         int64_t dist = pos - cand;
@@ -2527,7 +2684,7 @@ struct OptimalParser {
                                 }
                             }
                         }
-                        cand = m.prev[cand];
+                        cand = m.st.prev[cand];
                     }
                 }
                 maxlen[i] = (uint16_t)best;
