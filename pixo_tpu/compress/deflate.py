@@ -12,21 +12,41 @@ from __future__ import annotations
 import zlib as _zlib
 
 
-def deflate_zlib(data: bytes, level: int = 6) -> bytes:
-    """zlib-wrapped DEFLATE stream at the given level (1-9)."""
+def _parity_default() -> bool:
+    import os
+
+    return os.environ.get("PIXO_TPU_DEFLATE_PARITY") == "1"
+
+
+def deflate_zlib(data: bytes, level: int = 6, parity: bool = None) -> bytes:
+    """zlib-wrapped DEFLATE stream at the given level (1-9).
+
+    ``parity=True`` (or ``PIXO_TPU_DEFLATE_PARITY=1``) selects the
+    reference-parity decision layer: the reference's exact matcher
+    traversal, level ladder, lazy/incompressible state machines,
+    whole-stream block segmentation with the <=128-token fixed/dynamic
+    rule, entropy gate, and stream-level stored comparison (see NOTES.md
+    "DEFLATE divergence table" for the one remaining divergent layer).
+    Default (False) is the performance path: never-worse exact-cost
+    decisions and the deeper level-2/6 search.
+    """
     from ..native import native_deflate
 
-    out = native_deflate(data, level, True)
+    if parity is None:
+        parity = _parity_default()
+    out = native_deflate(data, level, True, parity=parity)
     if out is not None:
         return out
     return _zlib.compress(data, level)
 
 
-def deflate_raw(data: bytes, level: int = 6) -> bytes:
+def deflate_raw(data: bytes, level: int = 6, parity: bool = None) -> bytes:
     """Raw DEFLATE stream (no zlib wrapper)."""
     from ..native import native_deflate
 
-    out = native_deflate(data, level, False)
+    if parity is None:
+        parity = _parity_default()
+    out = native_deflate(data, level, False, parity=parity)
     if out is not None:
         return out
     c = _zlib.compressobj(level, _zlib.DEFLATED, -15)

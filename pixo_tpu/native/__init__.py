@@ -212,6 +212,14 @@ def _configure(lib) -> None:
         u8p, ctypes.c_int64,
     ]
 
+    lib.deflate_compress_parity.restype = ctypes.c_int64
+    lib.deflate_compress_parity.argtypes = [
+        u8p, ctypes.c_int64,
+        ctypes.c_int32,                  # level 1-9
+        ctypes.c_int32,                  # zlib wrap (0/1)
+        u8p, ctypes.c_int64,
+    ]
+
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.deflate_compress_optimal_assisted.restype = ctypes.c_int64
     lib.deflate_compress_optimal_assisted.argtypes = [
@@ -406,14 +414,19 @@ def native_count_symbols(
     return dc_lum, dc_chrom, ac_lum, ac_chrom
 
 
-def native_deflate(data: bytes, level: int, zlib_wrap: bool) -> Optional[bytes]:
+def native_deflate(
+    data: bytes, level: int, zlib_wrap: bool, parity: bool = False
+) -> Optional[bytes]:
     lib = _load()
     if lib is None:
+        return None
+    if parity and not hasattr(lib, "deflate_compress_parity"):
         return None
     src = np.frombuffer(data, dtype=np.uint8)
     cap = len(data) + (len(data) >> 3) + 4096
     out = np.empty(cap, dtype=np.uint8)
-    n = lib.deflate_compress(
+    entry = lib.deflate_compress_parity if parity else lib.deflate_compress
+    n = entry(
         _u8(src) if len(src) else _u8(np.zeros(1, dtype=np.uint8)),
         len(src), level, 1 if zlib_wrap else 0, _u8(out), cap,
     )

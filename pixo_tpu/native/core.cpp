@@ -1997,9 +1997,12 @@ static int calc_min_match(const uint8_t* data, int64_t len, int depth) {
 }
 
 // emit a block of tokens with the best of (dynamic, fixed) huffman coding
+// force: -1 = choose best of dynamic/fixed/stored (default path);
+// 0 = fixed-only, 1 = dynamic-only (reference-parity block-type rules,
+// deflate.rs:99-118 — no stored fallback at block level there).
 static void emit_block(LsbWriter& w, const std::vector<Token>& tokens,
                        const uint8_t* raw, int64_t raw_start, int64_t raw_len,
-                       bool last) {
+                       bool last, int force = -1) {
     fixed_init();
     tables_init();
 
@@ -2091,7 +2094,7 @@ static void emit_block(LsbWriter& w, const std::vector<Token>& tokens,
     uint64_t fixed_bits = token_cost(fixed_lit_len, fixed_dist_len);
     uint64_t stored_bits = 8ull * raw_len + 32 + (raw_len / 65535 + 1) * 40;
 
-    if (raw_len > 0 && stored_bits < dyn_bits + 3 && stored_bits < fixed_bits + 3) {
+    if (force < 0 && raw_len > 0 && stored_bits < dyn_bits + 3 && stored_bits < fixed_bits + 3) {
         // stored blocks
         int64_t off = 0;
         while (off < raw_len || raw_len == 0) {
@@ -2112,7 +2115,8 @@ static void emit_block(LsbWriter& w, const std::vector<Token>& tokens,
 
     const uint8_t *ll, *dl;
     const uint16_t *lc, *dc;
-    if (fixed_bits <= dyn_bits) {
+    bool use_fixed = force < 0 ? fixed_bits <= dyn_bits : force == 0;
+    if (use_fixed) {
         w.write(last ? 1 : 0, 1);
         w.write(1, 2);  // fixed
         ll = fixed_lit_len; dl = fixed_dist_len; lc = fixed_lit_code; dc = fixed_dist_code;
@@ -2910,6 +2914,575 @@ EXPORT int64_t deflate_compress_optimal_assisted(
     deflate::AssistView av{cand, clen, (int)k};
     return deflate_optimal_impl(data, len, iterations, zlib_wrap,
                                 k > 0 ? &av : nullptr, out, out_cap);
+}
+
+// ====================== reference byte-parity DEFLATE =======================
+// Exact mirror of the reference's DECISION layer (pixo src/compress/
+// lz77.rs + deflate.rs): hash functions and table shapes, matcher
+// traversal and tie-breaking, lazy/incompressible state machines, block
+// segmentation (whole-stream tokens, <=128-token fixed/dynamic rule,
+// coarse-to-fine split search with the reference's f64 accumulation
+// order), the level ladder including the level-1 HT bucket matcher, the
+// 4096-slot collision entropy gate, and the stream-level stored
+// comparison. The one remaining layer that is NOT mirrored is Huffman
+// table construction (we use package-merge; the reference uses a
+// BinaryHeap + Kraft limiting whose tie-breaking is Rust-heap-specific)
+// — see NOTES.md "DEFLATE divergence table".
+
+namespace refparity {
+
+using deflate::Token;
+using deflate::lit_token;
+using deflate::match_token;
+using deflate::match_length;
+using deflate::run_length_capped;
+using deflate::calc_min_match;
+using deflate::emit_block;
+using deflate::emit_stored_all;
+using deflate::len_to_sym;
+using deflate::dist_symbol;
+using deflate::LEN_EXTRA;
+using deflate::DIST_EXTRA;
+using deflate::tables_init;
+
+static const int64_t RWINDOW = 32768;
+static const int RMIN = 3;
+static const int RMAX = 258;
+static const int RHASH_SIZE = 1 << 16;
+static const int RHASH3_SIZE = 1 << 15;
+static const int RHT_BITS = 15;
+static const int RHT_SIZE = 1 << RHT_BITS;
+
+static inline uint32_t rhash4(const uint8_t* d, int64_t n, int64_t pos) {
+    if (pos + 3 >= n) return 0;
+    uint32_t v;
+    memcpy(&v, d + pos, 4);
+    return ((v * 0x1E35A7BDu) >> 16) & (RHASH_SIZE - 1);
+}
+
+static inline uint32_t rhash3(const uint8_t* d, int64_t n, int64_t pos) {
+    if (pos + 2 >= n) return 0;
+    uint32_t v = (uint32_t)d[pos] | ((uint32_t)d[pos + 1] << 8) |
+                 ((uint32_t)d[pos + 2] << 16);
+    return ((v * 0x1E35A7BDu) >> 17) & (RHASH3_SIZE - 1);
+}
+
+static inline uint32_t rhash4_ht(const uint8_t* d, int64_t n, int64_t pos) {
+    if (pos + 3 >= n) return 0;
+    uint32_t v;
+    memcpy(&v, d + pos, 4);
+    return ((v * 0x1E35A7BDu) >> (32 - RHT_BITS)) & (RHT_SIZE - 1);
+}
+
+// detect_same_byte_run (lz77.rs:272-316) == capped run length
+static inline int64_t ref_run(const uint8_t* d, int64_t n, int64_t pos) {
+    if (pos >= n) return 0;
+    int64_t cap = std::min<int64_t>(n - pos, RMAX);
+    return run_length_capped(d, pos, pos + cap);
+}
+
+static inline int64_t ref_match_length(const uint8_t* d, int64_t n,
+                                       int64_t p1, int64_t p2) {
+    int max_len = (int)std::min<int64_t>(n - p2, RMAX);
+    return match_length(d + p2, d + p1, max_len);
+}
+
+struct RefConfig {
+    int64_t chain, depth, nice;
+    int lazy;  // 0=None, 1=Lazy, 2=Lazy2
+    bool use_ht;
+};
+
+static RefConfig ref_config(int level) {
+    switch (level) {  // lz77.rs:1415-1488
+        case 1: return {4, 4, 32, 0, true};
+        case 2: return {8, 6, 10, 0, false};
+        case 3: return {16, 12, 14, 0, false};
+        case 4: return {32, 16, 30, 0, false};
+        case 5: return {64, 16, 30, 1, false};
+        case 6: return {128, 35, 65, 1, false};
+        case 7: return {256, 100, 130, 1, false};
+        case 8: return {1024, 300, RMAX, 2, false};
+        case 9: return {4096, 600, RMAX, 2, false};
+        default: return {4096, 600, RMAX, 2, false};
+    }
+}
+
+struct RefMatcher {
+    std::vector<int32_t> head, head3, prev;
+    std::vector<int32_t> ht;  // RHT_SIZE x 2 buckets
+    const uint8_t* d;
+    int64_t n;
+
+    RefMatcher(const uint8_t* dd, int64_t nn)
+        : head(RHASH_SIZE, -1), head3(RHASH3_SIZE, -1),
+          prev(RWINDOW, -1), ht(RHT_SIZE * 2, -1), d(dd), n(nn) {}
+
+    // update_hash (lz77.rs:864-876): both tables gated at pos+3 < n,
+    // prev indexed mod the window
+    inline void update_hash(int64_t pos) {
+        if (pos + 3 >= n) return;
+        head3[rhash3(d, n, pos)] = (int32_t)pos;
+        uint32_t h = rhash4(d, n, pos);
+        prev[pos % RWINDOW] = head[h];
+        head[h] = (int32_t)pos;
+    }
+
+    // find_best_match (lz77.rs:605-751)
+    bool find(int64_t pos, int64_t chain_limit, int64_t nice, int64_t mml,
+              int* len_out, int* dist_out) {
+        if (pos + RMIN > n) return false;
+        int64_t run_len = ref_run(d, n, pos);
+        bool run_ok = run_len >= mml && pos >= 1 && d[pos - 1] == d[pos];
+        if (run_ok && (run_len >= nice || run_len >= RMAX)) {
+            *len_out = (int)std::min<int64_t>(run_len, RMAX);
+            *dist_out = 1;
+            return true;
+        }
+        int64_t best_len = mml - 1, best_dist = 0;
+        if (run_ok) { best_len = run_len; best_dist = 1; }
+
+        int32_t cand3 = head3[rhash3(d, n, pos)];
+        if (cand3 >= 0) {
+            int64_t mp = cand3, dist = pos - mp;
+            if (dist != 0 && dist <= RWINDOW && mp + 3 <= n &&
+                memcmp(d + pos, d + mp, 3) == 0) {
+                int64_t len = ref_match_length(d, n, mp, pos);
+                if (len >= mml && !(len == 3 && dist > 8192) &&
+                    (len > best_len || (len == best_len && dist < best_dist))) {
+                    best_len = len;
+                    best_dist = dist;
+                    if (best_len >= nice) {
+                        *len_out = (int)best_len;
+                        *dist_out = (int)best_dist;
+                        return true;
+                    }
+                }
+            }
+        }
+
+        int32_t chain_pos = head[rhash4(d, n, pos)];
+        int64_t max_distance = std::min<int64_t>(pos, RWINDOW);
+        int64_t chain_remaining = chain_limit;
+        bool have_prefix = pos + 4 <= n;
+        uint32_t prefix = 0;
+        if (have_prefix) memcpy(&prefix, d + pos, 4);
+        while (chain_pos >= 0 && chain_remaining > 0) {
+            int64_t mp = chain_pos, dist = pos - mp;
+            if (dist == 0) {
+                chain_pos = prev[mp % RWINDOW];
+                chain_remaining--;
+                continue;
+            }
+            if (dist > max_distance) break;
+            if (have_prefix && mp + 4 <= n) {
+                uint32_t c;
+                memcpy(&c, d + mp, 4);
+                if (c != prefix) {
+                    chain_pos = prev[mp % RWINDOW];
+                    chain_remaining--;
+                    continue;
+                }
+            }
+            int64_t len = ref_match_length(d, n, mp, pos);
+            if (len >= mml && !(len == 3 && dist > 8192) &&
+                (len > best_len || (len == best_len && dist < best_dist))) {
+                best_len = len;
+                best_dist = dist;
+                if (len >= RMAX || best_len >= nice) break;
+            }
+            chain_pos = prev[mp % RWINDOW];
+            chain_remaining--;
+        }
+        if (best_len >= mml) {
+            *len_out = (int)best_len;
+            *dist_out = (int)best_dist;
+            return true;
+        }
+        return false;
+    }
+
+    // find_best_match_ht (lz77.rs:751-811): 2-entry buckets, inserts pos
+    bool find_ht(int64_t pos, int64_t nice, int64_t mml,
+                 int* len_out, int* dist_out) {
+        if (pos + RMIN > n) return false;
+        int32_t* bucket = &ht[(size_t)rhash4_ht(d, n, pos) * 2];
+        int32_t cand0 = bucket[0], cand1 = bucket[1];
+        bucket[1] = cand0;
+        bucket[0] = (int32_t)pos;
+        int64_t best_len = mml - 1, best_dist = 0;
+        for (int32_t cand : {cand0, cand1}) {
+            if (cand < 0) continue;
+            int64_t mp = cand, dist = pos - mp;
+            if (dist == 0 || dist > RWINDOW || mp + 3 > n) continue;
+            if (memcmp(d + pos, d + mp, 3) != 0) continue;
+            int64_t len = ref_match_length(d, n, mp, pos);
+            if (len < mml || (len == 3 && dist > 8192)) continue;
+            if (len > best_len) {
+                best_len = len;
+                best_dist = dist;
+                if (best_len >= nice) break;
+            }
+        }
+        if (best_len >= mml) {
+            *len_out = (int)best_len;
+            *dist_out = (int)best_dist;
+            return true;
+        }
+        return false;
+    }
+};
+
+// compress_into_sink (lz77.rs:403-591)
+static void compress_tokens(const uint8_t* d, int64_t n, int level,
+                            std::vector<Token>& out) {
+    RefConfig cfg = ref_config(level);
+    const int64_t mml = calc_min_match(d, n, (int)cfg.depth);
+    RefMatcher m(d, n);
+    out.clear();
+    out.reserve((size_t)n);
+
+    int64_t pos = 0, literal_streak = 0, probe_since_last = 0,
+            incompressible_updates = 0;
+    bool incompressible = false;
+    bool have_pend = false;
+    int pend_len = 0, pend_dist = 0;
+
+    auto insert_match = [&](int64_t p, int L, int D) {
+        if (D == 1 && L >= RMIN) {
+            m.update_hash(p);
+            if (L > 1) m.update_hash(p + L - 1);
+        } else {
+            for (int i = 0; i < L; i++) m.update_hash(p + i);
+        }
+    };
+
+    while (pos < n) {
+        if (incompressible) {
+            if (probe_since_last >= 256) {
+                probe_since_last = 0;
+                int L, D;
+                if (m.find(pos, std::min<int64_t>(1, cfg.depth), cfg.nice,
+                           mml, &L, &D)) {
+                    incompressible = false;
+                    literal_streak = 0;
+                    out.push_back(match_token(L, D));
+                    insert_match(pos, L, D);
+                    pos += L;
+                    continue;
+                }
+            }
+            out.push_back(lit_token(d[pos]));
+            if (++incompressible_updates >= 64) {
+                m.update_hash(pos);
+                incompressible_updates = 0;
+            }
+            pos++;
+            literal_streak++;
+            probe_since_last++;
+            continue;
+        }
+
+        int64_t chain_limit;
+        if (literal_streak >= 512) {
+            incompressible = true;
+            probe_since_last = 0;
+            chain_limit = 1;
+        } else {
+            chain_limit = cfg.chain;
+        }
+
+        int L = 0, D = 0;
+        bool found;
+        if (have_pend) {
+            L = pend_len;
+            D = pend_dist;
+            found = true;
+            have_pend = false;
+        } else if (cfg.use_ht) {
+            found = m.find_ht(pos, cfg.nice, mml, &L, &D);
+        } else {
+            found = m.find(pos, std::min(chain_limit, cfg.depth), cfg.nice,
+                           mml, &L, &D);
+        }
+
+        if (found) {
+            literal_streak = 0;
+            incompressible = false;
+            probe_since_last = 0;
+            if (D == 0) {  // defensive, mirrors lz77.rs:505-511
+                out.push_back(lit_token(d[pos]));
+                m.update_hash(pos);
+                pos++;
+                continue;
+            }
+            if (cfg.lazy != 0 && L < cfg.nice && L < 16 && pos + 1 < n) {
+                m.update_hash(pos);
+                int64_t next_chain =
+                    cfg.lazy == 2 ? std::max<int64_t>(chain_limit / 2, 1)
+                                  : chain_limit;
+                int L2, D2;
+                bool f2;
+                if (cfg.use_ht) {
+                    f2 = m.find_ht(pos + 1, cfg.nice, mml, &L2, &D2);
+                } else {
+                    f2 = m.find(pos + 1, std::min(next_chain, cfg.depth),
+                                cfg.nice, mml, &L2, &D2);
+                }
+                if (f2 && (L2 >= L + 3 || L2 >= cfg.nice)) {
+                    out.push_back(lit_token(d[pos]));
+                    pend_len = L2;
+                    pend_dist = D2;
+                    have_pend = true;
+                    pos++;
+                    continue;
+                }
+            }
+            out.push_back(match_token(L, D));
+            insert_match(pos, L, D);
+            pos += L;
+        } else {
+            literal_streak++;
+            if (literal_streak >= 512) {
+                incompressible = true;
+                probe_since_last = 0;
+                incompressible_updates = 0;
+            }
+            out.push_back(lit_token(d[pos]));
+            m.update_hash(pos);
+            pos++;
+        }
+    }
+}
+
+// is_high_entropy_data (deflate.rs:1108-1145): 4096-slot collision table
+static bool ref_high_entropy(const uint8_t* d, int64_t n) {
+    if (n < 4096) return false;
+    int64_t sample = std::min<int64_t>(n, 8192);
+    bool seen[4096] = {false};
+    int64_t collisions = 0;
+    for (int64_t i = 0; i + 4 <= sample; i++) {
+        uint32_t v;
+        memcpy(&v, d + i, 4);
+        uint32_t h = ((v * 0x1E35A7BDu) >> 20) & 4095;
+        if (seen[h]) collisions++;
+        else seen[h] = true;
+    }
+    int64_t total = sample >= 3 ? sample - 3 : 0;
+    return (float)collisions / (float)total < 0.05f;
+}
+
+// estimate_block_cost (deflate.rs:484-535): exact f64 accumulation order
+static double estimate_block_cost(const std::vector<Token>& tokens,
+                                  size_t start, size_t end) {
+    if (end <= start) return 0.0;
+    tables_init();
+    uint32_t lit[286] = {0}, dist[30] = {0};
+    for (size_t i = start; i < end; i++) {
+        const Token& t = tokens[i];
+        if (t.v & 0x80000000u) {
+            lit[257 + len_to_sym[(t.v >> 16) & 0x1FF]]++;
+            dist[dist_symbol((int)(t.v & 0xFFFF))]++;
+        } else {
+            lit[t.v & 0xFF]++;
+        }
+    }
+    lit[256]++;
+    bool any = false;
+    for (int i = 0; i < 30; i++) any |= dist[i] != 0;
+    if (!any) dist[0] = 1;
+
+    uint64_t lit_total = 0, dist_total = 0;
+    for (int i = 0; i < 286; i++) lit_total += lit[i];
+    for (int i = 0; i < 30; i++) dist_total += dist[i];
+    if (lit_total == 0) return 300.0;
+    double log_lit = std::log2((double)lit_total);
+    double log_dist = dist_total > 0 ? std::log2((double)dist_total) : 0.0;
+    double bits = 300.0;
+    for (int i = 0; i < 286; i++)
+        if (lit[i])
+            bits += (double)lit[i] * (log_lit - std::log2((double)lit[i]));
+    for (int i = 0; i < 30; i++)
+        if (dist[i])
+            bits += (double)dist[i] * (log_dist - std::log2((double)dist[i]));
+    for (size_t i = start; i < end; i++) {
+        const Token& t = tokens[i];
+        if (t.v & 0x80000000u) {
+            int ls = len_to_sym[(t.v >> 16) & 0x1FF];
+            int ds = dist_symbol((int)(t.v & 0xFFFF));
+            bits += (double)(LEN_EXTRA[ls] + DIST_EXTRA[ds]);
+        }
+    }
+    return bits;
+}
+
+// find_best_split / find_block_splits (deflate.rs:538-653)
+static const size_t RMIN_BLOCK = 10;
+
+static bool find_best_split(const std::vector<Token>& tokens, size_t start,
+                            size_t end, size_t* split_out) {
+    if (end - start < RMIN_BLOCK * 2) return false;
+    double orig = estimate_block_cost(tokens, start, end);
+    bool have = false;
+    size_t best_split = 0;
+    double best_cost = orig;
+
+    size_t step = std::max<size_t>((end - start) / 9, 1);
+    bool have_cand = false;
+    size_t cand_i = 0;
+    double cand_cost = 0.0;
+    for (size_t i = start + RMIN_BLOCK; i < end - RMIN_BLOCK; i += step) {
+        double total = estimate_block_cost(tokens, start, i) +
+                       estimate_block_cost(tokens, i, end);
+        if (!have_cand || total < cand_cost) {
+            have_cand = true;
+            cand_i = i;
+            cand_cost = total;
+        }
+    }
+    if (have_cand && cand_cost < best_cost) {
+        best_cost = cand_cost;
+        best_split = cand_i;
+        have = true;
+    }
+    if (have) {
+        size_t fine_start = best_split > step ? best_split - step : 0;
+        fine_start = std::max(fine_start, start + RMIN_BLOCK);
+        size_t fine_end = std::min(best_split + step, end - RMIN_BLOCK);
+        for (size_t i = fine_start; i <= fine_end; i++) {
+            double total = estimate_block_cost(tokens, start, i) +
+                           estimate_block_cost(tokens, i, end);
+            if (total < best_cost) {
+                best_cost = total;
+                best_split = i;
+            }
+        }
+    }
+    if (have && best_cost < orig - 10.0) {
+        *split_out = best_split;
+        return true;
+    }
+    return false;
+}
+
+static std::vector<size_t> find_block_splits(const std::vector<Token>& tokens,
+                                             size_t max_blocks) {
+    std::vector<size_t> splits;
+    if (tokens.size() < RMIN_BLOCK * 2 || max_blocks <= 1) return splits;
+    std::vector<bool> done(tokens.size(), false);
+    size_t num_blocks = 1;
+    while (num_blocks < max_blocks) {
+        std::vector<size_t> bounds;
+        bounds.push_back(0);
+        for (size_t s : splits) bounds.push_back(s);
+        bounds.push_back(tokens.size());
+        bool have_largest = false;
+        size_t ls = 0, le = 0, lsz = 0;
+        for (size_t i = 0; i + 1 < bounds.size(); i++) {
+            size_t s = bounds[i], e = bounds[i + 1], sz = e - s;
+            if (!done[s] && sz >= RMIN_BLOCK * 2 && (!have_largest || sz > lsz)) {
+                have_largest = true;
+                ls = s; le = e; lsz = sz;
+            }
+        }
+        if (!have_largest) break;
+        size_t split;
+        if (find_best_split(tokens, ls, le, &split)) {
+            auto it = splits.begin();
+            while (it != splits.end() && *it <= split) ++it;
+            splits.insert(it, split);
+            num_blocks++;
+        } else {
+            done[ls] = true;
+        }
+    }
+    return splits;
+}
+
+// should_use_stored (deflate.rs:1091-1097)
+static bool should_use_stored(int64_t data_len, int64_t deflated_len) {
+    int64_t stored_overhead = (data_len / 65535 + 1) * 5;
+    int64_t stored_total = data_len + stored_overhead + 2 + 4;
+    int64_t deflated_total = deflated_len + 2 + 4;
+    return deflated_total >= stored_total;
+}
+
+}  // namespace refparity
+
+// deflate_zlib / deflate (reference parity): decision layer mirrored from
+// pixo deflate.rs:245-269 (<=1 KiB raw fixed-only), :900-960 (whole-stream
+// tokens, level>=5 1KiB..512KiB split, <=128-token fixed/dynamic rule),
+// :1066-1097 (entropy gate + stream-level stored comparison, zlib only).
+EXPORT int64_t deflate_compress_parity(const uint8_t* data, int64_t len,
+                                       int32_t level, int32_t zlib_wrap,
+                                       uint8_t* out, int64_t out_cap) {
+    using namespace deflate;
+    using namespace refparity;
+    if (level < 1) level = 1;
+    if (level > 9) level = 9;
+    LsbWriter w(out, out_cap);
+    if (zlib_wrap) {
+        uint8_t cmf = 0x78;
+        int hint = (level <= 2) ? 0 : (level <= 5) ? 1 : (level == 6) ? 2 : 3;
+        uint8_t flg = (uint8_t)(hint << 6);
+        flg |= 31 - ((cmf << 8) | flg) % 31;
+        uint8_t hdr[2] = {cmf, flg};
+        w.raw_bytes(hdr, 2);
+    }
+    int64_t body_start = w.pos;
+
+    if (len == 0) {
+        fixed_init();
+        w.write(1, 1); w.write(1, 2);
+        w.write(fixed_lit_code[256], fixed_lit_len[256]);
+        w.flush();
+    } else if (zlib_wrap && len >= 4096 && ref_high_entropy(data, len)) {
+        emit_stored_all(w, data, len);
+        w.flush();
+    } else {
+        std::vector<Token> tokens;
+        compress_tokens(data, len, level, tokens);
+
+        if (!zlib_wrap && len <= 1024) {
+            // deflate() small-input path: fixed-only
+            emit_block(w, tokens, data, 0, len, true, /*force=*/0);
+        } else if (level >= 5 && len > 1024 && len <= 512 * 1024) {
+            // encode_with_block_splitting: every block dynamic
+            std::vector<size_t> splits;
+            if (tokens.size() >= RMIN_BLOCK * 2)
+                splits = find_block_splits(tokens, 15);
+            std::vector<size_t> bounds;
+            bounds.push_back(0);
+            for (size_t s : splits) bounds.push_back(s);
+            bounds.push_back(tokens.size());
+            for (size_t i = 0; i + 1 < bounds.size(); i++) {
+                std::vector<Token> part(tokens.begin() + bounds[i],
+                                        tokens.begin() + bounds[i + 1]);
+                emit_block(w, part, data, 0, 0, i + 2 == bounds.size(),
+                           /*force=*/1);
+            }
+        } else if (tokens.size() <= 128) {
+            emit_block(w, tokens, data, 0, len, true, /*force=*/0);
+        } else {
+            emit_block(w, tokens, data, 0, len, true, /*force=*/1);
+        }
+        w.flush();
+
+        if (zlib_wrap &&
+            should_use_stored(len, w.pos - body_start)) {
+            w.pos = body_start;  // byte-aligned: header was raw bytes
+            emit_stored_all(w, data, len);
+            w.flush();
+        }
+    }
+
+    if (zlib_wrap) {
+        uint32_t a = adler32(data, len, 1);
+        uint8_t tail[4] = {(uint8_t)(a >> 24), (uint8_t)(a >> 16),
+                           (uint8_t)(a >> 8), (uint8_t)a};
+        w.raw_bytes(tail, 4);
+    }
+    return w.overflow ? -1 : w.pos;
 }
 
 // =============================== INFLATE ====================================

@@ -178,3 +178,84 @@ class TestChecksumsNative:
         data = rng.integers(0, 256, 99999, dtype=np.uint8).tobytes()
         assert native.native_crc32(data) == (zlib.crc32(data) & 0xFFFFFFFF)
         assert native.native_adler32(data) == (zlib.adler32(data) & 0xFFFFFFFF)
+
+
+class TestDeflateParityMode:
+    """Reference-parity decision layer (VERDICT r1 #8): deflate_zlib/raw
+    with parity=True mirrors the reference's matcher traversal, ladder,
+    thresholds, gates and stored rule. Validity via the zlib oracle; the
+    block-type rules are asserted structurally."""
+
+    def _cases(self):
+        rng = np.random.default_rng(5)
+        return {
+            "empty": b"",
+            "tiny": b"hi hi hi hi",
+            "text": b"the quick brown fox jumps over the lazy dog. " * 700,
+            "runs": bytes(
+                np.repeat(rng.integers(0, 4, 150),
+                          rng.integers(1, 300, 150)).astype(np.uint8)
+            ),
+            "random": rng.integers(0, 256, 30000, dtype=np.uint8).tobytes(),
+            "big": b"abcdefgh-0123456" * 60000,  # > 512 KiB: no split path
+        }
+
+    @pytest.mark.parametrize("level", [1, 2, 5, 6, 9])
+    def test_round_trips_all_levels(self, level):
+        import zlib
+
+        from pixo_tpu.compress.deflate import deflate_raw, deflate_zlib
+
+        for name, payload in self._cases().items():
+            z = deflate_zlib(payload, level, parity=True)
+            assert zlib.decompress(z) == payload, (name, level)
+            r = deflate_raw(payload, level, parity=True)
+            assert zlib.decompress(r, -15) == payload, (name, level)
+
+    def test_small_token_stream_uses_fixed_block(self):
+        from pixo_tpu.compress.deflate import deflate_zlib
+
+        # few tokens (<=128) and level<5: reference emits a fixed block
+        out = deflate_zlib(b"abcabcabc", 3, parity=True)
+        first = out[2]  # after 2-byte zlib header
+        assert first & 0x07 == 0x03  # BFINAL=1, BTYPE=01 fixed
+
+    def test_large_token_stream_uses_dynamic_block(self):
+        import numpy as np
+
+        from pixo_tpu.compress.deflate import deflate_zlib
+
+        rng = np.random.default_rng(0)
+        data = rng.integers(0, 16, 900, dtype=np.uint8).tobytes()  # <=1KiB
+        out = deflate_zlib(data, 3, parity=True)  # level<5: no split path
+        assert out[2] & 0x07 == 0x05  # BFINAL=1, BTYPE=10 dynamic
+
+    def test_high_entropy_zlib_goes_stored(self):
+        import zlib
+
+        import numpy as np
+
+        from pixo_tpu.compress.deflate import deflate_zlib
+
+        # The reference's 4096-slot gate fires only below 5% collisions,
+        # which an 8 KiB random sample cannot reach (birthday bound), so
+        # random data must NOT bail early yet must still come out stored
+        # via the stream-level comparison.
+        rng = np.random.default_rng(1)
+        data = rng.integers(0, 256, 20000, dtype=np.uint8).tobytes()
+        out = deflate_zlib(data, 6, parity=True)
+        assert out[2] & 0x06 == 0x00  # BTYPE=00 stored
+        assert zlib.decompress(out) == data
+
+    def test_env_default(self, monkeypatch):
+        import zlib
+
+        from pixo_tpu.compress.deflate import deflate_zlib
+
+        payload = b"parity parity parity " * 50
+        monkeypatch.setenv("PIXO_TPU_DEFLATE_PARITY", "1")
+        a = deflate_zlib(payload, 6)
+        monkeypatch.delenv("PIXO_TPU_DEFLATE_PARITY")
+        b = deflate_zlib(payload, 6, parity=True)
+        assert a == b
+        assert zlib.decompress(a) == payload
