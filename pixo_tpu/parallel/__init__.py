@@ -18,9 +18,19 @@ from .pipeline import (
     jpeg_coeffs_sharded,
     thumbnail_pipeline,
 )
+from .service import (
+    CompressService,
+    RequestCancelled,
+    RequestTimeout,
+    WorkerCrashed,
+)
 
 __all__ = [
     "make_mesh",
+    "CompressService",
+    "RequestTimeout",
+    "RequestCancelled",
+    "WorkerCrashed",
     "decode_jpeg_batch",
     "decode_png_batch",
     "batch_sharding",

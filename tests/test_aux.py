@@ -149,3 +149,70 @@ class TestCorpusCache:
         (tmp_path / "y.bin").write_bytes(b"tampered")
         assert corpus.fetch_corpus_file(spec, timeout=0.2) is None
         assert not (tmp_path / "y.bin").exists()
+
+
+from tests.support.service_tasks import crash_task as _crash_task
+from tests.support.service_tasks import sleep_task as _sleep_task
+
+
+class TestCompressService:
+    """Worker-RPC operational contract (the compress-client.ts analog):
+    request ids, per-request timeout, cancellation, crash recovery."""
+
+    def test_png_round_trip(self):
+        from pixo_tpu import ColorType, PngOptions
+        from pixo_tpu.decode import decode_png
+        from pixo_tpu.parallel import CompressService
+
+        img = synth_gradient(24, 16, 3)
+        opts = PngOptions.fast(24, 16).replace(color_type=ColorType.RGB)
+        with CompressService(workers=1, timeout_s=60) as svc:
+            reqs = [svc.submit_png(img, opts) for _ in range(3)]
+            ids = [r.id for r in reqs]
+            assert ids == sorted(ids) and len(set(ids)) == 3
+            outs = [r.result() for r in reqs]
+        assert outs[0] == outs[1] == outs[2]
+        dec = decode_png(outs[0])
+        np.testing.assert_array_equal(dec.pixels.reshape(img.shape), img)
+
+    def test_timeout_rejects_request(self):
+        from pixo_tpu.parallel import CompressService, RequestTimeout
+
+        with CompressService(workers=1) as svc:
+            req = svc.submit_raw(_sleep_task, 3.0, timeout=0.3)
+            with pytest.raises(RequestTimeout):
+                req.result()
+
+    def test_cancel_pending(self):
+        from pixo_tpu.parallel import (
+            CompressService,
+            RequestCancelled,
+            RequestTimeout,
+        )
+
+        with CompressService(workers=1) as svc:
+            blocker = svc.submit_raw(_sleep_task, 1.0)
+            queued = svc.submit_raw(_sleep_task, 0.1)
+            assert svc.cancel(queued)  # not started yet -> cancellable
+            with pytest.raises((RequestCancelled, RequestTimeout)):
+                queued.result(timeout=2.0)
+            assert blocker.result(timeout=10.0) == "slept"
+
+    def test_worker_crash_rejects_and_respawns(self):
+        from pixo_tpu.parallel import (
+            CompressService,
+            RequestCancelled,
+            WorkerCrashed,
+        )
+
+        with CompressService(workers=1, timeout_s=30) as svc:
+            doomed = svc.submit_raw(_crash_task)
+            pending = svc.submit_raw(_sleep_task, 0.05)
+            with pytest.raises(WorkerCrashed):
+                doomed.result(timeout=10.0)
+            # pending requests at crash time are rejected...
+            with pytest.raises((WorkerCrashed, RequestCancelled)):
+                pending.result(timeout=10.0)
+            # ...and the respawned pool serves new requests
+            again = svc.submit_raw(_sleep_task, 0.01)
+            assert again.result(timeout=10.0) == "slept"
