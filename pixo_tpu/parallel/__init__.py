@@ -15,6 +15,7 @@ from .pipeline import (
     encode_jpeg_batch_sharded,
     encode_jpeg_stream,
     encode_png_batch_sharded,
+    encode_png_row_sharded,
     jpeg_coeffs_sharded,
     thumbnail_pipeline,
 )
@@ -38,5 +39,6 @@ __all__ = [
     "encode_jpeg_batch_sharded",
     "encode_jpeg_stream",
     "encode_png_batch_sharded",
+    "encode_png_row_sharded",
     "thumbnail_pipeline",
 ]

@@ -306,6 +306,27 @@ def encode_png_batch_sharded(
     return results
 
 
+def encode_png_row_sharded(
+    img: np.ndarray, options: PngOptions, mesh=None
+) -> bytes:
+    """Encode ONE image with its filter rows sharded across the mesh —
+    the tensor-parallel strategy of SURVEY §2.8 ("split one huge image's
+    tile grid across chips") as a production API. The fused filter bank
+    runs as a single sharded dispatch (up-row reads become an XLA halo
+    exchange); everything else (reductions, DEFLATE, framing) follows the
+    ordinary single-image pipeline, so output bytes equal ``png.encode``.
+    """
+    from ..ops.png_filters import apply_filters_row_sharded
+    from ..png import encoder as penc
+
+    mesh = mesh or make_mesh()
+
+    def sharded_filter(payload, w, h, rb, bpp, strategy):
+        return apply_filters_row_sharded(payload, w, h, rb, bpp, strategy, mesh)
+
+    return penc.encode(img, options, filter_fn=sharded_filter)
+
+
 def encode_jpeg_stream(
     batches,
     options: JpegOptions,

@@ -59,8 +59,13 @@ def _compress(filtered: bytes, options: PngOptions) -> bytes:
     return deflate_zlib(filtered, options.compression_level)
 
 
-def encode(data, options: PngOptions) -> bytes:
-    """Encode one image (flat bytes or [H, W, C] uint8 array) to PNG bytes."""
+def encode(data, options: PngOptions, *, filter_fn=None) -> bytes:
+    """Encode one image (flat bytes or [H, W, C] uint8 array) to PNG bytes.
+
+    ``filter_fn`` overrides the filtering stage (same signature as
+    ``apply_filters`` minus the keyword args); used by the row-sharded
+    tensor-parallel path (``parallel.encode_png_row_sharded``).
+    """
     if isinstance(data, np.ndarray):
         data_len = data.size
     else:
@@ -117,10 +122,17 @@ def encode(data, options: PngOptions) -> bytes:
     else:
         row_bytes = w * red.bytes_per_pixel
 
-    filtered = apply_filters(
-        payload, w, h, row_bytes, red.bytes_per_pixel, options.filter_strategy,
-        verbose_filter_log=options.verbose_filter_log,
-    )
+    if filter_fn is not None:
+        filtered = filter_fn(
+            payload, w, h, row_bytes, red.bytes_per_pixel,
+            options.filter_strategy,
+        )
+    else:
+        filtered = apply_filters(
+            payload, w, h, row_bytes, red.bytes_per_pixel,
+            options.filter_strategy,
+            verbose_filter_log=options.verbose_filter_log,
+        )
     compressed = _compress(filtered, options)
     chunks.write_idat_chunks(out, compressed)
     chunks.write_iend(out)
