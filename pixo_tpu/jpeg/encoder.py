@@ -110,17 +110,31 @@ def _trellis_coefficients(
     img: np.ndarray, options: JpegOptions, quant: QuantizationTables,
     pattern: Sequence[int],
 ) -> np.ndarray:
+    import os
+
     from ..jpeg.tables import ZIGZAG
     from . import trellis
 
     color = "gray" if options.color_type == ColorType.GRAY else "rgb"
     sub = "420" if options.subsampling == Subsampling.S420 else "444"
-    dct_zz = np.asarray(
-        _device_dct_zz(jnp.asarray(img), color=color, subsampling=sub)
-    )
+    dct_dev = _device_dct_zz(jnp.asarray(img), color=color, subsampling=sub)
     lum_zz = quant.luminance_table[ZIGZAG]
     chrom_zz = quant.chrominance_table[ZIGZAG]
-    return trellis.trellis_quantize(dct_zz, pattern, lum_zz, chrom_zz)
+    if os.environ.get("PIXO_TPU_TRELLIS") == "device":
+        # fused path: DCT output stays on device, only the quantized int16
+        # stream comes back (half the round-trip traffic of host trellis)
+        from ..ops.trellis_device import trellis_quantize_batch_device
+
+        nb = dct_dev.shape[0]
+        pat = np.asarray(pattern, np.int32)
+        sel = np.tile(pat, nb // len(pattern) + 1)[:nb] != 0
+        q = np.where(
+            sel[:, None], chrom_zz[None, :].astype(np.float32),
+            lum_zz[None, :].astype(np.float32),
+        )
+        out = trellis_quantize_batch_device(dct_dev, jnp.asarray(q))
+        return np.asarray(out).astype(np.int16)
+    return trellis.trellis_quantize(np.asarray(dct_dev), pattern, lum_zz, chrom_zz)
 
 
 def _pack(
