@@ -237,6 +237,19 @@ def _configure(lib) -> None:
         u8p, ctypes.c_int64,             # out, capacity (exact expected size ok)
     ]
 
+    lib.nearest_palette_batch.restype = ctypes.c_int32
+    lib.nearest_palette_batch.argtypes = [
+        u8p, ctypes.c_int64,             # colors [n, 4]
+        u8p, ctypes.c_int64,             # palette [k, 4]
+        u8p,                             # out [n]
+    ]
+
+    lib.palette_lut_build.restype = ctypes.c_int32
+    lib.palette_lut_build.argtypes = [
+        u8p, ctypes.c_int64,             # palette [k, 4]
+        u8p,                             # lut [64^3]
+    ]
+
     lib.crc32.restype = ctypes.c_uint32
     lib.crc32.argtypes = [u8p, ctypes.c_int64, ctypes.c_uint32]
 
@@ -772,6 +785,31 @@ def native_trellis_quantize(
     if rc != 0:
         return None
     return out
+
+
+def native_nearest_palette(colors, palette) -> Optional["np.ndarray"]:
+    """[n,4] x [k,4] uint8 -> [n] uint8 argmin redmean index (AVX2)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "nearest_palette_batch"):
+        return None
+    colors = np.ascontiguousarray(colors, np.uint8)
+    palette = np.ascontiguousarray(palette, np.uint8)
+    out = np.empty(len(colors), np.uint8)
+    rc = lib.nearest_palette_batch(
+        _u8(colors), len(colors), _u8(palette), len(palette), _u8(out)
+    )
+    return out if rc == 0 else None
+
+
+def native_palette_lut(palette) -> Optional["np.ndarray"]:
+    """[k,4] uint8 -> 64^3 uint8 opaque 6-6-6 LUT."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "palette_lut_build"):
+        return None
+    palette = np.ascontiguousarray(palette, np.uint8)
+    out = np.empty(64 * 64 * 64, np.uint8)
+    rc = lib.palette_lut_build(_u8(palette), len(palette), _u8(out))
+    return out if rc == 0 else None
 
 
 def native_dither_fs(rgba, width, height, palette, opaque_lut):

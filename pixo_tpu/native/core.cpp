@@ -890,6 +890,137 @@ EXPORT int32_t jpeg_trellis_quantize(
     return 0;
 }
 
+// ================= redmean nearest-palette + 6-6-6 LUT =======================
+// Exact redmean distance (pixo src/png/mod.rs:1405-1430):
+//   rm = (r1+r2)>>1;  d = ((512+rm)dr^2 + 1024 dg^2 + (767-rm)db^2)>>8 + da^2
+// All terms fit int32. Ties resolve to the LOWEST palette index (the
+// reference's strict-less scan and np.argmin agree). AVX2 vectorizes over
+// palette entries; the 64^3-cell LUT build (mod.rs:1448-1478) drops from
+// minutes of NumPy broadcast temporaries to ~20 ms.
+
+static inline int64_t nearest_one_scalar(
+    int r, int g, int b, int a,
+    const uint8_t* pal, int64_t k) {
+    int64_t best = 0;
+    int32_t best_d = INT32_MAX;
+    for (int64_t i = 0; i < k; i++) {
+        const uint8_t* p = pal + i * 4;
+        int32_t dr = r - p[0], dg = g - p[1], db = b - p[2], da = a - p[3];
+        int32_t rm = (r + p[0]) >> 1;
+        int32_t d = (((512 + rm) * dr * dr + 1024 * dg * dg +
+                      (767 - rm) * db * db) >> 8) + da * da;
+        if (d < best_d) { best_d = d; best = i; }
+    }
+    return best;
+}
+
+EXPORT int32_t nearest_palette_batch(
+    const uint8_t* colors, int64_t n,       // [n, 4] rgba
+    const uint8_t* palette, int64_t k,      // [k, 4] rgba
+    uint8_t* out) {
+#ifdef __AVX2__
+    if (k >= 8) {
+        // palette SoA in int32 lanes
+        std::vector<int32_t> pr(k), pg(k), pb(k), pa(k);
+        for (int64_t i = 0; i < k; i++) {
+            pr[i] = palette[i * 4];
+            pg[i] = palette[i * 4 + 1];
+            pb[i] = palette[i * 4 + 2];
+            pa[i] = palette[i * 4 + 3];
+        }
+        const __m256i c512 = _mm256_set1_epi32(512);
+        const __m256i c767 = _mm256_set1_epi32(767);
+        const __m256i c1024 = _mm256_set1_epi32(1024);
+        const __m256i idx_step = _mm256_set1_epi32(8);
+        const __m256i idx0 = _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7);
+        int64_t kv = k & ~7LL;
+        for (int64_t i = 0; i < n; i++) {
+            const int r = colors[i * 4], g = colors[i * 4 + 1];
+            const int b = colors[i * 4 + 2], a = colors[i * 4 + 3];
+            __m256i vr = _mm256_set1_epi32(r), vg = _mm256_set1_epi32(g);
+            __m256i vb = _mm256_set1_epi32(b), va = _mm256_set1_epi32(a);
+            __m256i best_d = _mm256_set1_epi32(INT32_MAX);
+            __m256i best_i = _mm256_setzero_si256();
+            __m256i idx = idx0;
+            for (int64_t j = 0; j < kv; j += 8) {
+                __m256i qr = _mm256_loadu_si256((const __m256i*)(pr.data() + j));
+                __m256i qg = _mm256_loadu_si256((const __m256i*)(pg.data() + j));
+                __m256i qb = _mm256_loadu_si256((const __m256i*)(pb.data() + j));
+                __m256i qa = _mm256_loadu_si256((const __m256i*)(pa.data() + j));
+                __m256i dr = _mm256_sub_epi32(vr, qr);
+                __m256i dg = _mm256_sub_epi32(vg, qg);
+                __m256i db = _mm256_sub_epi32(vb, qb);
+                __m256i da = _mm256_sub_epi32(va, qa);
+                __m256i rm = _mm256_srai_epi32(_mm256_add_epi32(vr, qr), 1);
+                __m256i d = _mm256_add_epi32(
+                    _mm256_mullo_epi32(_mm256_add_epi32(c512, rm),
+                                       _mm256_mullo_epi32(dr, dr)),
+                    _mm256_mullo_epi32(c1024, _mm256_mullo_epi32(dg, dg)));
+                d = _mm256_add_epi32(
+                    d, _mm256_mullo_epi32(_mm256_sub_epi32(c767, rm),
+                                          _mm256_mullo_epi32(db, db)));
+                d = _mm256_add_epi32(_mm256_srai_epi32(d, 8),
+                                     _mm256_mullo_epi32(da, da));
+                __m256i lt = _mm256_cmpgt_epi32(best_d, d);  // d < best
+                best_d = _mm256_blendv_epi8(best_d, d, lt);
+                best_i = _mm256_blendv_epi8(best_i, idx, lt);
+                idx = _mm256_add_epi32(idx, idx_step);
+            }
+            alignas(32) int32_t ds[8], is[8];
+            _mm256_store_si256((__m256i*)ds, best_d);
+            _mm256_store_si256((__m256i*)is, best_i);
+            int32_t bd = INT32_MAX;
+            int64_t bi = 0;
+            for (int lane = 0; lane < 8; lane++) {
+                // lane k-indices are unique mod 8; ties across lanes pick
+                // the smaller palette index (the host's strict-less scan)
+                if (ds[lane] < bd || (ds[lane] == bd && is[lane] < bi)) {
+                    bd = ds[lane];
+                    bi = is[lane];
+                }
+            }
+            for (int64_t j = kv; j < k; j++) {  // scalar tail
+                const uint8_t* p = palette + j * 4;
+                int32_t dr = r - p[0], dg = g - p[1], db = b - p[2], da = a - p[3];
+                int32_t rm = (r + p[0]) >> 1;
+                int32_t d = (((512 + rm) * dr * dr + 1024 * dg * dg +
+                              (767 - rm) * db * db) >> 8) + da * da;
+                if (d < bd) { bd = d; bi = j; }
+            }
+            out[i] = (uint8_t)bi;
+        }
+        return 0;
+    }
+#endif
+    for (int64_t i = 0; i < n; i++) {
+        out[i] = (uint8_t)nearest_one_scalar(
+            colors[i * 4], colors[i * 4 + 1], colors[i * 4 + 2],
+            colors[i * 4 + 3], palette, k);
+    }
+    return 0;
+}
+
+// 6-6-6 opaque LUT build (pixo PaletteLut::new, mod.rs:1455-1478)
+EXPORT int32_t palette_lut_build(
+    const uint8_t* palette, int64_t k, uint8_t* lut /* 64*64*64 */) {
+    std::vector<uint8_t> grid(64 * 64 * 64 * 4);
+    size_t w = 0;
+    for (int r6 = 0; r6 < 64; r6++) {
+        uint8_t r8 = (uint8_t)((r6 << 2) | (r6 >> 4));
+        for (int g6 = 0; g6 < 64; g6++) {
+            uint8_t g8 = (uint8_t)((g6 << 2) | (g6 >> 4));
+            for (int b6 = 0; b6 < 64; b6++) {
+                uint8_t b8 = (uint8_t)((b6 << 2) | (b6 >> 4));
+                grid[w++] = r8;
+                grid[w++] = g8;
+                grid[w++] = b8;
+                grid[w++] = 255;
+            }
+        }
+    }
+    return nearest_palette_batch(grid.data(), 64 * 64 * 64, palette, k, lut);
+}
+
 // ===================== Floyd-Steinberg dithering =============================
 // Sequential 2D error diffusion (parity with pixo src/png/mod.rs:1634-1698):
 // rows coupled through the error buffers, so this stays a host stage.

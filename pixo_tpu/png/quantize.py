@@ -74,9 +74,35 @@ def perceptual_distance_sq(c1: np.ndarray, c2: np.ndarray) -> np.ndarray:
 
 
 def nearest_palette_indices(colors: np.ndarray, palette: np.ndarray) -> np.ndarray:
-    """[N, 4] colors x [K, 4] palette -> [N] uint8 argmin redmean distance."""
-    d = perceptual_distance_sq(colors[:, None, :], palette[None, :, :])
-    return np.argmin(d, axis=1).astype(np.uint8)
+    """[N, 4] colors x [K, 4] palette -> [N] uint8 argmin redmean distance.
+
+    Native AVX2 when available; the fallback chunks N and computes in
+    int32 (a whole-[N, K] int64 broadcast allocated gigabytes of
+    temporaries — 33 s per call at N=256Ki on the 1-vCPU host).
+    """
+    from ..native import native_nearest_palette
+
+    colors = np.ascontiguousarray(colors, np.uint8)
+    out = native_nearest_palette(colors, palette)
+    if out is not None:
+        return out
+    n = len(colors)
+    result = np.empty(n, np.uint8)
+    c32 = colors.astype(np.int32)
+    p32 = palette.astype(np.int32)
+    step = max(1, (1 << 22) // max(len(palette), 1))
+    for lo in range(0, n, step):
+        c = c32[lo : lo + step, None, :]
+        p = p32[None, :, :]
+        dr = c[..., 0] - p[..., 0]
+        dg = c[..., 1] - p[..., 1]
+        db = c[..., 2] - p[..., 2]
+        da = c[..., 3] - p[..., 3]
+        rm = (c[..., 0] + p[..., 0]) >> 1
+        d = (((512 + rm) * dr * dr + 1024 * dg * dg + (767 - rm) * db * db)
+             >> 8) + da * da
+        result[lo : lo + step] = np.argmin(d, axis=1).astype(np.uint8)
+    return result
 
 
 def _sampled_histogram(pixels: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -89,7 +115,15 @@ def _sampled_histogram(pixels: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     counts = counts.astype(np.uint64) * stride
     counts = np.minimum(counts, np.iinfo(np.uint32).max).astype(np.uint32)
     if len(uniq) > 8192:
-        order = np.argsort(-counts.astype(np.int64), kind="stable")[:8192]
+        # keep the most frequent 8192 (mod.rs:1577-1581). The reference
+        # tie-breaks arbitrarily (sort_unstable); a stable lowest-key
+        # tie-break degenerates when counts are uniform (e.g. smooth
+        # gradients sample ~50k distinct colors once each, and "first 8192
+        # keys" is just the darkest corner of the color cube). Spread ties
+        # deterministically over the color space with a multiplicative
+        # hash instead: same most-frequent contract, uniform tie coverage.
+        tie = (uniq * np.uint32(2654435761)) >> np.uint32(16)
+        order = np.lexsort((tie, -counts.astype(np.int64)))[:8192]
         uniq, counts = uniq[order], counts[order]
     colors = np.stack(
         [(uniq >> 24) & 0xFF, (uniq >> 16) & 0xFF, (uniq >> 8) & 0xFF, uniq & 0xFF],
@@ -203,13 +237,19 @@ class PaletteLut:
     """6-6-6 opaque LUT + direct redmean fallback for alpha (``:1448-1499``)."""
 
     def __init__(self, palette: np.ndarray):
+        from ..native import native_palette_lut
+
         self.palette = palette
-        grid = _lut_grid()
-        # chunked to bound the [262144, K] distance matrix memory
-        lut = np.empty(64 * 64 * 64, np.uint8)
-        step = 65536
-        for i in range(0, len(grid), step):
-            lut[i : i + step] = nearest_palette_indices(grid[i : i + step], palette)
+        lut = native_palette_lut(palette)
+        if lut is None:
+            grid = _lut_grid()
+            # chunked to bound the [262144, K] distance matrix memory
+            lut = np.empty(64 * 64 * 64, np.uint8)
+            step = 65536
+            for i in range(0, len(grid), step):
+                lut[i : i + step] = nearest_palette_indices(
+                    grid[i : i + step], palette
+                )
         self.opaque_lut = lut
 
     def lookup_many(self, rgba: np.ndarray) -> np.ndarray:
