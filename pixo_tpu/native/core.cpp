@@ -1884,6 +1884,18 @@ static void fixed_init() {
     fixed_init_done = true;
 }
 
+// Eager init at library load: len_to_sym & co. are consumed by the
+// split-search cost oracle (TokenRangeCost) *before* the first emit_block
+// would lazily build them, so lazy-only init made the first deflate call
+// of a process run its block-split search on an all-zero LUT (every match
+// length -> symbol 257): valid output, but different split decisions than
+// every subsequent call. Constructor-time init removes the ordering hazard
+// for all entry points; the lazy calls stay as harmless no-ops.
+__attribute__((constructor)) static void deflate_tables_eager_init() {
+    fixed_init();
+    tables_init();
+}
+
 // token: literal -> 0..255 in low bits with flag; match -> len(9b) dist(15b)
 struct Token { uint32_t v; };  // bit31: is_match; match: len in 30..22? simpler below
 static inline Token lit_token(uint8_t b) { return {b}; }
@@ -2458,6 +2470,14 @@ static void emit_block_split(LsbWriter& w, const std::vector<Token>& tokens,
     int blocks_left = 15;
     std::vector<size_t> chunk_splits;
     find_splits(rc, 0, rc.nchunks, &blocks_left, &chunk_splits);
+    if (getenv("PIXO_TPU_DEFLATE_DEBUG")) {
+        uint64_t h = 1469598103934665603ull;
+        for (const Token& t : tokens) { h ^= t.v; h *= 1099511628211ull; }
+        fprintf(stderr, "emit_block_split: tokhash=%016llx splits=[",
+                (unsigned long long)h);
+        for (size_t c : chunk_splits) fprintf(stderr, "%zu,", c);
+        fprintf(stderr, "]\n");
+    }
     if (chunk_splits.empty()) {
         emit_block(w, tokens, data, raw_start, raw_len, last);
         return;

