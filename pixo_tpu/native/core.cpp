@@ -1000,25 +1000,135 @@ EXPORT int32_t nearest_palette_batch(
     return 0;
 }
 
-// 6-6-6 opaque LUT build (pixo PaletteLut::new, mod.rs:1455-1478)
+// 6-6-6 opaque LUT build (pixo PaletteLut::new, mod.rs:1455-1478).
+//
+// Exact candidate pruning per 4x4x4 subcube: after the >>8 the redmean
+// channel weights all lie in [2, 4] ((512+rm)/256 and (767-rm)/256 with
+// rm in [0,255], green fixed at 4), so with E = euclidean^2 over RGB and
+// da2 = (255-pa)^2 the integer distance obeys
+//     2*E(x,p) + da2(p) <= D(x,p) <= 4*E(x,p) + da2(p).
+// Bounding E over a subcube by the center distance +- half-diagonal rho
+// gives, for every grid point x in the subcube,
+//     D(x,p)  >= 2*max(0, ec(p)-rho)^2 + da2(p)      (lower bound)
+//     D(x,p*) <= min_q 4*(ec(q)+rho)^2 + da2(q)      (upper bound on best)
+// so dropping entries whose lower bound exceeds the upper bound (plus a
+// float-safety margin) can never drop a winner or a tie; the exact scan
+// over the survivors in ascending palette order reproduces the brute
+// scan's lowest-index tie-break bit-for-bit. 67M distance evals -> ~6M
+// on 256-color photographic palettes.
 EXPORT int32_t palette_lut_build(
     const uint8_t* palette, int64_t k, uint8_t* lut /* 64*64*64 */) {
-    std::vector<uint8_t> grid(64 * 64 * 64 * 4);
-    size_t w = 0;
-    for (int r6 = 0; r6 < 64; r6++) {
-        uint8_t r8 = (uint8_t)((r6 << 2) | (r6 >> 4));
-        for (int g6 = 0; g6 < 64; g6++) {
-            uint8_t g8 = (uint8_t)((g6 << 2) | (g6 >> 4));
-            for (int b6 = 0; b6 < 64; b6++) {
-                uint8_t b8 = (uint8_t)((b6 << 2) | (b6 >> 4));
-                grid[w++] = r8;
-                grid[w++] = g8;
-                grid[w++] = b8;
-                grid[w++] = 255;
+    if (k <= 0) return -1;
+    if (k <= 8) {  // pruning overhead not worth it; brute-force
+        std::vector<uint8_t> grid(64 * 64 * 64 * 4);
+        size_t w = 0;
+        for (int r6 = 0; r6 < 64; r6++)
+            for (int g6 = 0; g6 < 64; g6++)
+                for (int b6 = 0; b6 < 64; b6++) {
+                    grid[w++] = (uint8_t)((r6 << 2) | (r6 >> 4));
+                    grid[w++] = (uint8_t)((g6 << 2) | (g6 >> 4));
+                    grid[w++] = (uint8_t)((b6 << 2) | (b6 >> 4));
+                    grid[w++] = 255;
+                }
+        return nearest_palette_batch(grid.data(), 64 * 64 * 64, palette, k, lut);
+    }
+
+    std::vector<int32_t> pr(k), pg(k), pb(k), da2(k);
+    for (int64_t i = 0; i < k; i++) {
+        pr[i] = palette[i * 4];
+        pg[i] = palette[i * 4 + 1];
+        pb[i] = palette[i * 4 + 2];
+        int32_t da = 255 - palette[i * 4 + 3];
+        da2[i] = da * da;
+    }
+    uint8_t m8[64];  // 6-bit cell -> replicated 8-bit value (monotonic)
+    for (int c = 0; c < 64; c++) m8[c] = (uint8_t)((c << 2) | (c >> 4));
+
+    std::vector<int32_t> cands, parent;
+    cands.reserve(k);
+    parent.reserve(k);
+    // per-entry bounds, integer and per-axis (box, not sphere): with
+    // rlo/rhi the box's 8-bit extent, rm = (r+pr)>>1 lies in
+    // [(rlo+pr)>>1, (rhi+pr)>>1], so the red/blue weights are known to
+    // within (rhi-rlo)/2/256 per entry; per-axis gaps lr = max(0,
+    // dist(pr, [rlo,rhi])) etc. give S >= wr_lo*lr^2 + 1024*lg^2 +
+    // wb_lo*lb^2, and D = (S>>8)+da2 in [S/256 - 1 + da2, S/256 + da2].
+    // Applied twice: 16^3 parent cubes prune the full palette, 4^3
+    // subcubes prune the parent's survivors.
+    std::vector<int64_t> lb(k), ub(k);
+    auto prune_box = [&](int rlo, int rhi, int glo, int ghi, int blo,
+                         int bhi, const std::vector<int32_t>& in,
+                         std::vector<int32_t>* out_list) {
+        int64_t ubmin = INT64_MAX;
+        size_t m = in.size();
+        for (size_t j = 0; j < m; j++) {
+            int32_t p = in[j];
+            int64_t lr = pr[p] < rlo ? rlo - pr[p]
+                       : pr[p] > rhi ? pr[p] - rhi : 0;
+            int64_t ur = std::max(rhi - pr[p], pr[p] - rlo);
+            int64_t lg = pg[p] < glo ? glo - pg[p]
+                       : pg[p] > ghi ? pg[p] - ghi : 0;
+            int64_t ug = std::max(ghi - pg[p], pg[p] - glo);
+            int64_t lbb = pb[p] < blo ? blo - pb[p]
+                        : pb[p] > bhi ? pb[p] - bhi : 0;
+            int64_t ubb = std::max(bhi - pb[p], pb[p] - blo);
+            int64_t rm_lo = (rlo + pr[p]) >> 1;
+            int64_t rm_hi = (rhi + pr[p]) >> 1;
+            int64_t s_lo = (512 + rm_lo) * lr * lr + 1024 * lg * lg +
+                           (767 - rm_hi) * lbb * lbb;
+            int64_t s_hi = (512 + rm_hi) * ur * ur + 1024 * ug * ug +
+                           (767 - rm_lo) * ubb * ubb;
+            lb[j] = s_lo / 256 - 1 + da2[p];
+            ub[j] = s_hi / 256 + 1 + da2[p];
+            if (ub[j] < ubmin) ubmin = ub[j];
+        }
+        out_list->clear();
+        for (size_t j = 0; j < m; j++)
+            if (lb[j] <= ubmin) out_list->push_back(in[j]);
+    };
+    std::vector<int32_t> all(k);
+    for (int64_t p = 0; p < k; p++) all[p] = (int32_t)p;
+    for (int rp = 0; rp < 64; rp += 16) {
+    for (int gp = 0; gp < 64; gp += 16) {
+    for (int bp = 0; bp < 64; bp += 16) {
+        prune_box(m8[rp], m8[rp + 15], m8[gp], m8[gp + 15], m8[bp],
+                  m8[bp + 15], all, &parent);
+    for (int rb = rp; rb < rp + 16; rb += 4) {
+        const int rlo = m8[rb], rhi = m8[rb + 3];
+        for (int gb = gp; gb < gp + 16; gb += 4) {
+            const int glo = m8[gb], ghi = m8[gb + 3];
+            for (int bb = bp; bb < bp + 16; bb += 4) {
+                const int blo = m8[bb], bhi = m8[bb + 3];
+                prune_box(rlo, rhi, glo, ghi, blo, bhi, parent, &cands);
+
+                for (int r6 = rb; r6 < rb + 4; r6++) {
+                    const int r = m8[r6];
+                    for (int g6 = gb; g6 < gb + 4; g6++) {
+                        const int g = m8[g6];
+                        uint8_t* row = lut + ((size_t)r6 << 12) +
+                                       ((size_t)g6 << 6) + bb;
+                        for (int b6 = bb; b6 < bb + 4; b6++) {
+                            const int b = m8[b6];
+                            int32_t best_d = INT32_MAX;
+                            int32_t best_i = 0;
+                            for (int32_t ci : cands) {
+                                int32_t dr = r - pr[ci], dg = g - pg[ci],
+                                        db = b - pb[ci];
+                                int32_t rm = (r + pr[ci]) >> 1;
+                                int32_t d =
+                                    (((512 + rm) * dr * dr + 1024 * dg * dg +
+                                      (767 - rm) * db * db) >> 8) + da2[ci];
+                                if (d < best_d) { best_d = d; best_i = ci; }
+                            }
+                            row[b6 - bb] = (uint8_t)best_i;
+                        }
+                    }
+                }
             }
         }
     }
-    return nearest_palette_batch(grid.data(), 64 * 64 * 64, palette, k, lut);
+    }}}
+    return 0;
 }
 
 // ===================== Floyd-Steinberg dithering =============================
