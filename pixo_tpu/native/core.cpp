@@ -1910,6 +1910,16 @@ static inline int dist_symbol(int d) {
 // under the limit and always *exactly complete* (Kraft sum == 1), which
 // DEFLATE decoders require for the literal and code-length alphabets.
 // Singleton alphabets get a dummy second 1-bit code.
+//
+// Counting formulation (no per-item symbol lists): each merge level is a
+// flat (weight, is_package) array; packages are formed from consecutive
+// pairs in order, so the 2m-2 items taken at the top expand level by
+// level into a PREFIX of each lower level's merged list, and the taken
+// singletons of a level are exactly its s smallest symbols. lengths of
+// sorted symbol j = number of levels whose prefix covers > j singletons.
+// Composition (singleton-preferred tie merge, (weight, sym) sort) is
+// identical to the list-based construction, so outputs are bit-equal,
+// without the O(n*L^2) symbol-list copies and per-package allocations.
 static void build_lengths(const uint64_t* freq, int n, int max_len, uint8_t* lengths) {
     memset(lengths, 0, n);
     std::vector<std::pair<uint64_t, int>> items;  // (weight, sym)
@@ -1925,39 +1935,52 @@ static void build_lengths(const uint64_t* freq, int n, int max_len, uint8_t* len
     std::sort(items.begin(), items.end());
     int m = (int)items.size();
 
-    struct Pkg { uint64_t w; std::vector<int> syms; };
-    auto to_pkgs = [&]() {
-        std::vector<Pkg> v;
-        v.reserve(m);
-        for (auto& it : items) v.push_back({it.first, {it.second}});
-        return v;
-    };
-    std::vector<Pkg> cur = to_pkgs();
-    for (int level = 1; level < max_len; level++) {
-        std::vector<Pkg> packages;
-        for (size_t i = 0; i + 1 < cur.size(); i += 2) {
-            Pkg p;
-            p.w = cur[i].w + cur[i + 1].w;
-            p.syms = std::move(cur[i].syms);
-            p.syms.insert(p.syms.end(), cur[i + 1].syms.begin(), cur[i + 1].syms.end());
-            packages.push_back(std::move(p));
-        }
-        std::vector<Pkg> base = to_pkgs();
-        std::vector<Pkg> merged;
-        merged.reserve(base.size() + packages.size());
-        size_t a = 0, b = 0;
-        while (a < base.size() || b < packages.size()) {
-            if (b >= packages.size() ||
-                (a < base.size() && base[a].w <= packages[b].w))
-                merged.push_back(std::move(base[a++]));
-            else
-                merged.push_back(std::move(packages[b++]));
-        }
-        cur = std::move(merged);
+    // levels[0] = singletons; levels[i] = merge(singletons, pairs of
+    // levels[i-1]), singleton preferred on weight ties (base <= package).
+    static thread_local std::vector<std::vector<uint64_t>> lvl_w;
+    static thread_local std::vector<std::vector<uint8_t>> lvl_pkg;
+    if ((int)lvl_w.size() < max_len) {
+        lvl_w.resize(max_len);
+        lvl_pkg.resize(max_len);
     }
-    int take = 2 * m - 2;
-    for (int i = 0; i < take && i < (int)cur.size(); i++)
-        for (int s : cur[i].syms) lengths[s]++;
+    lvl_w[0].assign(m, 0);
+    lvl_pkg[0].assign(m, 0);
+    for (int i = 0; i < m; i++) lvl_w[0][i] = items[i].first;
+    for (int level = 1; level < max_len; level++) {
+        const std::vector<uint64_t>& prev = lvl_w[level - 1];
+        size_t npk = prev.size() / 2;
+        std::vector<uint64_t>& out = lvl_w[level];
+        std::vector<uint8_t>& opk = lvl_pkg[level];
+        out.clear(); opk.clear();
+        out.reserve(m + npk); opk.reserve(m + npk);
+        size_t a = 0, b = 0;
+        while (a < (size_t)m || b < npk) {
+            uint64_t pw = b < npk ? prev[2 * b] + prev[2 * b + 1] : 0;
+            if (b >= npk || (a < (size_t)m && items[a].first <= pw)) {
+                out.push_back(items[a++].first);
+                opk.push_back(0);
+            } else {
+                out.push_back(pw);
+                opk.push_back(1);
+                b++;
+            }
+        }
+    }
+    // top-down prefix expansion: count taken singletons per level
+    size_t take = (size_t)(2 * m - 2);
+    for (int level = max_len - 1; level >= 1 && take > 0; level--) {
+        const std::vector<uint8_t>& pk = lvl_pkg[level];
+        size_t t = std::min(take, pk.size());
+        size_t packages = 0;
+        for (size_t i = 0; i < t; i++) packages += pk[i];
+        size_t singles = t - packages;
+        for (size_t j = 0; j < singles; j++) lengths[items[j].second]++;
+        take = 2 * packages;
+    }
+    if (take > 0) {  // level 0: all singletons
+        size_t t = std::min(take, (size_t)m);
+        for (size_t j = 0; j < t; j++) lengths[items[j].second]++;
+    }
 }
 
 static void lengths_to_codes(const uint8_t* lengths, int n, uint16_t* codes) {
