@@ -169,43 +169,68 @@ def main() -> None:
         dc_d, counts_d, poss_d, vals_d, total_d = sparsify_blocks_batch(zz_dev)
         jax.block_until_ready(total_d)
 
-    # --- one-off stream fetch for the host-stage measurement ---
+    # --- incremental stream fetch for the host-stage measurement ---
+    # A sick tunnel can stall a bulk d2h for minutes (it moves MB/s after
+    # process churn), which used to eat the whole stage watchdog. Fetch
+    # per image under a budget instead: the host pack rate only needs a
+    # representative sample, so >=2 fetched images are enough to measure.
     t0 = time.perf_counter()
     with Watchdog(WATCHDOG_S):
         totals = np.asarray(total_d)
-        dc_h = np.asarray(dc_d)
-        counts_h = np.asarray(counts_d)
-        poss_h = np.asarray(poss_d)
-        vals_h = np.asarray(vals_d)
+    fetch_budget_s = max(WATCHDOG_S // 3, 60)
+    fetched = []  # (dc, counts, poss, vals) per image
+    nbytes = totals.nbytes
+    try:
+        for i in range(batch):
+            with Watchdog(min(WATCHDOG_S, fetch_budget_s)):
+                item = (
+                    np.asarray(dc_d[i]),
+                    np.asarray(counts_d[i]),
+                    np.asarray(poss_d[i]),
+                    np.asarray(vals_d[i]),
+                )
+            fetched.append(item)
+            nbytes += sum(a.nbytes for a in item)
+            if time.perf_counter() - t0 > fetch_budget_s and len(fetched) >= 2:
+                break
+    except TimeoutError:
+        if len(fetched) < 2:
+            raise
+        print(
+            f"bench: d2h stalled; continuing with {len(fetched)}/{batch} "
+            f"fetched streams",
+            file=sys.stderr,
+        )
     dt_xfer = time.perf_counter() - t0
-    nbytes = dc_h.nbytes + counts_h.nbytes + poss_h.nbytes + vals_h.nbytes
     xfer_rate = nbytes / max(dt_xfer, 1e-9) / 1e6
+    nf = len(fetched)
 
     # --- Stage 2: host entropy packing over the real streams ---
     _, _, pattern = scan_layout(size, size, "rgb", "420")
     huff = HuffmanTables()
     assert native_available(), "native packer required for the benchmark"
-    cap = poss_h.shape[1]
-    if (totals <= cap).all():
+    cap = fetched[0][2].shape[0]
+    if (totals[:nf] <= cap).all():
         def pack(i):
+            dc_h, counts_h, poss_h, vals_h = fetched[i]
             return native_pack_scan_sparse(
-                dc_h[i], counts_h[i], poss_h[i], vals_h[i], pattern, huff, None
+                dc_h, counts_h, poss_h, vals_h, pattern, huff, None
             )
     else:  # compaction overflow: dense fallback (not hit on this content)
         with Watchdog(WATCHDOG_S):
-            zz_host = np.asarray(zz_dev)
+            zz_host = np.asarray(zz_dev[:nf])
 
         def pack(i):
             return native_pack_scan(zz_host[i], pattern, huff, None)
 
-    sizes = [len(pack(i)) for i in range(batch)]
+    sizes = [len(pack(i)) for i in range(nf)]
     dt_host = float("inf")
     for _ in range(7):
         t0 = time.perf_counter()
-        for i in range(batch):
+        for i in range(nf):
             pack(i)
         dt_host = min(dt_host, time.perf_counter() - t0)
-    host_mps = mp_per_batch / dt_host
+    host_mps = size * size * nf / 1e6 / dt_host
 
     pipeline_mps = min(device_mps, host_mps)
     if cpu_fallback:
