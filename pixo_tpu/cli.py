@@ -117,6 +117,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--preset", choices=sorted(_PRESETS), help="compression preset")
     p.add_argument("--lossy", action="store_true", help="PNG palette quantization")
     p.add_argument("--png-optimize-alpha", action="store_true")
+    p.add_argument("--interlace", action="store_true",
+                   help="Adam7 interlaced PNG output (beyond parity)")
     p.add_argument("--png-reduce-color", action="store_true")
     p.add_argument("--png-strip-metadata", action="store_true")
     p.add_argument("--resize", metavar="WxH", help="resize before encoding")
@@ -237,6 +239,8 @@ def main(argv=None) -> int:
                 popts.reduce_color_type = True
             if args.png_strip_metadata:
                 popts.strip_metadata = True
+            if args.interlace:
+                popts.interlace = True
             from . import png as png_mod
 
             src = pixels[..., 0] if channels == 1 else pixels

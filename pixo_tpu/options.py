@@ -60,6 +60,10 @@ class PngOptions:
     reduce_palette: bool = False
     verbose_filter_log: bool = False
     optimal_compression: bool = False
+    # Adam7 interlaced output (beyond parity: the reference encoder has no
+    # interlace support and its decoder rejects interlaced files; ours
+    # round-trips them).
+    interlace: bool = False
     quantization: QuantizationOptions = dataclasses.field(
         default_factory=QuantizationOptions
     )

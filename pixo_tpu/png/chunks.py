@@ -26,9 +26,12 @@ def write_chunk(out: bytearray, chunk_type: bytes, data: bytes) -> None:
 
 
 def write_ihdr(
-    out: bytearray, width: int, height: int, bit_depth: int, color_type: int
+    out: bytearray, width: int, height: int, bit_depth: int, color_type: int,
+    interlace: int = 0,
 ) -> None:
-    data = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
+    data = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, interlace
+    )
     write_chunk(out, b"IHDR", data)
 
 

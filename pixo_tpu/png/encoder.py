@@ -59,6 +59,61 @@ def _compress(filtered: bytes, options: PngOptions) -> bytes:
     return deflate_zlib(filtered, options.compression_level)
 
 
+# Adam7 pass grid as (x_start, y_start, x_step, y_step) — same table the
+# decoder uses (decode/png_decoder.ADAM7_PASSES, PNG spec §8.2). Beyond
+# parity: the reference has no interlace support on either side.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _filter_adam7(
+    samples: np.ndarray,
+    width: int,
+    height: int,
+    bit_depth: int,
+    bpp: int,
+    strategy: FilterStrategy,
+    verbose_filter_log: bool = False,
+) -> bytes:
+    """Filter an image as 7 Adam7 passes and concatenate the streams.
+
+    ``samples`` is [H, W, bpp] uint8 for bit_depth == 8, or [H, W] raw
+    (unpacked) samples for bit_depth < 8 — each pass is its own reduced
+    image: rows re-packed at the pass width, filtered independently
+    (filters never cross pass boundaries, PNG spec §8.2).
+    """
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = samples[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        if bit_depth == 8:
+            row_bytes = pw * bpp
+            payload = np.ascontiguousarray(sub).tobytes()
+            fbpp = bpp
+        else:
+            payload = reduce.pack_bits_rows(
+                np.ascontiguousarray(sub).reshape(-1), pw, bit_depth
+            )
+            row_bytes = (pw * bit_depth + 7) // 8
+            fbpp = 1
+        parts.append(
+            apply_filters(
+                payload, pw, ph, row_bytes, fbpp, strategy,
+                verbose_filter_log=verbose_filter_log,
+            )
+        )
+    return b"".join(parts)
+
+
 def encode(data, options: PngOptions, *, filter_fn=None) -> bytes:
     """Encode one image (flat bytes or [H, W, C] uint8 array) to PNG bytes.
 
@@ -103,7 +158,10 @@ def encode(data, options: PngOptions, *, filter_fn=None) -> bytes:
         pixels, w, h, options.color_type,
         options.reduce_color_type, options.reduce_palette,
     )
-    chunks.write_ihdr(out, w, h, red.bit_depth, red.color_type_byte)
+    chunks.write_ihdr(
+        out, w, h, red.bit_depth, red.color_type_byte,
+        interlace=1 if options.interlace else 0,
+    )
 
     if red.palette is not None:
         chunks.write_chunk(out, b"PLTE", red.palette[:, :3].tobytes())
@@ -116,6 +174,23 @@ def encode(data, options: PngOptions, *, filter_fn=None) -> bytes:
     ):
         px = np.frombuffer(payload, dtype=np.uint8).reshape(-1, red.bytes_per_pixel)
         payload = reduce.optimize_alpha(px, red.effective_color_type).tobytes()
+
+    if options.interlace:
+        if red.bit_depth == 8:
+            samples = np.frombuffer(payload, np.uint8).reshape(
+                h, w, red.bytes_per_pixel
+            )
+        else:
+            samples = red.samples.reshape(h, w)
+        filtered = _filter_adam7(
+            samples, w, h, red.bit_depth, red.bytes_per_pixel,
+            options.filter_strategy,
+            verbose_filter_log=options.verbose_filter_log,
+        )
+        compressed = _compress(filtered, options)
+        chunks.write_idat_chunks(out, compressed)
+        chunks.write_iend(out)
+        return bytes(out)
 
     if red.bit_depth < 8:
         row_bytes = (w * red.bit_depth + 7) // 8
@@ -177,7 +252,10 @@ def encode_indexed(
 
     out = bytearray()
     out += chunks.PNG_SIGNATURE
-    chunks.write_ihdr(out, width, height, 8, 3)
+    chunks.write_ihdr(
+        out, width, height, 8, 3,
+        interlace=1 if options.interlace else 0,
+    )
     chunks.write_chunk(out, b"PLTE", palette.tobytes())
     if transparency is not None:
         chunks.write_chunk(out, b"tRNS", transparency.tobytes())
@@ -191,10 +269,16 @@ def encode_indexed(
     ):
         strategy = FilterStrategy.NONE
 
-    filtered = apply_filters(
-        indexed.tobytes(), width, height, width, 1, strategy,
-        verbose_filter_log=options.verbose_filter_log,
-    )
+    if options.interlace:
+        filtered = _filter_adam7(
+            indexed.reshape(height, width, 1), width, height, 8, 1,
+            strategy, verbose_filter_log=options.verbose_filter_log,
+        )
+    else:
+        filtered = apply_filters(
+            indexed.tobytes(), width, height, width, 1, strategy,
+            verbose_filter_log=options.verbose_filter_log,
+        )
     compressed = _compress(filtered, options)
     chunks.write_idat_chunks(out, compressed)
     chunks.write_iend(out)

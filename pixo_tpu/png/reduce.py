@@ -252,6 +252,10 @@ class ReducedImage:
     bit_depth: int
     bytes_per_pixel: int
     palette: Optional[np.ndarray]  # [K, 4] uint8 or None
+    # unpacked per-pixel samples when bit_depth < 8 (the packed rows in
+    # ``data`` are width-aligned, so interlaced encoding needs the raw
+    # samples to re-pack per Adam7 pass)
+    samples: Optional[np.ndarray] = None
 
 
 def maybe_reduce_color_type(
@@ -289,6 +293,7 @@ def maybe_reduce_color_type(
                 bit_depth=bit_depth,
                 bytes_per_pixel=max(bit_depth // 8, 1),
                 palette=palette,
+                samples=indexed if bit_depth < 8 else None,
             )
 
     if not reduce_color_type:
@@ -306,6 +311,7 @@ def maybe_reduce_color_type(
                 bit_depth=bit_depth,
                 bytes_per_pixel=max(bit_depth // 8, 1),
                 palette=None,
+                samples=gray if bit_depth < 8 else None,
             )
         return passthrough()
 
@@ -322,6 +328,7 @@ def maybe_reduce_color_type(
                 bit_depth=bit_depth,
                 bytes_per_pixel=max(bit_depth // 8, 1),
                 palette=None,
+                samples=gray if bit_depth < 8 else None,
             )
         if all_opaque:
             return ReducedImage(
