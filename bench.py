@@ -147,21 +147,14 @@ def main() -> None:
     def run_device():
         return _device_coeffs_batch(dev_imgs, lum, chrom, color="rgb", subsampling="420")
 
-    # --- Stage 1: device pipeline, steady state (best of 5 windows:
-    # the shared host + tunnel keepalive inject noise) ---
+    # --- compile + first run, then compaction and the stream fetch
+    # IMMEDIATELY: the dev tunnel's d2h path can wedge permanently after
+    # sustained device loops (observed: even a 64-byte fetch never
+    # returns once the steady-state windows have run), so all d2h happens
+    # while the tunnel is fresh; the steady-state measurement runs after.
     with Watchdog(WATCHDOG_S):
         zz_dev = run_device()
         zz_dev.block_until_ready()  # compile + first run
-        dt_dev = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            rounds = 0
-            while time.perf_counter() - t0 < 0.4:
-                zz_dev = run_device()
-                rounds += 1
-            zz_dev.block_until_ready()
-            dt_dev = min(dt_dev, (time.perf_counter() - t0) / rounds)
-    device_mps = mp_per_batch / dt_dev
 
     # --- device-side compaction (the production handoff: ~5x less PCIe
     # traffic, host packer touches ~3 B per nonzero AC) ---
@@ -204,6 +197,20 @@ def main() -> None:
     dt_xfer = time.perf_counter() - t0
     xfer_rate = nbytes / max(dt_xfer, 1e-9) / 1e6
     nf = len(fetched)
+
+    # --- Stage 1: device pipeline, steady state (best of 5 windows:
+    # the shared host + tunnel keepalive inject noise) ---
+    with Watchdog(WATCHDOG_S):
+        dt_dev = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            rounds = 0
+            while time.perf_counter() - t0 < 0.4:
+                zz_dev = run_device()
+                rounds += 1
+            zz_dev.block_until_ready()
+            dt_dev = min(dt_dev, (time.perf_counter() - t0) / rounds)
+    device_mps = mp_per_batch / dt_dev
 
     # --- Stage 2: host entropy packing over the real streams ---
     _, _, pattern = scan_layout(size, size, "rgb", "420")
