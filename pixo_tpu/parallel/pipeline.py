@@ -256,8 +256,10 @@ def encode_png_batch_sharded(
     flat = np.ascontiguousarray(imgs).reshape(b, -1)
     penc._validate(options, flat.shape[1])
 
-    if options.quantization.mode != QuantizationMode.OFF:
-        # Quantization decisions/palettes are image-dependent end to end.
+    if options.quantization.mode != QuantizationMode.OFF or options.interlace:
+        # Quantization decisions/palettes are image-dependent end to end;
+        # Adam7 output filters per pass, not per row, so it takes the
+        # per-image path too (bytes must equal png.encode exactly).
         with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:
             return list(
                 ex.map(lambda i: penc.encode(flat[i], options), range(b))
@@ -315,6 +317,9 @@ def encode_png_row_sharded(
     runs as a single sharded dispatch (up-row reads become an XLA halo
     exchange); everything else (reductions, DEFLATE, framing) follows the
     ordinary single-image pipeline, so output bytes equal ``png.encode``.
+    (``options.interlace`` filters per Adam7 pass on the ordinary path —
+    the row-sharded dispatch does not apply there; bytes still equal
+    ``png.encode``.)
     """
     from ..ops.png_filters import apply_filters_row_sharded
     from ..png import encoder as penc

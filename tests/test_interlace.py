@@ -102,3 +102,17 @@ class TestInterlacedEncode:
         assert data[8 + 8 + 12] == 1
         back = np.asarray(Image.open(dst).convert("RGB"))
         assert np.array_equal(back, img)
+
+
+class TestInterlacedSharded:
+    def test_batch_sharded_matches_per_image(self):
+        from pixo_tpu.parallel import encode_png_batch_sharded
+
+        rng = np.random.default_rng(6)
+        imgs = rng.integers(0, 256, (4, 16, 16, 3), dtype=np.uint8)
+        opts = PngOptions.balanced(16, 16).replace(
+            color_type=ColorType.RGB, interlace=True)
+        outs = encode_png_batch_sharded(imgs, opts)
+        for i in range(4):
+            assert outs[i] == png.encode(imgs[i], opts)
+            assert outs[i][8 + 8 + 12] == 1
