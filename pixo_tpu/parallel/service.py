@@ -38,7 +38,14 @@ import numpy as np
 def _worker_init() -> None:
     # Workers only ever need the host tier; pinning the CPU platform keeps
     # them off the TPU runtime (one process per chip is the TPU contract).
+    # The env var alone is not enough: this harness's TPU plugin injects
+    # itself over JAX_PLATFORMS, and a worker that touches a wedged TPU
+    # runtime hangs its first request past any deadline — set the config
+    # explicitly after import, before any backend initialization.
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 class RequestTimeout(Exception):

@@ -166,7 +166,10 @@ class TestCompressService:
 
         img = synth_gradient(24, 16, 3)
         opts = PngOptions.fast(24, 16).replace(color_type=ColorType.RGB)
-        with CompressService(workers=1, timeout_s=60) as svc:
+        # 120 s: the reference client default (compress-client.ts:14);
+        # worker cold boot (spawned interpreter importing the full stack)
+        # can take >60 s on a loaded 1-vCPU host in fallback mode
+        with CompressService(workers=1, timeout_s=120) as svc:
             reqs = [svc.submit_png(img, opts) for _ in range(3)]
             ids = [r.id for r in reqs]
             assert ids == sorted(ids) and len(set(ids)) == 3

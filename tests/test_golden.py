@@ -85,6 +85,15 @@ def _produce(name: str) -> bytes:
 
 @pytest.mark.parametrize("name", sorted(GOLDEN))
 def test_golden(name):
+    if name.startswith(("png_", "deflate_")):
+        from pixo_tpu.native import native_available
+
+        if not native_available():
+            # The PNG/DEFLATE digests pin the native encoder's bytes; the
+            # pure-Python tier emits valid-but-different zlib streams
+            # (decoded-pixel equality across tiers is covered in
+            # test_native/test_png_conformance).
+            pytest.skip("digest pins native DEFLATE bytes")
     digest = hashlib.sha256(_produce(name)).hexdigest()
     assert digest == GOLDEN[name], (
         f"{name} output changed; if intentional, update GOLDEN in this file"
