@@ -198,6 +198,16 @@ def main() -> None:
     xfer_rate = nbytes / max(dt_xfer, 1e-9) / 1e6
     nf = len(fetched)
 
+    # Compaction-overflow check happens HERE, while the tunnel is still
+    # fresh: the dense fallback's bulk d2h must not run after the
+    # steady-state loops (same wedge hazard as the stream fetch above).
+    cap = fetched[0][2].shape[0]
+    overflow = not (totals[:nf] <= cap).all()
+    zz_host = None
+    if overflow:  # dense fallback (not hit on this content)
+        with Watchdog(WATCHDOG_S):
+            zz_host = np.asarray(zz_dev[:nf])
+
     # --- Stage 1: device pipeline, steady state (best of 5 windows:
     # the shared host + tunnel keepalive inject noise) ---
     with Watchdog(WATCHDOG_S):
@@ -216,17 +226,13 @@ def main() -> None:
     _, _, pattern = scan_layout(size, size, "rgb", "420")
     huff = HuffmanTables()
     assert native_available(), "native packer required for the benchmark"
-    cap = fetched[0][2].shape[0]
-    if (totals[:nf] <= cap).all():
+    if not overflow:
         def pack(i):
             dc_h, counts_h, poss_h, vals_h = fetched[i]
             return native_pack_scan_sparse(
                 dc_h, counts_h, poss_h, vals_h, pattern, huff, None
             )
-    else:  # compaction overflow: dense fallback (not hit on this content)
-        with Watchdog(WATCHDOG_S):
-            zz_host = np.asarray(zz_dev[:nf])
-
+    else:
         def pack(i):
             return native_pack_scan(zz_host[i], pattern, huff, None)
 
@@ -292,12 +298,18 @@ def main() -> None:
     # Headline stays the steady-state min(stage) figure: the measured
     # stream number (reported above) includes the dev tunnel's MB/s-range
     # d2h per batch, which real v5e PCIe hosts do not see.
-    print(json.dumps({
+    record = {
         "metric": "jpeg_q85_420_encode_throughput",
         "value": round(pipeline_mps, 1),
         "unit": "MP/s/chip",
         "vs_baseline": round(pipeline_mps / BASELINE_MPS, 3),
-    }))
+    }
+    if cpu_fallback:
+        # machine-readable marker: this run measured only the binding
+        # host stage (TPU tunnel unavailable); consumers must not read
+        # it as a verified device-stage measurement
+        record["degraded"] = "cpu-fallback-host-stage-only"
+    print(json.dumps(record))
 
 
 def _run_supervised() -> None:
@@ -337,7 +349,10 @@ def _run_supervised() -> None:
         )
         current["proc"] = proc
         try:
-            out, _ = proc.communicate(timeout=WATCHDOG_S)
+            # slack over the inner stage watchdogs: the budgeted
+            # per-image fetch may legitimately spend ~2/3 WATCHDOG_S on a
+            # slow-but-working tunnel before its own alarms fire
+            out, _ = proc.communicate(timeout=WATCHDOG_S + 180)
             text = out.decode()
             if proc.returncode == 0 and '"metric"' in text:
                 sys.stdout.write(text)

@@ -1943,8 +1943,9 @@ static void build_lengths(const uint64_t* freq, int n, int max_len, uint8_t* len
         lvl_w.resize(max_len);
         lvl_pkg.resize(max_len);
     }
+    // level 0 needs only weights (its flags never enter the top-down
+    // expansion: the all-singletons tail below handles take at level 0)
     lvl_w[0].assign(m, 0);
-    lvl_pkg[0].assign(m, 0);
     for (int i = 0; i < m; i++) lvl_w[0][i] = items[i].first;
     for (int level = 1; level < max_len; level++) {
         const std::vector<uint64_t>& prev = lvl_w[level - 1];

@@ -317,12 +317,15 @@ def encode_png_row_sharded(
     runs as a single sharded dispatch (up-row reads become an XLA halo
     exchange); everything else (reductions, DEFLATE, framing) follows the
     ordinary single-image pipeline, so output bytes equal ``png.encode``.
-    (``options.interlace`` filters per Adam7 pass on the ordinary path —
-    the row-sharded dispatch does not apply there; bytes still equal
-    ``png.encode``.)
+    (``options.interlace`` filters per Adam7 pass, where a per-row
+    sharded dispatch cannot apply — such options take the ordinary path;
+    bytes still equal ``png.encode``.)
     """
     from ..ops.png_filters import apply_filters_row_sharded
     from ..png import encoder as penc
+
+    if options.interlace:
+        return penc.encode(img, options)
 
     mesh = mesh or make_mesh()
 

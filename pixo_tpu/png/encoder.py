@@ -59,18 +59,10 @@ def _compress(filtered: bytes, options: PngOptions) -> bytes:
     return deflate_zlib(filtered, options.compression_level)
 
 
-# Adam7 pass grid as (x_start, y_start, x_step, y_step) — same table the
-# decoder uses (decode/png_decoder.ADAM7_PASSES, PNG spec §8.2). Beyond
-# parity: the reference has no interlace support on either side.
-_ADAM7 = (
-    (0, 0, 8, 8),
-    (4, 0, 8, 8),
-    (0, 4, 4, 8),
-    (2, 0, 4, 4),
-    (0, 2, 2, 4),
-    (1, 0, 2, 2),
-    (0, 1, 1, 2),
-)
+# Adam7 pass grid (x_start, y_start, x_step, y_step): the decoder owns
+# the canonical table (PNG spec §8.2); sharing it keeps encode/decode in
+# lockstep. Beyond parity: the reference has no interlace on either side.
+from ..decode.png_decoder import ADAM7_PASSES as _ADAM7  # noqa: E402
 
 
 def _filter_adam7(
@@ -176,6 +168,13 @@ def encode(data, options: PngOptions, *, filter_fn=None) -> bytes:
         payload = reduce.optimize_alpha(px, red.effective_color_type).tobytes()
 
     if options.interlace:
+        if filter_fn is not None:
+            # Adam7 filters per pass through its own path; a per-row
+            # filter override (the row-sharded dispatch) cannot apply.
+            # Fail loudly rather than silently ignoring the override.
+            raise errors.CompressionError(
+                "filter_fn override is incompatible with interlaced output"
+            )
         if red.bit_depth == 8:
             samples = np.frombuffer(payload, np.uint8).reshape(
                 h, w, red.bytes_per_pixel

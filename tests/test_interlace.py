@@ -116,3 +116,12 @@ class TestInterlacedSharded:
         for i in range(4):
             assert outs[i] == png.encode(imgs[i], opts)
             assert outs[i][8 + 8 + 12] == 1
+
+    def test_row_sharded_routes_to_plain_path(self):
+        from pixo_tpu.parallel import encode_png_row_sharded
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        opts = PngOptions(width=16, height=16, color_type=ColorType.RGB,
+                          interlace=True)
+        assert encode_png_row_sharded(img, opts) == png.encode(img, opts)
