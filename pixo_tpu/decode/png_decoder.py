@@ -67,7 +67,10 @@ def _expected_size(width: int, height: int, bit_depth: int, channels: int) -> in
     return (row_bytes + 1) * height
 
 
-def decode_png(data: bytes) -> PngImage:
+def decode_png(data: bytes, *, keep_bit_depth: bool = False) -> PngImage:
+    """Decode a PNG. ``keep_bit_depth=True`` returns uint16 pixels for
+    16-bit files instead of the default high-byte truncation (beyond
+    parity: the reference always truncates 16->8)."""
     if len(data) < 8 or data[:8] != PNG_SIGNATURE:
         raise errors.InvalidDecode("not a PNG file (bad signature)")
     pos = 8
@@ -147,17 +150,20 @@ def decode_png(data: bytes) -> PngImage:
         )
 
     bpp_bytes = max((channels * bit_depth) // 8, 1)
+    keep16 = keep_bit_depth and bit_depth == 16
     if interlace == 1:
         samples = _decode_adam7(
-            raw, width, height, bit_depth, channels, color_type, bpp_bytes
+            raw, width, height, bit_depth, channels, color_type, bpp_bytes,
+            keep16=keep16,
         )
     else:
         bits_per_row = width * channels * bit_depth
         row_bytes = (bits_per_row + 7) // 8
         recon = unfilter(raw, height, row_bytes, bpp_bytes)
-        # Expand bit depth to 8-bit samples
+        # Expand bit depth to 8-bit samples (or keep 16-bit on request)
         samples = _expand_samples(
-            recon, width, height, bit_depth, channels, color_type
+            recon, width, height, bit_depth, channels, color_type,
+            keep16=keep16,
         )
 
     if color_type == 3:
@@ -192,12 +198,13 @@ def _adam7_dims(width: int, height: int):
 
 def _decode_adam7(
     raw: bytes, width: int, height: int, bit_depth: int,
-    channels: int, color_type: int, bpp_bytes: int,
+    channels: int, color_type: int, bpp_bytes: int, keep16: bool = False,
 ) -> np.ndarray:
     """Adam7 de-interlacing: 7 independently filtered sub-images scattered
     onto the output grid. (Beyond-parity: the reference rejects interlaced
     files; we decode them.)"""
-    out = np.zeros((height, width * channels), np.uint8)
+    out = np.zeros((height, width * channels),
+                   np.uint16 if keep16 else np.uint8)
     pos = 0
     for (x0, y0, dx, dy), (pw, ph) in zip(ADAM7_PASSES, _adam7_dims(width, height)):
         if pw == 0 or ph == 0:
@@ -206,7 +213,8 @@ def _decode_adam7(
         nbytes = (row_bytes + 1) * ph
         sub = unfilter(raw[pos : pos + nbytes], ph, row_bytes, bpp_bytes)
         pos += nbytes
-        sub_samples = _expand_samples(sub, pw, ph, bit_depth, channels, color_type)
+        sub_samples = _expand_samples(
+            sub, pw, ph, bit_depth, channels, color_type, keep16=keep16)
         sub_px = sub_samples.reshape(ph, pw, channels)
         ys = y0 + dy * np.arange(ph)
         xs = x0 + dx * np.arange(pw)
@@ -217,7 +225,7 @@ def _decode_adam7(
 
 def _expand_samples(
     recon: np.ndarray, width: int, height: int, bit_depth: int,
-    channels: int, color_type: int,
+    channels: int, color_type: int, keep16: bool = False,
 ) -> np.ndarray:
     """Unfiltered rows -> per-pixel 8-bit samples.
 
@@ -229,6 +237,10 @@ def _expand_samples(
         return recon  # row_bytes == width * channels
     if bit_depth == 16:
         r = recon.reshape(height, width * channels, 2)
+        if keep16:
+            return (
+                (r[..., 0].astype(np.uint16) << 8) | r[..., 1]
+            ).reshape(height, -1)
         return r[..., 0].reshape(height, -1)
     # sub-byte depths: gray (ct 0) or indexed (ct 3); one channel
     per_byte = 8 // bit_depth

@@ -64,6 +64,10 @@ class PngOptions:
     # interlace support and its decoder rejects interlaced files; ours
     # round-trips them).
     interlace: bool = False
+    # Sample bit depth: 8 (default) or 16 (beyond parity: the reference
+    # encoder is 8-bit only). 16-bit input is big-endian bytes or a
+    # uint16 array; quantization/reductions do not apply at 16-bit.
+    bit_depth: int = 8
     quantization: QuantizationOptions = dataclasses.field(
         default_factory=QuantizationOptions
     )

@@ -254,12 +254,14 @@ def encode_png_batch_sharded(
     w, h = options.width, options.height
     bpp = options.color_type.bytes_per_pixel
     flat = np.ascontiguousarray(imgs).reshape(b, -1)
-    penc._validate(options, flat.shape[1])
+    penc._validate(options, flat[0].nbytes)
 
-    if options.quantization.mode != QuantizationMode.OFF or options.interlace:
+    if (options.quantization.mode != QuantizationMode.OFF
+            or options.interlace or options.bit_depth != 8):
         # Quantization decisions/palettes are image-dependent end to end;
-        # Adam7 output filters per pass, not per row, so it takes the
-        # per-image path too (bytes must equal png.encode exactly).
+        # Adam7 filters per pass and 16-bit skips the 8-bit reduction
+        # grouping, so both take the per-image path too (bytes must equal
+        # png.encode exactly).
         with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:
             return list(
                 ex.map(lambda i: penc.encode(flat[i], options), range(b))

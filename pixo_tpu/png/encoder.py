@@ -30,14 +30,19 @@ from . import chunks, reduce
 
 
 def _validate(options: PngOptions, data_len: int) -> int:
+    """data_len is in BYTES; returns bytes per pixel at the option depth."""
     if not (1 <= options.compression_level <= 9):
         raise errors.InvalidCompressionLevel(options.compression_level)
+    if options.bit_depth not in (8, 16):
+        raise errors.CompressionError(
+            f"unsupported bit depth {options.bit_depth} (8 or 16)"
+        )
     w, h = options.width, options.height
     if w == 0 or h == 0:
         raise errors.InvalidDimensions(w, h)
     if w > MAX_DIMENSION or h > MAX_DIMENSION:
         raise errors.ImageTooLarge(w, h, MAX_DIMENSION)
-    bpp = options.color_type.bytes_per_pixel
+    bpp = options.color_type.bytes_per_pixel * (options.bit_depth // 8)
     expected = w * h * bpp
     if data_len != expected:
         raise errors.InvalidDataLength(expected, data_len)
@@ -114,12 +119,54 @@ def encode(data, options: PngOptions, *, filter_fn=None) -> bytes:
     tensor-parallel path (``parallel.encode_png_row_sharded``).
     """
     if isinstance(data, np.ndarray):
-        data_len = data.size
+        data_len = data.nbytes
     else:
         data_len = len(data)
     bpp = _validate(options, data_len)
-    pixels = _as_pixels(data, options, bpp)
     w, h = options.width, options.height
+
+    if options.bit_depth == 16:
+        # Beyond parity (the reference encoder is 8-bit only): filtering
+        # operates on the big-endian byte stream with the PNG-mandated
+        # byte offset bpp = channels*2; quantization and the 8-bit
+        # reductions do not apply at this depth.
+        if options.quantization.mode != QuantizationMode.OFF:
+            raise errors.CompressionError(
+                "quantization requires 8-bit input"
+            )
+        if isinstance(data, np.ndarray) and data.dtype == np.uint16:
+            payload16 = data.astype(">u2").tobytes()
+        elif isinstance(data, np.ndarray):
+            payload16 = np.ascontiguousarray(data, np.uint8).tobytes()
+        else:
+            payload16 = bytes(data)  # already big-endian sample bytes
+        out = bytearray()
+        out += chunks.PNG_SIGNATURE
+        chunks.write_ihdr(
+            out, w, h, 16, options.color_type.png_color_type,
+            interlace=1 if options.interlace else 0,
+        )
+        if options.interlace:
+            samples = np.frombuffer(payload16, np.uint8).reshape(h, w, bpp)
+            filtered = _filter_adam7(
+                samples, w, h, 8, bpp, options.filter_strategy,
+                verbose_filter_log=options.verbose_filter_log,
+            )
+        elif filter_fn is not None:
+            filtered = filter_fn(
+                payload16, w, h, w * bpp, bpp, options.filter_strategy
+            )
+        else:
+            filtered = apply_filters(
+                payload16, w, h, w * bpp, bpp, options.filter_strategy,
+                verbose_filter_log=options.verbose_filter_log,
+            )
+        compressed = _compress(filtered, options)
+        chunks.write_idat_chunks(out, compressed)
+        chunks.write_iend(out)
+        return bytes(out)
+
+    pixels = _as_pixels(data, options, bpp)
 
     # Quantization decision (parity: src/png/mod.rs:470-512)
     mode = options.quantization.mode

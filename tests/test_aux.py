@@ -208,14 +208,16 @@ class TestCompressService:
             WorkerCrashed,
         )
 
-        with CompressService(workers=1, timeout_s=30) as svc:
+        # generous timeouts: worker cold boot (spawned interpreter) can
+        # take tens of seconds on the loaded 1-vCPU CI host
+        with CompressService(workers=1, timeout_s=120) as svc:
             doomed = svc.submit_raw(_crash_task)
             pending = svc.submit_raw(_sleep_task, 0.05)
             with pytest.raises(WorkerCrashed):
-                doomed.result(timeout=10.0)
+                doomed.result(timeout=90.0)
             # pending requests at crash time are rejected...
             with pytest.raises((WorkerCrashed, RequestCancelled)):
-                pending.result(timeout=10.0)
+                pending.result(timeout=90.0)
             # ...and the respawned pool serves new requests
             again = svc.submit_raw(_sleep_task, 0.01)
-            assert again.result(timeout=10.0) == "slept"
+            assert again.result(timeout=90.0) == "slept"
