@@ -8,5 +8,9 @@ as batched device kernels.
 
 from .png_decoder import PngImage, decode_png
 from .jpeg_decoder import JpegImage, decode_jpeg
+from .batch import decode_jpeg_batch, decode_png_batch
 
-__all__ = ["PngImage", "JpegImage", "decode_png", "decode_jpeg"]
+__all__ = [
+    "PngImage", "JpegImage", "decode_png", "decode_jpeg",
+    "decode_png_batch", "decode_jpeg_batch",
+]

@@ -526,3 +526,57 @@ class TestProgressiveJpegDecode:
         )
         with pytest.raises(errors.InvalidDecode):
             decode_jpeg(data[: len(data) // 2])
+
+
+class TestBatchDecode:
+    """Threaded batch decode surfaces (order-preserving, equal to the
+    single-file decoders)."""
+
+    def test_png_batch_matches_single(self):
+        import numpy as np
+
+        from pixo_tpu import ColorType, PngOptions, png
+        from pixo_tpu.decode import decode_png, decode_png_batch
+
+        rng = np.random.default_rng(0)
+        files = []
+        for i in range(6):
+            h, w = int(rng.integers(4, 40)), int(rng.integers(4, 40))
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            files.append(png.encode(img, PngOptions(
+                width=w, height=h, color_type=ColorType.RGB)))
+        batch = decode_png_batch(files, workers=4)
+        for f, b in zip(files, batch):
+            s = decode_png(f)
+            assert np.array_equal(b.pixels, s.pixels)
+            assert (b.width, b.height) == (s.width, s.height)
+
+    def test_jpeg_batch_matches_single(self):
+        import numpy as np
+
+        from pixo_tpu import JpegOptions, jpeg
+        from pixo_tpu.decode import decode_jpeg, decode_jpeg_batch
+
+        rng = np.random.default_rng(1)
+        files = []
+        for i in range(4):
+            img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+            files.append(jpeg.encode(img, JpegOptions.fast(32, 24, 85)))
+        batch = decode_jpeg_batch(files, workers=4)
+        for f, b in zip(files, batch):
+            s = decode_jpeg(f)
+            assert np.array_equal(b.pixels, s.pixels)
+
+    def test_png_batch_keep_bit_depth(self):
+        import numpy as np
+
+        from pixo_tpu import ColorType, PngOptions, png
+        from pixo_tpu.decode import decode_png_batch
+
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 65536, (10, 12, 3), dtype=np.uint16)
+        f = png.encode(img, PngOptions(width=12, height=10,
+                                       color_type=ColorType.RGB,
+                                       bit_depth=16))
+        out = decode_png_batch([f, f], keep_bit_depth=True)
+        assert all(np.array_equal(o.pixels, img) for o in out)
