@@ -334,14 +334,31 @@ def encode_indexed(
 def encode_batch(imgs: np.ndarray, options: PngOptions) -> List[bytes]:
     """Encode a batch [B, H, W, C] of same-shape images.
 
-    Delegates to the fused sharded pipeline (one batched device filter
-    dispatch + threaded host DEFLATE, ``parallel.encode_png_batch_sharded``
-    — bytes equal per-image ``encode``, tested there); falls back to the
-    per-image loop if the parallel tier cannot initialize a mesh.
+    On an accelerator backend this delegates to the fused sharded
+    pipeline (one batched device filter dispatch + threaded host DEFLATE,
+    ``parallel.encode_png_batch_sharded`` — bytes equal per-image
+    ``encode``, tested there). On the CPU backend the per-image native
+    filter tier (AVX2) beats the XLA-CPU batch dispatch by ~8x, so images
+    encode individually on a thread pool instead (the native stages
+    release the GIL; same bytes).
     """
     try:
-        from ..parallel import encode_png_batch_sharded
+        import jax
 
-        return encode_png_batch_sharded(imgs, options)
-    except Exception:  # noqa: BLE001 - any mesh/backend init failure
-        return [encode(imgs[i], options) for i in range(imgs.shape[0])]
+        accelerated = jax.default_backend() != "cpu"
+    except Exception:  # noqa: BLE001
+        accelerated = False
+    if accelerated:
+        try:
+            from ..parallel import encode_png_batch_sharded
+
+            return encode_png_batch_sharded(imgs, options)
+        except Exception:  # noqa: BLE001 - any mesh/backend init failure
+            pass
+    if imgs.shape[0] > 1:
+        import concurrent.futures
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+            return list(ex.map(lambda i: encode(imgs[i], options),
+                               range(imgs.shape[0])))
+    return [encode(imgs[i], options) for i in range(imgs.shape[0])]
