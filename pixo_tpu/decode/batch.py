@@ -12,10 +12,18 @@ surfaces.
 from __future__ import annotations
 
 import concurrent.futures
-from typing import List, Sequence
+import functools
+from typing import Callable, List, Sequence
 
 from .jpeg_decoder import JpegImage, decode_jpeg
 from .png_decoder import PngImage, decode_png
+
+
+def _map_threaded(fn: Callable, files: Sequence[bytes], workers: int) -> list:
+    if len(files) <= 1:
+        return [fn(f) for f in files]
+    with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as ex:
+        return list(ex.map(fn, files))
 
 
 def decode_png_batch(
@@ -25,12 +33,8 @@ def decode_png_batch(
     workers: int = 8,
 ) -> List[PngImage]:
     """Decode many PNGs concurrently on host threads (order preserved)."""
-    if len(files) <= 1:
-        return [decode_png(f, keep_bit_depth=keep_bit_depth) for f in files]
-    with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as ex:
-        return list(
-            ex.map(lambda f: decode_png(f, keep_bit_depth=keep_bit_depth), files)
-        )
+    fn = functools.partial(decode_png, keep_bit_depth=keep_bit_depth)
+    return _map_threaded(fn, files, workers)
 
 
 def decode_jpeg_batch(
@@ -40,12 +44,5 @@ def decode_jpeg_batch(
     workers: int = 8,
 ) -> List[JpegImage]:
     """Decode many JPEGs concurrently on host threads (order preserved)."""
-    if len(files) <= 1:
-        return [decode_jpeg(f, fancy_upsampling=fancy_upsampling) for f in files]
-    with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as ex:
-        return list(
-            ex.map(
-                lambda f: decode_jpeg(f, fancy_upsampling=fancy_upsampling),
-                files,
-            )
-        )
+    fn = functools.partial(decode_jpeg, fancy_upsampling=fancy_upsampling)
+    return _map_threaded(fn, files, workers)

@@ -111,6 +111,14 @@ def _filter_adam7(
     return b"".join(parts)
 
 
+def _finish(out: bytearray, filtered: bytes, options: PngOptions) -> bytes:
+    """DEFLATE the filtered stream and close the file (IDAT + IEND)."""
+    compressed = _compress(filtered, options)
+    chunks.write_idat_chunks(out, compressed)
+    chunks.write_iend(out)
+    return bytes(out)
+
+
 def encode(data, options: PngOptions, *, filter_fn=None) -> bytes:
     """Encode one image (flat bytes or [H, W, C] uint8 array) to PNG bytes.
 
@@ -161,10 +169,7 @@ def encode(data, options: PngOptions, *, filter_fn=None) -> bytes:
                 payload16, w, h, w * bpp, bpp, options.filter_strategy,
                 verbose_filter_log=options.verbose_filter_log,
             )
-        compressed = _compress(filtered, options)
-        chunks.write_idat_chunks(out, compressed)
-        chunks.write_iend(out)
-        return bytes(out)
+        return _finish(out, filtered, options)
 
     pixels = _as_pixels(data, options, bpp)
 
@@ -233,10 +238,7 @@ def encode(data, options: PngOptions, *, filter_fn=None) -> bytes:
             options.filter_strategy,
             verbose_filter_log=options.verbose_filter_log,
         )
-        compressed = _compress(filtered, options)
-        chunks.write_idat_chunks(out, compressed)
-        chunks.write_iend(out)
-        return bytes(out)
+        return _finish(out, filtered, options)
 
     if red.bit_depth < 8:
         row_bytes = (w * red.bit_depth + 7) // 8
@@ -325,10 +327,7 @@ def encode_indexed(
             indexed.tobytes(), width, height, width, 1, strategy,
             verbose_filter_log=options.verbose_filter_log,
         )
-    compressed = _compress(filtered, options)
-    chunks.write_idat_chunks(out, compressed)
-    chunks.write_iend(out)
-    return bytes(out)
+    return _finish(out, filtered, options)
 
 
 def encode_batch(imgs: np.ndarray, options: PngOptions) -> List[bytes]:
