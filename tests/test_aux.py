@@ -221,3 +221,28 @@ class TestCompressService:
             # ...and the respawned pool serves new requests
             again = svc.submit_raw(_sleep_task, 0.01)
             assert again.result(timeout=90.0) == "slept"
+
+    def test_jpeg_and_resize_round_trip(self):
+        import io
+
+        from PIL import Image as PILImage
+
+        from pixo_tpu import ColorType, JpegOptions
+        from pixo_tpu.options import ResizeFilter, ResizeOptions
+        from pixo_tpu.parallel import CompressService
+
+        img = synth_gradient(32, 24, 3)
+        jopts = JpegOptions.fast(24, 32, 90)
+        ropts = ResizeOptions(src_width=24, src_height=32,
+                              dst_width=12, dst_height=16,
+                              color_type=ColorType.RGB,
+                              filter=ResizeFilter.BILINEAR)
+        with CompressService(workers=1, timeout_s=120) as svc:
+            jreq = svc.submit_jpeg(img, jopts)
+            rreq = svc.submit_resize(img, ropts)
+            jout = jreq.result()
+            rout = rreq.result()
+        pil = PILImage.open(io.BytesIO(jout))
+        assert pil.size == (24, 32)
+        rarr = np.asarray(rout)
+        assert rarr.shape == (16, 12, 3)
