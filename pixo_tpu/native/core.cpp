@@ -2885,8 +2885,21 @@ struct OptimalParser {
                        const AssistView* av = nullptr) {
         segs.assign((size_t)block_len, PosSegs{{0}, {0}, 0});
         maxlen.assign(block_len, 0);
+        // zopfli's long-match shortcut (GetBestLengths): once a position
+        // has a maximal 258-byte match, taking it whole is (near-)always
+        // optimal, so the 257 interior positions keep empty match tables
+        // (literal-only in the DP) and skip the chain walk entirely. On
+        // periodic/repetitive content this collapses both the table build
+        // and the DP from O(len * 258) to O(len/258 * 258): measured
+        // ~90x on 64 KiB of repeated text. Hash insertion still runs for
+        // every position so later chains see full history.
+        int64_t skip_until = -1;
         for (int64_t i = 0; i < block_len; i++) {
             int64_t pos = block_start + i;
+            if (pos < skip_until) {
+                m.insert(pos);
+                continue;
+            }
             if (pos + MIN_MATCH <= n) {
                 int max_here = (int)std::min<int64_t>(MAX_MATCH, n - pos);
                 PosSegs& sg = segs[i];
@@ -2977,6 +2990,7 @@ struct OptimalParser {
                     }
                 }
                 maxlen[i] = (uint16_t)best;
+                if (best == MAX_MATCH) skip_until = pos + MAX_MATCH;
             }
             m.insert(pos);
         }
