@@ -2990,7 +2990,35 @@ struct OptimalParser {
                     }
                 }
                 maxlen[i] = (uint16_t)best;
-                if (best == MAX_MATCH) skip_until = pos + MAX_MATCH;
+                if (best == MAX_MATCH) {
+                    // Prefill the skipped interiors with their one valid
+                    // edge: position pos+k provably matches at the same
+                    // distance for the remaining MAX_MATCH-k bytes (both
+                    // spans lie inside the anchor's verified 258-byte
+                    // window), so a DP path landing mid-region can jump
+                    // to the region end in one match instead of being
+                    // forced into literals (zopfli gives its skipped run
+                    // interiors the same kind of edge). The dist==0 lead
+                    // segment marks lengths 3..rem-1 as a gap so the DP
+                    // does O(1) work per interior position.
+                    skip_until = pos + MAX_MATCH;
+                    uint16_t d258 = sg.dist[sg.count - 1];
+                    for (int k = 1; k < MAX_MATCH && i + k < block_len; k++) {
+                        int rem = MAX_MATCH - k;
+                        if (rem < MIN_MATCH) break;
+                        PosSegs& in = segs[i + k];
+                        in.count = 0;
+                        if (rem - 1 >= MIN_MATCH) {
+                            in.hi[0] = (uint16_t)(rem - 1);
+                            in.dist[0] = 0;  // gap: no lengths 3..rem-1
+                            in.count = 1;
+                        }
+                        in.hi[in.count] = (uint16_t)rem;
+                        in.dist[in.count] = d258;
+                        in.count++;
+                        maxlen[i + k] = (uint16_t)rem;
+                    }
+                }
             }
             m.insert(pos);
         }
@@ -3053,6 +3081,10 @@ static void optimal_parse_block(
             for (int k = 0; k < sg.count && l <= ml; k++) {
                 uint16_t d = sg.dist[k];
                 int seg_end = std::min<int>(sg.hi[k], ml);
+                if (d == 0) {  // gap segment (long-match skip interior)
+                    l = seg_end + 1;
+                    continue;
+                }
                 int ds = dist_symbol(d);
                 float dc = c + cm.dist_cost[ds] + DIST_EXTRA[ds];
                 for (; l <= seg_end; l++) {

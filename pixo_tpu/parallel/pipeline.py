@@ -396,21 +396,25 @@ def encode_jpeg_stream(
 def decode_jpeg_batch(
     encoded: Sequence[bytes], host_workers: int = 8
 ) -> List["object"]:
-    """Threaded batched JPEG decode (entropy stage releases the GIL in C++)."""
-    from ..decode import decode_jpeg
+    """Threaded batched JPEG decode. Thin alias for
+    ``pixo_tpu.decode.decode_jpeg_batch`` (the canonical surface, which
+    also takes ``fancy_upsampling``); kept for the historical
+    ``host_workers`` keyword."""
+    from ..decode import decode_jpeg_batch as _impl
 
-    with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:
-        return list(ex.map(decode_jpeg, encoded))
+    return _impl(encoded, workers=host_workers)
 
 
 def decode_png_batch(
     encoded: Sequence[bytes], host_workers: int = 8
 ) -> List["object"]:
-    """Threaded batched PNG decode (inflate/unfilter release the GIL)."""
-    from ..decode import decode_png
+    """Threaded batched PNG decode. Thin alias for
+    ``pixo_tpu.decode.decode_png_batch`` (the canonical surface, which
+    also takes ``keep_bit_depth``); kept for the historical
+    ``host_workers`` keyword."""
+    from ..decode import decode_png_batch as _impl
 
-    with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:
-        return list(ex.map(decode_png, encoded))
+    return _impl(encoded, workers=host_workers)
 
 
 def _to_rgb(px: np.ndarray) -> np.ndarray:

@@ -30,7 +30,9 @@ from . import chunks, reduce
 
 
 def _validate(options: PngOptions, data_len: int) -> int:
-    """data_len is in BYTES; returns bytes per pixel at the option depth."""
+    """data_len counts samples at 8-bit (any input dtype is cast to u8,
+    the historical contract) and BYTES at 16-bit; returns bytes/pixel at
+    the option depth."""
     if not (1 <= options.compression_level <= 9):
         raise errors.InvalidCompressionLevel(options.compression_level)
     if options.bit_depth not in (8, 16):
@@ -127,7 +129,12 @@ def encode(data, options: PngOptions, *, filter_fn=None) -> bytes:
     tensor-parallel path (``parallel.encode_png_row_sharded``).
     """
     if isinstance(data, np.ndarray):
-        data_len = data.nbytes
+        # element count at 8-bit (any dtype is cast to u8, the historical
+        # behavior); byte count at 16-bit, where a 2-byte dtype counts 2
+        data_len = data.size * (
+            data.dtype.itemsize
+            if options.bit_depth == 16 and data.dtype.itemsize == 2 else 1
+        )
     else:
         data_len = len(data)
     bpp = _validate(options, data_len)
@@ -142,10 +149,19 @@ def encode(data, options: PngOptions, *, filter_fn=None) -> bytes:
             raise errors.CompressionError(
                 "quantization requires 8-bit input"
             )
-        if isinstance(data, np.ndarray) and data.dtype == np.uint16:
+        if isinstance(data, np.ndarray) and data.dtype.itemsize == 2:
+            if data.dtype.kind != "u":
+                raise errors.CompressionError(
+                    f"16-bit input must be uint16 or raw bytes, got {data.dtype}"
+                )
+            # byteorder-agnostic: astype('>u2') normalizes '<u2'/'=u2'/'>u2'
             payload16 = data.astype(">u2").tobytes()
         elif isinstance(data, np.ndarray):
-            payload16 = np.ascontiguousarray(data, np.uint8).tobytes()
+            if data.dtype != np.uint8:
+                raise errors.CompressionError(
+                    f"16-bit input must be uint16 or raw bytes, got {data.dtype}"
+                )
+            payload16 = np.ascontiguousarray(data).tobytes()
         else:
             payload16 = bytes(data)  # already big-endian sample bytes
         out = bytearray()
@@ -155,6 +171,10 @@ def encode(data, options: PngOptions, *, filter_fn=None) -> bytes:
             interlace=1 if options.interlace else 0,
         )
         if options.interlace:
+            if filter_fn is not None:
+                raise errors.CompressionError(
+                    "filter_fn override is incompatible with interlaced output"
+                )
             samples = np.frombuffer(payload16, np.uint8).reshape(h, w, bpp)
             filtered = _filter_adam7(
                 samples, w, h, 8, bpp, options.filter_strategy,
@@ -256,12 +276,9 @@ def encode(data, options: PngOptions, *, filter_fn=None) -> bytes:
             options.filter_strategy,
             verbose_filter_log=options.verbose_filter_log,
         )
-    compressed = _compress(filtered, options)
-    chunks.write_idat_chunks(out, compressed)
-    chunks.write_iend(out)
     # strip_metadata: our encoder writes no ancillary metadata chunks, so
     # stripping is a no-op here (recompression paths strip via decode.strip).
-    return bytes(out)
+    return _finish(out, filtered, options)
 
 
 def encode_indexed(
@@ -352,7 +369,9 @@ def encode_batch(imgs: np.ndarray, options: PngOptions) -> List[bytes]:
             from ..parallel import encode_png_batch_sharded
 
             return encode_png_batch_sharded(imgs, options)
-        except Exception:  # noqa: BLE001 - any mesh/backend init failure
+        except errors.PixoError:
+            raise  # validation/encode errors are real; don't re-encode
+        except Exception:  # noqa: BLE001 - mesh/backend init failure only
             pass
     if imgs.shape[0] > 1:
         import concurrent.futures
