@@ -95,3 +95,26 @@ class TestPng16Encode:
             png.encode(img[:, :2], PngOptions(width=4, height=4,
                                               color_type=ColorType.RGB,
                                               bit_depth=16))
+
+    def test_big_endian_and_rejected_dtypes(self):
+        rng = np.random.default_rng(6)
+        img = rng.integers(0, 65536, (6, 7, 3), dtype=np.uint16)
+        opts = PngOptions(width=7, height=6, color_type=ColorType.RGB,
+                          bit_depth=16)
+        # explicit big-endian arrays encode identically to native-order
+        assert png.encode(img.astype(">u2"), opts) == png.encode(img, opts)
+        # same-size non-uint dtypes are rejected loudly, not truncated
+        with pytest.raises(errors.CompressionError):
+            png.encode(img.astype(np.int16), opts)
+        with pytest.raises(errors.CompressionError):
+            png.encode(img.astype(np.float16), opts)
+
+    def test_float_input_still_accepted_at_8bit(self):
+        # historical contract: any dtype casts to u8 on the 8-bit path
+        rng = np.random.default_rng(7)
+        img8 = rng.integers(0, 256, (5, 5, 3))
+        a = png.encode(img8.astype(np.float64),
+                       PngOptions(width=5, height=5, color_type=ColorType.RGB))
+        b = png.encode(img8.astype(np.uint8),
+                       PngOptions(width=5, height=5, color_type=ColorType.RGB))
+        assert a == b
