@@ -289,31 +289,46 @@ def _split_entropy(scan_data: bytes) -> Tuple[List[bytes], int]:
     """Split entropy-coded bytes at RST markers; unstuff 0xFF00.
 
     Returns (segments, consumed_length_up_to_EOI_or_end).
+
+    Vectorized over 0xFF positions: the entropy stream contains ~1 0xFF
+    per 256 bytes, so the Python loop touches only marker/stuffing sites
+    and everything between them is a slice copy (the per-byte loop cost
+    6+ ms per 512x512 decode).
     """
-    segments: List[bytes] = []
-    cur = bytearray()
-    i = 0
+    arr = np.frombuffer(scan_data, np.uint8)
     n = len(scan_data)
-    while i < n:
-        b = scan_data[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
-            continue
-        if i + 1 >= n:
+    segments: List[bytes] = []
+    parts: List[bytes] = []
+    start = 0
+    consumed = n
+    for pos in np.nonzero(arr == 0xFF)[0]:
+        pos = int(pos)
+        if pos < start:
+            continue  # second byte of an already-consumed pair
+        if pos + 1 >= n:
+            parts.append(scan_data[start:pos])
+            consumed = pos
+            start = pos
             break
-        nxt = scan_data[i + 1]
+        nxt = arr[pos + 1]
         if nxt == 0x00:
-            cur.append(0xFF)
-            i += 2
+            parts.append(scan_data[start:pos + 1])  # keep the 0xFF
+            start = pos + 2
         elif 0xD0 <= nxt <= 0xD7:
-            segments.append(bytes(cur))
-            cur = bytearray()
-            i += 2
+            parts.append(scan_data[start:pos])
+            segments.append(b"".join(parts))
+            parts = []
+            start = pos + 2
         else:  # real marker (EOI or otherwise): end of scan
+            parts.append(scan_data[start:pos])
+            consumed = pos
+            start = pos
             break
-    segments.append(bytes(cur))
-    return segments, i
+    else:
+        parts.append(scan_data[start:n])
+        start = n
+    segments.append(b"".join(parts))
+    return segments, consumed if start != n else n
 
 
 def _decode_scan(
