@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json as jsonlib
+import os
 import sys
 import time
 from pathlib import Path
@@ -129,12 +130,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--json", action="store_true")
     p.add_argument("-n", "--dry-run", action="store_true")
+    p.add_argument("--device", choices=["cpu", "default"], default="cpu",
+                   help="compute backend: cpu (default; a one-shot CLI run "
+                        "should not pay the accelerator's compile/transfer "
+                        "latency) or default (the session's JAX platform, "
+                        "e.g. TPU - use for batch driving via the library)")
     p.add_argument("--version", action="version", version=f"pixo-tpu {__version__}")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.device == "cpu":
+        # single-image CLI latency profile (the reference CLI is a host
+        # tool): pin the CPU backend before any jax use so a one-shot run
+        # never pays the TPU first-compile or rides a wedged dev tunnel.
+        # The env override must be paired with the config update - this
+        # harness's TPU plugin injects itself over JAX_PLATFORMS alone.
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:  # noqa: BLE001 - jax absent/odd: encoders cope
+            pass
     t_start = time.perf_counter()
 
     try:
