@@ -2645,7 +2645,9 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
     if (zlib_wrap) {
         // CMF/FLG: 32K window, level hint; FCHECK so that (CMF<<8|FLG) % 31 == 0
         uint8_t cmf = 0x78;
-        int level_hint = (level <= 2) ? 0 : (level <= 5) ? 1 : (level == 6) ? 2 : 3;
+        // FLEVEL per the reference's zlib_header (deflate.rs:1642-1658):
+        // 0-2 -> 1 (fast), 3-6 -> 2 (default), 7-9 -> 3 (maximum)
+        int level_hint = (level <= 2) ? 1 : (level <= 6) ? 2 : 3;
         uint8_t flg = (uint8_t)(level_hint << 6);
         flg |= 31 - ((cmf << 8) | flg) % 31;
         uint8_t hdr[2] = {cmf, flg};
@@ -3754,7 +3756,8 @@ EXPORT int64_t deflate_compress_parity(const uint8_t* data, int64_t len,
     LsbWriter w(out, out_cap);
     if (zlib_wrap) {
         uint8_t cmf = 0x78;
-        int hint = (level <= 2) ? 0 : (level <= 5) ? 1 : (level == 6) ? 2 : 3;
+        // reference zlib_header mapping (deflate.rs:1646-1651)
+        int hint = (level <= 2) ? 1 : (level <= 6) ? 2 : 3;
         uint8_t flg = (uint8_t)(hint << 6);
         flg |= 31 - ((cmf << 8) | flg) % 31;
         uint8_t hdr[2] = {cmf, flg};

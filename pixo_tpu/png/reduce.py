@@ -166,7 +166,12 @@ def apply_most_popular_first(indexed: np.ndarray, remapping: List[int]) -> List[
     if not remapping or indexed.size == 0:
         return remapping
     counts = np.bincount(indexed, minlength=256)
-    pop_idx = max(remapping, key=lambda i: counts[i])
+    # Rust max_by_key keeps the LAST maximal element on ties (our Python
+    # max() would keep the first) — reproduce for byte parity.
+    pop_idx = remapping[0]
+    for i in remapping:
+        if counts[i] >= counts[pop_idx]:
+            pop_idx = i
     if counts[pop_idx] < indexed.size * 3 // 20:
         return remapping
     pos = remapping.index(pop_idx)

@@ -38,7 +38,10 @@ GOLDEN = {
     # sparse dist-1 hash inserts. Dense-residual DEFLATE got 2.8x faster;
     # 512x512 sizes stayed below the reference presets (gradient balanced
     # 4.4 KB vs the reference's 10.1 KB).
-    "png_fast": "754383923fe7a7b304fe2d6d2aed0ef1da8a44bbf6c80a4e16b2677c70ade80b",
+    # png_fast updated 2026-08 (round 3): zlib FLEVEL hint now follows the
+    # reference's mapping (0-2 -> fast) — one header byte, verified
+    # byte-identical to the pixo WASM oracle (test_oracle_parity.py).
+    "png_fast": "43bd52511951a853cef1532545e58c6cd4ee2de5f0074ee92273f5b6055a7ffe",
     "png_balanced": "ac7fe67069cb3aaf10890d94bfdba0ee53fa1cec7e84c9657196401ddff17049",
     "png_adaptive_l9": "0c09fa7fa9d4a3dd62d1b318c92356344e5620e09b68689719841e6cfe4ce26d",
     "deflate_l6": "6fcb33821e5a9bbf64f10e8baea16e98c35323c07c348b043dd84146981ab1f1",

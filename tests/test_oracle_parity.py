@@ -1,0 +1,248 @@
+"""Byte-identity tests against the REAL pixo encoder (WASM oracle).
+
+The oracle is the reference's prebuilt scalar wasm module
+(``web/src/lib/pixo-wasm/pixo_bg.wasm``, built from ``src/wasm.rs``)
+executed by the pure-Python interpreter in ``tests/support/wasmvm.py``.
+Oracle outputs are cached as committed golden files under
+``tests/golden/oracle/`` so CI never runs the interpreter; delete a
+golden file to force regeneration (the reference checkout must then be
+present at /root/reference).
+
+These tests turn the BASELINE "output bytes identical to pixo"
+acceptance bar into an executable fact:
+
+  * JPEG presets 0 (fast) and 1 (balanced = optimize_huffman) are
+    byte-identical across 444/420, gray/RGB, odd sizes, noise.
+  * PNG parity mode (PIXO_TPU_DEFLATE_PARITY=1) is byte-identical on
+    the greedy-ladder presets (0/1) across color types, palette images
+    (mZeng order), flat and noise content.
+  * resize nearest/bilinear are byte-identical; Lanczos3 is within +-1
+    (open divergence, tracked in NOTES.md).
+  * JPEG preset 2 and PNG preset 2 divergences are DOCUMENTED choices
+    (progressive EOBn bug-fix; optimal-DEFLATE beats zopfli) — the
+    structural invariants (equal filtered stream / decodable stream)
+    are asserted instead.
+"""
+
+import sys
+import zlib
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent / "support"))
+
+from pixo_oracle import CACHE_DIR, cached_call  # noqa: E402
+
+from pixo_tpu import jpeg, png  # noqa: E402
+from pixo_tpu.color import ColorType  # noqa: E402
+from pixo_tpu.options import (  # noqa: E402
+    JpegOptions,
+    PngOptions,
+    ResizeFilter,
+    ResizeOptions,
+    Subsampling,
+)
+from pixo_tpu.resize import resize  # noqa: E402
+
+
+def _grad(h, w, c=3):
+    img = np.zeros((h, w, c), np.uint8)
+    img[..., 0] = (np.arange(w)[None, :] * 255 // max(w - 1, 1)).astype(np.uint8)
+    if c > 1:
+        img[..., 1] = (np.arange(h)[:, None] * 255 // max(h - 1, 1)).astype(
+            np.uint8
+        )
+    if c > 2:
+        img[..., 2] = 30
+    if c > 3:
+        img[..., 3] = 200
+    return img
+
+
+def _noise(h, w, c=3, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, c), dtype=np.uint8)
+
+
+def _pal4(h, w, seed=7):
+    rng = np.random.default_rng(seed)
+    return (
+        rng.integers(0, 4, (h, w, 1)) * np.array([[[60, 10, 200]]])
+    ).astype(np.uint8)
+
+
+_PNG_CT = {0: ColorType.GRAY, 1: ColorType.GRAY_ALPHA, 2: ColorType.RGB,
+           3: ColorType.RGBA}
+
+
+# ---------------------------------------------------------------------------
+# JPEG byte identity (presets 0/1)
+# ---------------------------------------------------------------------------
+
+JPEG_CASES = [
+    # (name, image, wasm color code, quality, preset, subsampling_420)
+    ("grad16-444-q85-p1", _grad(16, 16), 2, 85, 1, False),
+    ("grad16-420-q85-p1", _grad(16, 16), 2, 85, 1, True),
+    ("grad16-444-q85-p0", _grad(16, 16), 2, 85, 0, False),
+    ("noise17x13-420-q75-p1", _noise(13, 17, seed=42), 2, 75, 1, True),
+    ("gray16-q85-p1", _grad(16, 16, 1), 0, 85, 1, False),
+    ("noise16-444-q95-p1", _noise(16, 16, seed=3), 2, 95, 1, False),
+    ("noise24x8-420-q85-p0", _noise(8, 24, seed=9), 2, 85, 0, True),
+]
+
+
+@pytest.mark.parametrize(
+    "name,img,ct,q,preset,sub420", JPEG_CASES, ids=[c[0] for c in JPEG_CASES]
+)
+def test_jpeg_bytes_identical_to_pixo(name, img, ct, q, preset, sub420):
+    h, w = img.shape[:2]
+    ref = cached_call("jpeg", img.tobytes(), w, h, ct, q, preset, sub420)
+    opts = JpegOptions.from_preset(w, h, q, preset)
+    if ct == 0:
+        opts.color_type = ColorType.GRAY
+    opts.subsampling = Subsampling.S420 if sub420 else Subsampling.S444
+    ours = jpeg.encode(img, opts)
+    assert bytes(ours) == bytes(ref)
+
+
+def test_jpeg_preset2_divergence_is_the_reference_eobn_bug():
+    """Preset 2 (progressive) bytes differ by design — and this test
+    PROVES the reference bug our encoder fixes (progressive.py:11-21):
+    the oracle's own preset-2 output emits EOBn codes missing from its
+    tables, so (a) a spec-strict decoder rejects it, and (b) lenient
+    libjpeg/Pillow reconstructs it with visibly higher error than ours
+    on the same source image.  Our stream decodes cleanly everywhere."""
+    import io
+
+    from PIL import Image
+
+    from pixo_tpu.decode import decode_jpeg
+    from pixo_tpu.errors import PixoError
+
+    img = _grad(16, 16)
+    ref = bytes(cached_call("jpeg", img.tobytes(), 16, 16, 2, 85, 2, False))
+    opts = JpegOptions.from_preset(16, 16, 85, 2)
+    opts.subsampling = Subsampling.S444
+    ours = bytes(jpeg.encode(img, opts))
+
+    # our stream: decodable by us and by Pillow, with quantization-level err
+    # (+-1 between the two decoders' IDCT implementations is expected)
+    our_px = np.asarray(decode_jpeg(ours).pixels).reshape(16, 16, 3)
+    pil_ours = np.asarray(Image.open(io.BytesIO(ours)).convert("RGB"))
+    assert int(np.abs(our_px.astype(int) - pil_ours.astype(int)).max()) <= 1
+    our_err = np.abs(pil_ours.astype(int) - img.astype(int)).mean()
+
+    # reference stream: strict decode rejects; Pillow's lenient decode is
+    # measurably worse than ours on the same image
+    with pytest.raises(PixoError):
+        decode_jpeg(ref)
+    pil_ref = np.asarray(Image.open(io.BytesIO(ref)).convert("RGB"))
+    ref_err = np.abs(pil_ref.astype(int) - img.astype(int)).mean()
+    assert ref_err > our_err
+
+
+# ---------------------------------------------------------------------------
+# PNG byte identity (parity mode, presets 0/1)
+# ---------------------------------------------------------------------------
+
+PNG_CASES = [
+    ("grad16-rgb-p0", _grad(16, 16), 2, 0),
+    ("grad16-rgb-p1", _grad(16, 16), 2, 1),
+    ("grad16-rgba-p1", _grad(16, 16, 4), 3, 1),
+    ("gray16-p1", _grad(16, 16, 1), 0, 1),
+    ("ga16-p1", _grad(16, 16, 2), 1, 1),
+    ("noise12x9-p0", _noise(9, 12, seed=11), 2, 0),
+    ("flat8-p0", np.full((8, 8, 3), 77, np.uint8), 2, 0),
+    ("pal16-p1", _pal4(16, 16), 2, 1),
+    ("noise20x5-p1", _noise(5, 20, seed=8), 2, 1),
+]
+
+
+@pytest.mark.parametrize(
+    "name,img,ct,preset", PNG_CASES, ids=[c[0] for c in PNG_CASES]
+)
+def test_png_bytes_identical_to_pixo(name, img, ct, preset, monkeypatch):
+    monkeypatch.setenv("PIXO_TPU_DEFLATE_PARITY", "1")
+    h, w = img.shape[:2]
+    ref = cached_call("png", img.tobytes(), w, h, ct, preset, False)
+    opts = PngOptions.from_preset(w, h, preset)
+    opts.color_type = _PNG_CT[ct]
+    ours = png.encode(img, opts)
+    assert bytes(ours) == bytes(ref)
+
+
+def _idat(b):
+    out, k = b"", 8
+    while k < len(b):
+        ln = int.from_bytes(b[k : k + 4], "big")
+        if b[k + 4 : k + 8] == b"IDAT":
+            out += b[k + 8 : k + 8 + ln]
+        k += 12 + ln
+    return out
+
+
+def test_png_max_preset_filtered_stream_matches(monkeypatch):
+    """Preset 2 routes through optimal DEFLATE, which out-compresses the
+    reference's zopfli (open divergence, NOTES.md); everything upstream
+    of DEFLATE — reductions, palette order, filters — must match, which
+    we assert via the inflated filtered stream."""
+    monkeypatch.setenv("PIXO_TPU_DEFLATE_PARITY", "1")
+    img = _grad(12, 12)
+    ref = bytes(cached_call("png", img.tobytes(), 12, 12, 2, 2, False))
+    opts = PngOptions.from_preset(12, 12, 2)
+    opts.color_type = ColorType.RGB
+    ours = bytes(png.encode(img, opts))
+    assert zlib.decompress(_idat(ref)) == zlib.decompress(_idat(ours))
+    # ours must never be larger than the reference's optimal output
+    assert len(ours) <= len(ref)
+
+
+# ---------------------------------------------------------------------------
+# Resize
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "alg,filt",
+    [(0, ResizeFilter.NEAREST), (1, ResizeFilter.BILINEAR)],
+    ids=["nearest", "bilinear"],
+)
+def test_resize_bytes_identical_to_pixo(alg, filt):
+    img = _grad(16, 16)
+    ref = cached_call("resize", img.tobytes(), 16, 16, 7, 5, 2, alg)
+    ours = resize(
+        img,
+        ResizeOptions(
+            src_width=16, src_height=16, dst_width=7, dst_height=5,
+            color_type=ColorType.RGB, filter=filt,
+        ),
+    )
+    assert np.asarray(ours).tobytes() == bytes(ref)
+
+
+@pytest.mark.parametrize("dst", [(7, 5), (23, 9)], ids=["down", "up"])
+def test_resize_lanczos_within_1(dst):
+    """Lanczos3 currently diverges by at most +-1 on a few pixels
+    (rounding-order detail; open divergence tracked in NOTES.md)."""
+    dw, dh = dst
+    img = _grad(16, 16)
+    ref = np.frombuffer(
+        bytes(cached_call("resize", img.tobytes(), 16, 16, dw, dh, 2, 2)),
+        np.uint8,
+    ).reshape(dh, dw, 3)
+    ours = np.asarray(
+        resize(
+            img,
+            ResizeOptions(
+                src_width=16, src_height=16, dst_width=dw, dst_height=dh,
+                color_type=ColorType.RGB, filter=ResizeFilter.LANCZOS3,
+            ),
+        )
+    )
+    assert int(np.abs(ref.astype(int) - ours.astype(int)).max()) <= 1
+
+
+def test_goldens_committed():
+    """Every oracle golden referenced above must exist on disk so CI
+    never needs the interpreter."""
+    assert CACHE_DIR.is_dir() and any(CACHE_DIR.iterdir())
