@@ -18,35 +18,47 @@ def _parity_default() -> bool:
     return os.environ.get("PIXO_TPU_DEFLATE_PARITY") == "1"
 
 
-def deflate_zlib(data: bytes, level: int = 6, parity: bool = None) -> bytes:
+def deflate_zlib(
+    data: bytes, level: int = 6, parity: bool = None, packed: bool = False
+) -> bytes:
     """zlib-wrapped DEFLATE stream at the given level (1-9).
 
     ``parity=True`` (or ``PIXO_TPU_DEFLATE_PARITY=1``) selects the
     reference-parity decision layer: the reference's exact matcher
-    traversal, level ladder, lazy/incompressible state machines,
-    whole-stream block segmentation with the <=128-token fixed/dynamic
-    rule, entropy gate, and stream-level stored comparison (see NOTES.md
-    "DEFLATE divergence table" for the one remaining divergent layer).
-    Default (False) is the performance path: never-worse exact-cost
-    decisions and the deeper level-2/6 search.
+    traversal, level ladder, lazy/incompressible state machines, block
+    policy, entropy gate, stream-level stored comparison, and (round 3)
+    its exact BinaryHeap+Kraft Huffman table build — byte-verified
+    against the pixo WASM oracle (tests/test_oracle_parity.py).
+
+    ``packed=True`` selects the reference's deflate_zlib_packed policy
+    (compress_packed_zlib, deflate.rs:972-1062) — the path every
+    reference PNG encode takes: never block-splits, literal-only
+    streams >= 8 KiB go stored.  ``packed=False`` mirrors the general
+    deflate_zlib: level>=5 inputs in (1 KiB, 512 KiB] use the
+    coarse-to-fine block split search.  Ignored outside parity mode.
+
+    Default (parity off) is the performance path: never-worse
+    exact-cost decisions and the deeper level-2/6 search.
     """
     from ..native import native_deflate
 
     if parity is None:
         parity = _parity_default()
-    out = native_deflate(data, level, True, parity=parity)
+    out = native_deflate(data, level, True, parity=parity, packed=packed)
     if out is not None:
         return out
     return _zlib.compress(data, level)
 
 
-def deflate_raw(data: bytes, level: int = 6, parity: bool = None) -> bytes:
+def deflate_raw(
+    data: bytes, level: int = 6, parity: bool = None, packed: bool = False
+) -> bytes:
     """Raw DEFLATE stream (no zlib wrapper)."""
     from ..native import native_deflate
 
     if parity is None:
         parity = _parity_default()
-    out = native_deflate(data, level, False, parity=parity)
+    out = native_deflate(data, level, False, parity=parity, packed=packed)
     if out is not None:
         return out
     c = _zlib.compressobj(level, _zlib.DEFLATED, -15)

@@ -217,6 +217,7 @@ def _configure(lib) -> None:
         u8p, ctypes.c_int64,
         ctypes.c_int32,                  # level 1-9
         ctypes.c_int32,                  # zlib wrap (0/1)
+        ctypes.c_int32,                  # packed semantics (0/1)
         u8p, ctypes.c_int64,
     ]
 
@@ -428,8 +429,12 @@ def native_count_symbols(
 
 
 def native_deflate(
-    data: bytes, level: int, zlib_wrap: bool, parity: bool = False
+    data: bytes, level: int, zlib_wrap: bool, parity: bool = False,
+    packed: bool = False,
 ) -> Optional[bytes]:
+    """``packed=True`` (parity mode only) mirrors the reference's
+    deflate_zlib_packed/compress_packed_zlib path — the one every PNG
+    encode takes: no block splitting, literal-only >= 8 KiB stored."""
     lib = _load()
     if lib is None:
         return None
@@ -438,11 +443,17 @@ def native_deflate(
     src = np.frombuffer(data, dtype=np.uint8)
     cap = len(data) + (len(data) >> 3) + 4096
     out = np.empty(cap, dtype=np.uint8)
-    entry = lib.deflate_compress_parity if parity else lib.deflate_compress
-    n = entry(
-        _u8(src) if len(src) else _u8(np.zeros(1, dtype=np.uint8)),
-        len(src), level, 1 if zlib_wrap else 0, _u8(out), cap,
-    )
+    if parity:
+        n = lib.deflate_compress_parity(
+            _u8(src) if len(src) else _u8(np.zeros(1, dtype=np.uint8)),
+            len(src), level, 1 if zlib_wrap else 0, 1 if packed else 0,
+            _u8(out), cap,
+        )
+    else:
+        n = lib.deflate_compress(
+            _u8(src) if len(src) else _u8(np.zeros(1, dtype=np.uint8)),
+            len(src), level, 1 if zlib_wrap else 0, _u8(out), cap,
+        )
     if n < 0:
         return None
     return out[:n].tobytes()

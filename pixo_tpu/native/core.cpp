@@ -1984,6 +1984,202 @@ static void build_lengths(const uint64_t* freq, int n, int max_len, uint8_t* len
     }
 }
 
+// ---- reference-parity Huffman build (heap + Kraft repair) ----
+// Exact mirror of the reference's build_codes length derivation
+// (/root/reference/src/compress/huffman.rs:48-205): a
+// BinaryHeap<Reverse<Node>> ordered by (frequency, symbol) where internal
+// nodes (symbol=None) order before any leaf of equal frequency, including
+// Rust std's heap mechanics — FromIterator heapify (sift_down per parent,
+// right child preferred on ties), push via sift_up (strict-greater climbs),
+// pop via sift_down_to_bottom (hole runs to a leaf, then sifts up) — so
+// nodes that compare Equal (two internal nodes of the same frequency)
+// merge in the reference's exact order.  Then the reference's
+// limit_code_lengths: truncate to max_len, repair the Kraft sum by
+// lengthening the first-shortest / shortening the first-longest code.
+// Unlike package-merge this is NOT optimal under the limit — that is the
+// point: bit-identical dynamic tables in parity mode.  Singletons get a
+// single 1-bit code (no dummy), also per the reference.
+static thread_local bool g_ref_huffman = false;
+
+namespace refhuff {
+
+struct HNode {
+    uint64_t freq;
+    int32_t sym;  // -1 = internal (None), orders before all leaves
+    int32_t l, r;
+};
+
+struct RustHeap {
+    std::vector<int32_t> data;
+    const std::vector<HNode>* arena;
+
+    // heap-order "a strictly greater than b" for Reverse(Node):
+    // true iff node(a) < node(b) under (freq, sym) lexicographic order.
+    inline bool gt(int32_t a, int32_t b) const {
+        const HNode& x = (*arena)[a];
+        const HNode& y = (*arena)[b];
+        if (x.freq != y.freq) return x.freq < y.freq;
+        return x.sym < y.sym;
+    }
+
+    void sift_up(size_t start, size_t pos) {
+        int32_t elem = data[pos];
+        while (pos > start) {
+            size_t parent = (pos - 1) / 2;
+            if (!gt(elem, data[parent])) break;
+            data[pos] = data[parent];
+            pos = parent;
+        }
+        data[pos] = elem;
+    }
+
+    void sift_down_range(size_t pos, size_t end) {
+        int32_t elem = data[pos];
+        size_t child = 2 * pos + 1;
+        while (end >= 2 && child <= end - 2) {
+            // pick the heap-greater child; the RIGHT one wins ties
+            if (!gt(data[child], data[child + 1])) child += 1;
+            if (!gt(data[child], elem)) { data[pos] = elem; return; }
+            data[pos] = data[child];
+            pos = child;
+            child = 2 * pos + 1;
+        }
+        if (end >= 1 && child == end - 1 && gt(data[child], elem)) {
+            data[pos] = data[child];
+            pos = child;
+        }
+        data[pos] = elem;
+    }
+
+    void sift_down_to_bottom(size_t pos) {
+        size_t end = data.size();
+        size_t start = pos;
+        int32_t elem = data[pos];
+        size_t child = 2 * pos + 1;
+        while (end >= 2 && child <= end - 2) {
+            if (!gt(data[child], data[child + 1])) child += 1;
+            data[pos] = data[child];
+            pos = child;
+            child = 2 * pos + 1;
+        }
+        if (end >= 1 && child == end - 1) {
+            data[pos] = data[child];
+            pos = child;
+        }
+        data[pos] = elem;
+        sift_up(start, pos);
+    }
+
+    void heapify() {
+        for (size_t n = data.size() / 2; n-- > 0;)
+            sift_down_range(n, data.size());
+    }
+
+    void push(int32_t v) {
+        data.push_back(v);
+        sift_up(0, data.size() - 1);
+    }
+
+    int32_t pop() {  // caller guarantees non-empty
+        int32_t last = data.back();
+        data.pop_back();
+        if (data.empty()) return last;
+        int32_t top = data[0];
+        data[0] = last;
+        sift_down_to_bottom(0);
+        return top;
+    }
+};
+
+static void extract_depths(const std::vector<HNode>& arena, int32_t idx,
+                           uint8_t depth, uint8_t* lengths) {
+    const HNode& nd = arena[idx];
+    if (nd.sym >= 0) {
+        lengths[nd.sym] = depth > 1 ? depth : 1;
+        return;
+    }
+    if (nd.l >= 0) extract_depths(arena, nd.l, depth + 1, lengths);
+    if (nd.r >= 0) extract_depths(arena, nd.r, depth + 1, lengths);
+}
+
+// huffman.rs:127-205 verbatim
+static void limit_lengths(uint8_t* lengths, int n, int max_len) {
+    bool overflow = false;
+    for (int i = 0; i < n; i++) overflow |= lengths[i] > max_len;
+    if (!overflow) return;
+    for (int i = 0; i < n; i++)
+        if (lengths[i] > max_len) lengths[i] = (uint8_t)max_len;
+    uint32_t kraft_limit = 1u << max_len;
+    uint32_t kraft = 0;
+    for (int i = 0; i < n; i++)
+        if (lengths[i] > 0) kraft += 1u << (max_len - lengths[i]);
+    while (kraft > kraft_limit) {
+        int best_idx = -1;
+        int best_len = max_len;
+        for (int i = 0; i < n; i++) {
+            if (lengths[i] > 0 && lengths[i] < max_len && lengths[i] < best_len) {
+                best_len = lengths[i];
+                best_idx = i;
+            }
+        }
+        if (best_idx < 0) break;
+        kraft -= 1u << (max_len - lengths[best_idx]);
+        lengths[best_idx]++;
+        kraft += 1u << (max_len - lengths[best_idx]);
+    }
+    while (kraft < kraft_limit) {
+        int best_idx = -1;
+        int best_len = 0;
+        for (int i = 0; i < n; i++) {
+            if (lengths[i] > 1 && lengths[i] > best_len) {
+                best_len = lengths[i];
+                best_idx = i;
+            }
+        }
+        if (best_idx < 0) break;
+        uint32_t oldc = 1u << (max_len - lengths[best_idx]);
+        uint32_t newc = 1u << (max_len - (lengths[best_idx] - 1));
+        if (kraft - oldc + newc <= kraft_limit) {
+            kraft -= oldc;
+            lengths[best_idx]--;
+            kraft += newc;
+        } else {
+            break;
+        }
+    }
+}
+
+}  // namespace refhuff
+
+static void ref_build_lengths(const uint64_t* freq, int n, int max_len,
+                              uint8_t* lengths) {
+    using namespace refhuff;
+    memset(lengths, 0, n);
+    std::vector<HNode> arena;
+    RustHeap heap;
+    heap.arena = &arena;
+    for (int i = 0; i < n; i++)
+        if (freq[i]) {
+            heap.data.push_back((int32_t)arena.size());
+            arena.push_back({freq[i], i, -1, -1});
+        }
+    if (arena.empty()) return;
+    if (arena.size() == 1) {
+        lengths[arena[0].sym] = 1;  // single symbol: no dummy (huffman.rs:66-71)
+        return;
+    }
+    heap.heapify();
+    while (heap.data.size() > 1) {
+        int32_t left = heap.pop();
+        int32_t right = heap.pop();
+        int32_t parent = (int32_t)arena.size();
+        arena.push_back({arena[left].freq + arena[right].freq, -1, left, right});
+        heap.push(parent);
+    }
+    extract_depths(arena, heap.pop(), 0, lengths);
+    limit_lengths(lengths, n, max_len);
+}
+
 static void lengths_to_codes(const uint8_t* lengths, int n, uint16_t* codes) {
     int bl_count[16] = {0};
     for (int i = 0; i < n; i++) bl_count[lengths[i]]++;
@@ -2299,8 +2495,18 @@ static void emit_block(LsbWriter& w, const std::vector<Token>& tokens,
     lit_freq[256]++;  // EOB
 
     uint8_t lit_len[286], dist_len[30];
-    build_lengths(lit_freq, 286, 15, lit_len);
-    build_lengths(dist_freq, 30, 15, dist_len);
+    if (g_ref_huffman) {
+        // reference order: seed dist_freqs[0]=1 when no matches exist
+        // BEFORE building (deflate.rs:674-676), then heap-build
+        bool any_df = false;
+        for (int i = 0; i < 30; i++) any_df |= dist_freq[i] != 0;
+        if (!any_df) dist_freq[0] = 1;
+        ref_build_lengths(lit_freq, 286, 15, lit_len);
+        ref_build_lengths(dist_freq, 30, 15, dist_len);
+    } else {
+        build_lengths(lit_freq, 286, 15, lit_len);
+        build_lengths(dist_freq, 30, 15, dist_len);
+    }
     // DEFLATE requires at least one distance code slot if HDIST>=1; ensure
     // at least one non-zero to keep decoders happy when no matches exist.
     bool any_dist = false;
@@ -2353,12 +2559,25 @@ static void emit_block(LsbWriter& w, const std::vector<Token>& tokens,
         }
     }
     uint8_t cl_len[19];
-    build_lengths(cl_freq, 19, 7, cl_len);
+    if (g_ref_huffman) ref_build_lengths(cl_freq, 19, 7, cl_len);
+    else build_lengths(cl_freq, 19, 7, cl_len);
     uint16_t cl_code[19];
     lengths_to_codes(cl_len, 19, cl_code);
     static const int CL_ORDER[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1,15};
     int hclen = 19;
     while (hclen > 4 && cl_len[CL_ORDER[hclen - 1]] == 0) hclen--;
+    if (g_ref_huffman) {
+        // reference HCLEN quirk (deflate.rs:698-708): the field is the
+        // POSITION of the last nonzero CL code capped at 15 — not the
+        // count minus 4 — so it always frames 3 extra trailing entries
+        // (up to the 19 cap).  Both encodings are valid DEFLATE; mirror
+        // the reference's bits.
+        int lastpos = -1;
+        for (int i = 18; i >= 0; i--)
+            if (cl_len[CL_ORDER[i]]) { lastpos = i; break; }
+        int hfield = lastpos < 0 ? 0 : std::min(lastpos, 15);
+        hclen = hfield + 4;
+    }
 
     uint64_t dyn_header_bits = 14 + hclen * 3;
     for (const ClTok& t : cl_toks) {
@@ -3748,11 +3967,16 @@ static bool should_use_stored(int64_t data_len, int64_t deflated_len) {
 // :1066-1097 (entropy gate + stream-level stored comparison, zlib only).
 EXPORT int64_t deflate_compress_parity(const uint8_t* data, int64_t len,
                                        int32_t level, int32_t zlib_wrap,
-                                       uint8_t* out, int64_t out_cap) {
+                                       int32_t packed, uint8_t* out,
+                                       int64_t out_cap) {
     using namespace deflate;
     using namespace refparity;
     if (level < 1) level = 1;
     if (level > 9) level = 9;
+    struct HuffGuard {  // heap-based table build for the whole call
+        HuffGuard() { deflate::g_ref_huffman = true; }
+        ~HuffGuard() { deflate::g_ref_huffman = false; }
+    } huff_guard;
     LsbWriter w(out, out_cap);
     if (zlib_wrap) {
         uint8_t cmf = 0x78;
@@ -3777,7 +4001,23 @@ EXPORT int64_t deflate_compress_parity(const uint8_t* data, int64_t len,
         std::vector<Token> tokens;
         compress_tokens(data, len, level, tokens);
 
-        if (!zlib_wrap && len <= 1024) {
+        if (packed) {
+            // compress_packed_zlib / deflate_packed (deflate.rs:258-270,
+            // 972-1062) — the path every reference PNG encode takes: NO
+            // block splitting ever; literal-only streams >= 8 KiB go
+            // stored; <= 128 tokens fixed, else one dynamic block.
+            int64_t match_count = 0;
+            for (const Token& t : tokens) match_count += (t.v >> 31) & 1;
+            if (!zlib_wrap && len <= 1024) {
+                emit_block(w, tokens, data, 0, len, true, /*force=*/0);
+            } else if (zlib_wrap && match_count == 0 && len >= 8192) {
+                emit_stored_all(w, data, len);
+            } else if (tokens.size() <= 128) {
+                emit_block(w, tokens, data, 0, len, true, /*force=*/0);
+            } else {
+                emit_block(w, tokens, data, 0, len, true, /*force=*/1);
+            }
+        } else if (!zlib_wrap && len <= 1024) {
             // deflate() small-input path: fixed-only
             emit_block(w, tokens, data, 0, len, true, /*force=*/0);
         } else if (level >= 5 && len > 1024 && len <= 512 * 1024) {

@@ -63,7 +63,9 @@ def _as_pixels(data, options: PngOptions, bpp: int) -> np.ndarray:
 def _compress(filtered: bytes, options: PngOptions) -> bytes:
     if options.optimal_compression:
         return deflate_optimal_zlib(filtered, 5)
-    return deflate_zlib(filtered, options.compression_level)
+    # packed=True: the reference PNG path is deflate_zlib_packed (no
+    # block splitting) — matters only in parity mode
+    return deflate_zlib(filtered, options.compression_level, packed=True)
 
 
 # Adam7 pass grid (x_start, y_start, x_step, y_step): the decoder owns
@@ -347,6 +349,9 @@ def encode_indexed(
     return _finish(out, filtered, options)
 
 
+_BATCH_FALLBACK_WARNED = False
+
+
 def encode_batch(imgs: np.ndarray, options: PngOptions) -> List[bytes]:
     """Encode a batch [B, H, W, C] of same-shape images.
 
@@ -371,8 +376,24 @@ def encode_batch(imgs: np.ndarray, options: PngOptions) -> List[bytes]:
             return encode_png_batch_sharded(imgs, options)
         except errors.PixoError:
             raise  # validation/encode errors are real; don't re-encode
-        except Exception:  # noqa: BLE001 - mesh/backend init failure only
-            pass
+        except (RuntimeError, OSError) as e:
+            # Backend/mesh init failures only (jax runtime errors derive
+            # from RuntimeError): degrade to the host path, but say so —
+            # a silent fallback would hide sharding regressions as a perf
+            # cliff.  Anything else (TypeError, ValueError, ...) is a
+            # bug in the batch path and must surface.
+            global _BATCH_FALLBACK_WARNED
+            if not _BATCH_FALLBACK_WARNED:
+                _BATCH_FALLBACK_WARNED = True
+                import warnings
+
+                warnings.warn(
+                    "encode_batch: sharded device path failed "
+                    f"({type(e).__name__}: {e}); falling back to per-image "
+                    "host encode",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     if imgs.shape[0] > 1:
         import concurrent.futures
 

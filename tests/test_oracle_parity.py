@@ -146,6 +146,41 @@ def test_jpeg_preset2_divergence_is_the_reference_eobn_bug():
 # PNG byte identity (parity mode, presets 0/1)
 # ---------------------------------------------------------------------------
 
+def _mix48():
+    rng = np.random.default_rng(123)
+    return (
+        np.clip(np.arange(48)[None, :, None] * 2 + rng.normal(0, 30, (48, 48, 3)),
+                0, 255)
+    ).astype(np.uint8)
+
+
+def _stripes48():
+    return np.tile(
+        np.random.default_rng(2).integers(0, 256, (1, 48, 3), dtype=np.uint8),
+        (48, 1, 1),
+    )
+
+
+def _text48():
+    raw = (b"the quick brown fox jumps over the lazy dog. " * 160)[: 48 * 48 * 3]
+    return np.frombuffer(raw, np.uint8).reshape(48, 48, 3).copy()
+
+
+def _geo40():
+    rng = np.random.default_rng(5)
+    return np.minimum(rng.geometric(0.22, (40, 40, 3)) - 1, 255).astype(np.uint8)
+
+
+def _tex40():
+    rng = np.random.default_rng(5)
+    _ = rng.geometric(0.22, (40, 40, 3))  # keep stream position of _geo40 era
+    _ = rng.pareto(0.4, (40, 40, 3))
+    return (
+        np.tile(rng.integers(0, 256, (8, 8, 3)), (5, 5, 1))
+        + rng.integers(0, 3, (40, 40, 3))
+    ).astype(np.uint8)
+
+
 PNG_CASES = [
     ("grad16-rgb-p0", _grad(16, 16), 2, 0),
     ("grad16-rgb-p1", _grad(16, 16), 2, 1),
@@ -156,6 +191,16 @@ PNG_CASES = [
     ("flat8-p0", np.full((8, 8, 3), 77, np.uint8), 2, 0),
     ("pal16-p1", _pal4(16, 16), 2, 1),
     ("noise20x5-p1", _noise(5, 20, seed=8), 2, 1),
+    # stress: dense/skewed histograms, literal-only streams, fixed-vs-
+    # dynamic edges, HCLEN framing, the no-split packed path
+    ("mix48-p1", _mix48(), 2, 1),
+    ("mix48-p0", _mix48(), 2, 0),
+    ("noise48-p1", _noise(48, 48, seed=123), 2, 1),
+    ("stripes48-p1", _stripes48(), 2, 1),
+    ("text48-p1", _text48(), 2, 1),
+    ("geo40-p1", _geo40(), 2, 1),
+    ("geo40-p0", _geo40(), 2, 0),
+    ("tex40-p1", _tex40(), 2, 1),
 ]
 
 
