@@ -256,16 +256,71 @@ def encode_png_batch_sharded(
     flat = np.ascontiguousarray(imgs).reshape(b, -1)
     penc._validate(options, flat[0].nbytes)
 
-    if (options.quantization.mode != QuantizationMode.OFF
-            or options.interlace or options.bit_depth != 8):
-        # Quantization decisions/palettes are image-dependent end to end;
+    if options.interlace or options.bit_depth != 8:
         # Adam7 filters per pass and 16-bit skips the 8-bit reduction
-        # grouping, so both take the per-image path too (bytes must equal
+        # grouping; both take the per-image path (bytes must equal
         # png.encode exactly).
         with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:
             return list(
                 ex.map(lambda i: penc.encode(flat[i], options), range(b))
             )
+
+    if options.quantization.mode != QuantizationMode.OFF:
+        # Lossy batches run the device quantization tier: per-image
+        # histograms + median-cut boxes on host, then ONE batched device
+        # dispatch each for k-means, the 6-6-6 LUT, and wavefront FS
+        # dithering (ops/quantize_device.py); indexed encode fans out
+        # over host threads.  Bytes equal per-image png.encode.
+        from ..color import ColorType as _CT
+        from ..png import quantize as q
+        from ..png import reduce as _reduce
+
+        max_colors = min(options.quantization.max_colors, 256)
+        quantizable = options.color_type in (_CT.RGB, _CT.RGBA)
+        px4 = imgs.reshape(b, h, w, bpp)
+        decisions = []
+        for i in range(b):
+            if not quantizable:
+                decisions.append(False)
+            elif options.quantization.mode == QuantizationMode.FORCE:
+                decisions.append(True)
+            else:  # AUTO: per-image sampled heuristic (host, cheap)
+                decisions.append(
+                    q.should_quantize_auto(flat[i].reshape(-1, bpp), max_colors)
+                )
+        quant_ids = [i for i in range(b) if decisions[i]]
+        results: List[bytes] = [None] * b
+
+        def _encode_plain(i):
+            results[i] = penc.encode(flat[i], options)
+
+        def _encode_indexed(i, palette_rgba, indices):
+            plte = palette_rgba[:, :3]
+            alpha = _reduce.maybe_trim_transparency(palette_rgba[:, 3])
+            results[i] = penc.encode_indexed(
+                indices, w, h, plte, alpha, options
+            )
+
+        quantized = (
+            q.quantize_batch(
+                px4[quant_ids], max_colors, options.quantization.dithering
+            )
+            if quant_ids
+            else []
+        )
+        with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:
+            futs = [
+                ex.submit(_encode_plain, i)
+                for i in range(b)
+                if not decisions[i]
+            ]
+            futs += [
+                ex.submit(_encode_indexed, i, pal, idx)
+                for i, (pal, idx) in zip(quant_ids, quantized)
+            ]
+            for f in futs:
+                f.result()
+        return results
 
     from ..ops.png_filters import apply_filters_batch
     from ..ops.reduce_analysis import transform_png_group

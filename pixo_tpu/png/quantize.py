@@ -183,7 +183,7 @@ class _Box:
 
 
 def median_cut_palette(
-    colors: np.ndarray, counts: np.ndarray, max_colors: int
+    colors: np.ndarray, counts: np.ndarray, max_colors: int, refine: bool = True
 ) -> np.ndarray:
     if len(colors) == 0:
         return np.array([[0, 0, 0, 255]], np.uint8)
@@ -200,6 +200,8 @@ def median_cut_palette(
         if len(right.colors):
             boxes.append(right)
     palette = np.stack([b.centroid() for b in boxes])
+    if not refine:
+        return palette
     return refine_palette_kmeans(palette, colors, counts)
 
 
@@ -329,14 +331,171 @@ def _dither_fs_py(
     return indices
 
 
+def _quantize_mode() -> str:
+    import os
+
+    return os.environ.get("PIXO_TPU_QUANTIZE", "host")
+
+
+def _pad_hist(colors: np.ndarray, counts: np.ndarray, m: int = 8192):
+    """Pad to a fixed M with zero-count entries (one compiled shape).
+    Zero-weight colors cannot move a k-means centroid, so results are
+    bit-equal to the unpadded host computation."""
+    k = len(colors)
+    pc = np.zeros((m, 4), np.uint8)
+    pw = np.zeros(m, np.uint32)
+    pc[:k] = colors
+    pw[:k] = counts
+    return pc, pw
+
+
+def _pad_palette(palette: np.ndarray, k: int = 256) -> np.ndarray:
+    """Pad to K entries with duplicates of entry 0: duplicates at higher
+    indices can never win a first-min tie, so assignments, LUTs and
+    dithers over the padded palette equal the unpadded ones."""
+    if len(palette) == k:
+        return palette
+    return np.concatenate(
+        [palette, np.tile(palette[:1], (k - len(palette), 1))]
+    )
+
+
+def _quantize_device(
+    rgba: np.ndarray,
+    width: int,
+    height: int,
+    max_colors: int,
+    dithering: bool,
+    colors: np.ndarray,
+    counts: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Device tier: median-cut boxes stay host (tiny sequential search);
+    k-means refinement, 6-6-6 LUT build, and FS dithering run as device
+    kernels, bit-equal to the host tier (test_kernel_equality.py)."""
+    from ..ops import quantize_device as qd
+
+    pal0 = median_cut_palette(colors, counts, max_colors, refine=False)
+    true_k = len(pal0)
+    pc, pw = _pad_hist(colors, counts)
+    pal = np.asarray(
+        qd.kmeans_refine_device(
+            _pad_palette(pal0), pc, pw, np.int32(true_k)
+        )
+    )
+    # re-pad with the FINAL entry 0 so padded rows are true duplicates
+    # again (harmless in first-min ties) for the LUT/dither stages
+    pal = _pad_palette(pal[:true_k])
+    lut = np.asarray(qd.palette_lut_device(pal))
+    rgba_img = rgba.reshape(1, height, width, 4)
+    has_alpha = bool((rgba[:, 3] != 255).any())
+    if dithering:
+        idx = np.asarray(
+            qd.dither_fs_device(
+                rgba_img, pal[None], lut[None], has_alpha=has_alpha
+            )
+        )[0].reshape(-1)
+    else:
+        plut = PaletteLut.__new__(PaletteLut)
+        plut.palette = pal
+        plut.opaque_lut = lut
+        idx = plut.lookup_many(rgba)
+    return pal[:true_k], idx.astype(np.uint8)
+
+
+def quantize_batch(
+    imgs: np.ndarray,
+    max_colors: int,
+    dithering: bool,
+):
+    """[B, H, W, 3|4] uint8 -> list of (palette [K,4], indices [H*W]).
+
+    The batched device tier: per-image sampled histograms and median-cut
+    boxes on host (small sequential work), then ONE batched device
+    dispatch each for k-means refinement, LUT build, and wavefront FS
+    dithering across the whole batch.  Images whose sampled histogram
+    already fits max_colors take the exact-mapping host branch (identical
+    to quantize_image).  Bytes equal per-image quantize_image in every
+    case."""
+    from ..ops import quantize_device as qd
+
+    b, h, w = imgs.shape[:3]
+    flat = imgs.reshape(b, h * w, imgs.shape[3])
+    results: list = [None] * b
+    dev_members = []
+    for i in range(b):
+        pixels = flat[i]
+        colors, counts = _sampled_histogram(pixels)
+        if len(colors) <= max_colors:
+            results[i] = quantize_image(pixels, w, h, max_colors, dithering)
+        else:
+            dev_members.append((i, pixels, colors, counts))
+    if not dev_members:
+        return results
+
+    pals0, pcs, pws, rgbas, true_ks = [], [], [], [], []
+    for _, pixels, colors, counts in dev_members:
+        pal0 = median_cut_palette(colors, counts, max_colors, refine=False)
+        true_ks.append(len(pal0))
+        pals0.append(_pad_palette(pal0))
+        pc, pw = _pad_hist(colors, counts)
+        pcs.append(pc)
+        pws.append(pw)
+        rgba = (
+            pixels
+            if pixels.shape[1] == 4
+            else np.concatenate(
+                [pixels, np.full((len(pixels), 1), 255, np.uint8)], axis=1
+            )
+        )
+        rgbas.append(rgba.reshape(h, w, 4))
+    import jax
+
+    pal_b = np.asarray(
+        jax.vmap(qd.kmeans_refine_device)(
+            np.stack(pals0),
+            np.stack(pcs),
+            np.stack(pws),
+            np.asarray(true_ks, np.int32),
+        )
+    )
+    pal_b = np.stack(
+        [_pad_palette(pal_b[j][: true_ks[j]]) for j in range(len(true_ks))]
+    )
+    lut_b = np.asarray(jax.vmap(qd.palette_lut_device)(pal_b))
+    rgba_b = np.stack(rgbas)
+    has_alpha = bool((rgba_b[..., 3] != 255).any())
+    if dithering:
+        idx_b = np.asarray(
+            qd.dither_fs_device(rgba_b, pal_b, lut_b, has_alpha=has_alpha)
+        ).reshape(len(dev_members), -1)
+    else:
+        idx_b = []
+        for j in range(len(dev_members)):
+            plut = PaletteLut.__new__(PaletteLut)
+            plut.palette = pal_b[j]
+            plut.opaque_lut = lut_b[j]
+            idx_b.append(plut.lookup_many(rgba_b[j].reshape(-1, 4)))
+    for j, (i, _, _colors, _counts) in enumerate(dev_members):
+        results[i] = (
+            pal_b[j][: true_ks[j]],
+            np.asarray(idx_b[j]).astype(np.uint8),
+        )
+    return results
+
+
 def quantize_image(
     pixels: np.ndarray,
     width: int,
     height: int,
     max_colors: int,
     dithering: bool,
+    mode: str = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """[N, 3|4] uint8 -> (palette [K, 4] uint8, indices [N] uint8)."""
+    """[N, 3|4] uint8 -> (palette [K, 4] uint8, indices [N] uint8).
+
+    ``mode`` selects the execution tier: "host" (native C++/NumPy,
+    default) or "device" (batched TPU kernels, bit-equal outputs);
+    defaults to the PIXO_TPU_QUANTIZE env var."""
     rgba = (
         pixels
         if pixels.shape[1] == 4
@@ -363,6 +522,10 @@ def quantize_image(
             indices[~found] = nearest_palette_indices(rgba[~found], palette)
         return palette, indices
 
+    if (mode or _quantize_mode()) == "device":
+        return _quantize_device(
+            rgba, width, height, max_colors, dithering, colors, counts
+        )
     palette = median_cut_palette(colors, counts, max_colors)
     lut = PaletteLut(palette)
     if not dithering:

@@ -377,3 +377,133 @@ class TestNearestPalette:
         dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB")).astype(int)
         err = np.abs(dec - img.astype(int)).mean()
         assert err < 10.0, f"mean |err| {err:.1f}"
+
+
+class TestQuantizeDeviceEquality:
+    """Device lossy-quantization tier vs the host tier (SURVEY §2.3 [K]
+    mapping; semantics source mod.rs:1160-1701). Everything must be
+    bit-identical — including the wavefront FS dither, whose equality
+    rests on FS error terms being dyadic rationals exactly representable
+    in f32 (see ops/quantize_device.py docstring)."""
+
+    def _rng(self):
+        return np.random.default_rng(1234)
+
+    def test_nearest_palette(self):
+        from pixo_tpu.ops.quantize_device import nearest_palette_device
+        from pixo_tpu.png import quantize as Q
+
+        rng = self._rng()
+        colors = rng.integers(0, 256, (4096, 4), dtype=np.uint8)
+        palette = rng.integers(0, 256, (256, 4), dtype=np.uint8)
+        host = Q.nearest_palette_indices(colors, palette).astype(np.int32)
+        dev = np.asarray(nearest_palette_device(colors, palette))
+        assert np.array_equal(host, dev)
+
+    def test_nearest_palette_ties_prefer_first(self):
+        from pixo_tpu.ops.quantize_device import nearest_palette_device
+
+        palette = np.array(
+            [[10, 10, 10, 255], [10, 10, 10, 255], [200, 0, 0, 255]],
+            np.uint8,
+        )
+        colors = np.array([[10, 10, 10, 255]], np.uint8)
+        assert int(np.asarray(nearest_palette_device(colors, palette))[0]) == 0
+
+    def test_kmeans_refine_padded(self):
+        from pixo_tpu.ops.quantize_device import kmeans_refine_device
+        from pixo_tpu.png import quantize as Q
+
+        rng = self._rng()
+        colors = rng.integers(0, 256, (1500, 4), dtype=np.uint8)
+        counts = rng.integers(1, 900, 1500).astype(np.uint32)
+        palette = rng.integers(0, 256, (100, 4), dtype=np.uint8)
+        host = Q.refine_palette_kmeans(palette.copy(), colors, counts)
+        pc, pw = Q._pad_hist(colors, counts)
+        dev = np.asarray(
+            kmeans_refine_device(
+                Q._pad_palette(palette), pc, pw, np.int32(100)
+            )
+        )[:100]
+        assert np.array_equal(host, dev)
+
+    def test_palette_lut(self):
+        from pixo_tpu.ops.quantize_device import palette_lut_device
+        from pixo_tpu.png import quantize as Q
+
+        rng = self._rng()
+        palette = rng.integers(0, 256, (64, 4), dtype=np.uint8)
+        host = np.asarray(Q.PaletteLut(palette).opaque_lut)
+        dev = np.asarray(palette_lut_device(palette))
+        assert np.array_equal(host, dev)
+
+    @pytest.mark.parametrize("has_alpha", [False, True])
+    def test_dither_wavefront(self, has_alpha):
+        from pixo_tpu.ops.quantize_device import dither_fs_device
+        from pixo_tpu.png import quantize as Q
+
+        rng = self._rng()
+        h, w = 23, 37
+        rgba = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        if not has_alpha:
+            rgba[..., 3] = 255
+        pal = rng.integers(0, 256, (48, 4), dtype=np.uint8)
+        lut = Q.PaletteLut(pal)
+        host = Q._dither_fs_py(rgba.reshape(-1, 4), w, h, pal, lut)
+        native = Q._dither_floyd_steinberg(
+            rgba.reshape(-1, 4), w, h, pal, lut
+        )
+        dev = np.asarray(
+            dither_fs_device(
+                rgba[None], pal[None],
+                np.asarray(lut.opaque_lut)[None], has_alpha=has_alpha,
+            )
+        )[0].reshape(-1)
+        assert np.array_equal(host, native)
+        assert np.array_equal(host.astype(np.int32), dev)
+
+    def test_quantize_image_device_mode(self):
+        from pixo_tpu.png import quantize as Q
+
+        rng = self._rng()
+        h, w = 40, 56
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        img = np.clip(
+            np.stack([xx * 255 // (w - 1), yy * 255 // (h - 1),
+                      (xx + yy) % 256], axis=-1)
+            + rng.integers(-6, 7, (h, w, 3)),
+            0, 255,
+        ).astype(np.uint8)
+        for dither in (True, False):
+            ph, ih = Q.quantize_image(
+                img.reshape(-1, 3), w, h, 64, dither, mode="host"
+            )
+            pd, idd = Q.quantize_image(
+                img.reshape(-1, 3), w, h, 64, dither, mode="device"
+            )
+            assert np.array_equal(ph, pd)
+            assert np.array_equal(ih, idd)
+
+    def test_quantize_batch_matches_per_image(self):
+        from pixo_tpu.png import quantize as Q
+
+        rng = self._rng()
+        h, w = 32, 44
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        imgs = np.stack([
+            np.clip(
+                np.stack([xx * 255 // (w - 1), yy * 255 // (h - 1),
+                          (xx + yy + s * 37) % 256], axis=-1)
+                + rng.integers(-5, 6, (h, w, 3)),
+                0, 255,
+            ).astype(np.uint8)
+            for s in range(3)
+        ])
+        batch = Q.quantize_batch(imgs, 48, True)
+        for i in range(3):
+            ph, ih = Q.quantize_image(
+                imgs[i].reshape(-1, 3), w, h, 48, True, mode="host"
+            )
+            pb, ib = batch[i]
+            assert np.array_equal(ph, pb)
+            assert np.array_equal(ih, ib)

@@ -239,3 +239,40 @@ class TestBatchFallbackPolicy:
     def test_bug_exceptions_surface(self, monkeypatch):
         with pytest.raises(TypeError):
             self._run(monkeypatch, TypeError("bug in batch path"))
+
+
+class TestQuantizedBatch:
+    """Lossy (quantized) batches route through the device quantization
+    tier inside encode_png_batch_sharded; bytes must equal per-image
+    png.encode for FORCE and AUTO modes (VERDICT r3 task 5)."""
+
+    @pytest.mark.parametrize("qmode", ["force", "auto"])
+    def test_bytes_equal_per_image(self, qmode):
+        from pixo_tpu.options import QuantizationMode, QuantizationOptions
+        from pixo_tpu.parallel import encode_png_batch_sharded
+        from pixo_tpu.png import encoder as penc
+        from pixo_tpu import ColorType
+
+        rng = np.random.default_rng(4)
+        h, w = 40, 56
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        imgs = np.stack([
+            np.clip(
+                np.stack([xx * 255 // (w - 1), yy * 255 // (h - 1),
+                          (xx + yy + s * 31) % 256], axis=-1)
+                + rng.integers(-6, 7, (h, w, 3)),
+                0, 255,
+            ).astype(np.uint8)
+            for s in range(4)
+        ])
+        mode = (QuantizationMode.FORCE if qmode == "force"
+                else QuantizationMode.AUTO)
+        opts = PngOptions(
+            width=w, height=h, color_type=ColorType.RGB,
+            quantization=QuantizationOptions(
+                mode=mode, max_colors=128, dithering=True
+            ),
+        )
+        batch = encode_png_batch_sharded(imgs, opts)
+        per = [penc.encode(imgs[i], opts) for i in range(4)]
+        assert all(bytes(a) == bytes(b) for a, b in zip(batch, per))
