@@ -108,19 +108,24 @@ def _device_dct_zz(img, *, color: str, subsampling: str):
 
 def _trellis_coefficients(
     img: np.ndarray, options: JpegOptions, quant: QuantizationTables,
-    pattern: Sequence[int],
+    pattern: Sequence[int], mode: str = None,
 ) -> np.ndarray:
+    """``mode``: "host" / "device" / None (None consults PIXO_TPU_TRELLIS,
+    default host).  The batch entry points pass "device" when the total
+    block count exceeds the measured crossover (parallel.pipeline)."""
     import os
 
     from ..jpeg.tables import ZIGZAG
     from . import trellis
 
+    if mode is None:
+        mode = os.environ.get("PIXO_TPU_TRELLIS", "host")
     color = "gray" if options.color_type == ColorType.GRAY else "rgb"
     sub = "420" if options.subsampling == Subsampling.S420 else "444"
     dct_dev = _device_dct_zz(jnp.asarray(img), color=color, subsampling=sub)
     lum_zz = quant.luminance_table[ZIGZAG]
     chrom_zz = quant.chrominance_table[ZIGZAG]
-    if os.environ.get("PIXO_TPU_TRELLIS") == "device":
+    if mode == "device":
         # fused path: DCT output stays on device, only the quantized int16
         # stream comes back (half the round-trip traffic of host trellis)
         from ..ops.trellis_device import trellis_quantize_batch_device
@@ -200,6 +205,7 @@ def _emit_jpeg(
     options: JpegOptions,
     quant: QuantizationTables,
     pattern: Sequence[int],
+    trellis_mode: str = None,
 ) -> bytes:
     """Frame + entropy-code one image from its device coefficients."""
     out = bytearray()
@@ -212,7 +218,7 @@ def _emit_jpeg(
         # Trellis applies to the progressive coefficient pass only (parity:
         # the reference's baseline scan never consults use_trellis).
         zz_scan = (
-            _trellis_coefficients(img, options, quant, pattern)
+            _trellis_coefficients(img, options, quant, pattern, trellis_mode)
             if options.trellis_quant
             else zz
         )

