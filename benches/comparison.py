@@ -1,8 +1,22 @@
-"""Cross-library comparison bench (the criterion benches/comparison.rs
-analog): our encoders vs Pillow (libjpeg/zlib-backed) on synthetic and
-reference-fixture content. Reports sizes and times.
+"""Cross-library comparison bench — the ``benches/comparison.rs`` analog.
+
+Row-for-row mirror of the reference's BENCHMARKS.md groups with the
+oracles available in this environment (Pillow = libjpeg/zlib, Python
+zlib; mozjpeg/oxipng/zopfli/pngquant are quoted from the reference's
+published numbers where they cannot run here):
+
+  1. png-encoders      level-6 PNG vs Pillow (synthetic + fixtures)
+  2. jpeg-encoders     q85 420 baseline vs Pillow (synthetic + fixtures)
+  3. deflate           level ladder 1-9 + optimal vs zlib on 1 MB/64 KiB
+  4. png-presets       fast/balanced/max x fixtures vs Pillow
+  5. png-lossy         quantized PNG vs Pillow adaptive-palette
+  6. jpeg-presets      fast/balanced/max x fixtures vs Pillow optimize
 
 Usage: python benches/comparison.py [--device cpu|default]
+       [--groups 1,2,...] [--quick] [--update-md]
+
+``--quick`` skips the slowest rows (max preset on the largest fixtures).
+``--update-md`` rewrites the comparison section of benches/BENCHMARKS.md.
 """
 
 from __future__ import annotations
@@ -12,92 +26,361 @@ import io
 import os
 import sys
 import time
+import zlib
 from pathlib import Path
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+REF_FIXTURES = Path("/root/reference/tests/fixtures")
+LOCAL_FIXTURES = Path(__file__).resolve().parent.parent / "tests" / "fixtures"
 
-def timeit(fn, min_time=0.3):
+
+def timeit(fn, min_time=0.3, max_iters=50):
     fn()
     t0 = time.perf_counter()
     n = 0
-    while time.perf_counter() - t0 < min_time:
+    while time.perf_counter() - t0 < min_time and n < max_iters:
         fn()
         n += 1
-    return (time.perf_counter() - t0) / n
+    return (time.perf_counter() - t0) / max(n, 1)
+
+
+def fmt_size(n):
+    if n >= 1 << 20:
+        return f"{n / (1 << 20):.2f} MB"
+    return f"{n / 1024:.1f} KB"
+
+
+def fmt_time(s):
+    if s >= 1:
+        return f"{s:.1f}s"
+    return f"{s * 1000:.1f}ms"
+
+
+def synth_gradient(h, w, c=3):
+    img = np.zeros((h, w, c), np.uint8)
+    img[..., 0] = (np.arange(w)[None, :] * 255 // (w - 1)).astype(np.uint8)
+    img[..., 1] = (np.arange(h)[:, None] * 255 // (h - 1)).astype(np.uint8)
+    if c > 2:
+        img[..., 2] = 128
+    if c > 3:
+        img[..., 3] = 255
+    return img
+
+
+def synth_flat_blocks(h, w):
+    img = np.zeros((h, w, 3), np.uint8)
+    for i, color in enumerate([(220, 40, 40), (40, 220, 40), (40, 40, 220),
+                               (220, 220, 40)]):
+        img[:, i * w // 4:(i + 1) * w // 4] = color
+    return img
+
+
+def load_png_fixture(name):
+    from pixo_tpu.decode import decode_png
+
+    data = (REF_FIXTURES / name).read_bytes()
+    r = decode_png(data)
+    return np.asarray(r.pixels).reshape(r.height, r.width, -1), r
+
+
+def load_jpg_fixture(name):
+    from pixo_tpu.decode import decode_jpeg
+
+    data = (REF_FIXTURES / name).read_bytes()
+    r = decode_jpeg(data)
+    return np.asarray(r.pixels).reshape(r.height, r.width, 3), r
+
+
+def _pillow_png(img, level=6, optimize=False):
+    from PIL import Image
+
+    mode = {1: "L", 2: "LA", 3: "RGB", 4: "RGBA"}[img.shape[2]]
+    arr = img[..., 0] if img.shape[2] == 1 else img
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode).save(
+        buf, "PNG", compress_level=level, optimize=optimize
+    )
+    return buf.getvalue()
+
+
+def _pillow_jpeg(img, q=85, sub="4:2:0", optimize=False, progressive=False):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img, "RGB").save(
+        buf, "JPEG", quality=q, subsampling=2 if sub == "4:2:0" else 0,
+        optimize=optimize, progressive=progressive,
+    )
+    return buf.getvalue()
+
+
+def _our_png(img, options):
+    from pixo_tpu import png
+
+    return png.encode(img, options)
+
+
+ROWS = []
+
+
+def row(group, *cells):
+    ROWS.append((group, cells))
+    print("| " + " | ".join(str(c) for c in cells) + " |")
+
+
+def hdr(group, *cells):
+    print(f"\n### {group}\n")
+    print("| " + " | ".join(cells) + " |")
+    print("|" + "---|" * len(cells))
+
+
+# ---------------------------------------------------------------------------
+
+
+def bench_png_encoders(quick):
+    """Group 1: level-6 PNG (reference BENCHMARKS.md §1)."""
+    from pixo_tpu import ColorType, PngOptions
+
+    hdr("1. PNG encoders (level 6, adaptive filters)",
+        "Image", "Dims", "ours", "Pillow L6", "ref pixo (quoted)")
+    cases = [
+        ("Gradient 512", synth_gradient(512, 512), "7.6 KB / 1.9ms"),
+        ("Flat blocks 512", synth_flat_blocks(512, 512), "0.4 KB / 0.7ms"),
+    ]
+    if REF_FIXTURES.is_dir():
+        rock, meta = load_png_fixture("rocket.png")
+        cases.append(("rocket.png", rock, "(1376x768; ref ran kodim)"))
+    for name, img, ref in cases:
+        h, w, c = img.shape
+        opts = PngOptions(
+            width=w, height=h,
+            color_type=ColorType.RGB if c == 3 else ColorType.RGBA,
+        )
+        out = _our_png(img, opts)
+        t = timeit(lambda: _our_png(img, opts), 0.3, 8)
+        pil = _pillow_png(img, 6)
+        tp = timeit(lambda: _pillow_png(img, 6), 0.3, 8)
+        row("png-encoders", name, f"{w}x{h}",
+            f"{fmt_size(len(out))} / {fmt_time(t)}",
+            f"{fmt_size(len(pil))} / {fmt_time(tp)}", ref)
+
+
+def bench_jpeg_encoders(quick):
+    """Group 2: q85 4:2:0 baseline JPEG (reference §2)."""
+    from pixo_tpu import JpegOptions, Subsampling, jpeg
+
+    hdr("2. JPEG encoders (q85, 4:2:0, baseline)",
+        "Image", "Dims", "ours", "Pillow q85", "ref pixo (quoted)")
+    cases = [
+        ("Gradient 512", synth_gradient(512, 512), "17.3 KB / 1.3ms"),
+        ("Flat blocks 512", synth_flat_blocks(512, 512), "3.5 KB / 1.1ms"),
+    ]
+    if REF_FIXTURES.is_dir() and not quick:
+        img, _ = load_jpg_fixture("browser.jpg")
+        cases.append(("browser.jpg", img, "(2300x1342; ref ran kodim)"))
+    for name, img, ref in cases:
+        h, w = img.shape[:2]
+        opts = JpegOptions(width=w, height=h, quality=85,
+                           subsampling=Subsampling.S420)
+        out = jpeg.encode(img, opts)
+        t = timeit(lambda: jpeg.encode(img, opts), 0.3, 8)
+        pil = _pillow_jpeg(img)
+        tp = timeit(lambda: _pillow_jpeg(img), 0.3, 8)
+        row("jpeg-encoders", name, f"{w}x{h}",
+            f"{fmt_size(len(out))} / {fmt_time(t)}",
+            f"{fmt_size(len(pil))} / {fmt_time(tp)}", ref)
+
+
+def bench_deflate(quick):
+    """Group 3: the DEFLATE level ladder + optimal vs zlib (reference §3)."""
+    from pixo_tpu.compress.deflate import deflate_optimal_zlib, deflate_zlib
+
+    rng = np.random.default_rng(0)
+    text = (b"the quick brown fox jumps over the lazy dog. " * 24000)[: 1 << 20]
+    rand = rng.integers(0, 256, 1 << 20, dtype=np.uint8).tobytes()
+    grad = synth_gradient(512, 512)
+    # PNG-style filtered rows (sub-filtered gradient residuals)
+    resid = np.diff(
+        grad.reshape(512, -1).astype(np.int16), axis=1, prepend=0
+    ).astype(np.uint8).tobytes()
+
+    hdr("3a. DEFLATE level ladder (ours vs zlib, output bytes)",
+        "Level", "text 1MB ours", "text zlib", "resid 768K ours",
+        "resid zlib", "rand 1MB ours", "rand zlib")
+    for lvl in range(1, 10):
+        cells = [str(lvl)]
+        for payload in (text, resid, rand):
+            ours = deflate_zlib(payload, lvl)
+            ref = zlib.compress(payload, lvl)
+            cells.append(fmt_size(len(ours)))
+            cells.append(fmt_size(len(ref)))
+        row("deflate", *cells)
+
+    hdr("3b. DEFLATE throughput (level 6, MiB/s; ref pixo: 642 text / "
+        "180 rand)",
+        "Payload", "ours MiB/s", "zlib MiB/s")
+    for name, payload in (("text 1MB", text), ("resid 768K", resid),
+                          ("rand 1MB", rand)):
+        t = timeit(lambda: deflate_zlib(payload, 6), 0.5, 20)
+        tz = timeit(lambda: zlib.compress(payload, 6), 0.5, 20)
+        mb = len(payload) / (1 << 20)
+        row("deflate", name, f"{mb / t:.0f}", f"{mb / tz:.0f}")
+
+    hdr("3c. Optimal DEFLATE (64 KiB; ref: zopfli 226ms, pixo-l9 132us)",
+        "Payload", "ours optimal", "zlib-9", "optimal time")
+    small_text = text[: 1 << 16]
+    small_resid = resid[: 1 << 16]
+    for name, payload in (("text 64K", small_text), ("resid 64K", small_resid)):
+        out = deflate_optimal_zlib(payload)
+        t = timeit(lambda: deflate_optimal_zlib(payload), 0.3, 5)
+        z9 = zlib.compress(payload, 9)
+        row("deflate", name, fmt_size(len(out)), fmt_size(len(z9)),
+            fmt_time(t))
+
+
+def bench_png_presets(quick):
+    """Group 4: presets x fixtures (reference §4 quotes oxipng)."""
+    from pixo_tpu import PngOptions
+
+    hdr("4. PNG presets (size / time; ref quotes: see BENCHMARKS.md §4)",
+        "Image", "Dims", "fast", "balanced", "max", "Pillow opt")
+    cases = [("Gradient 512", synth_gradient(512, 512), None)]
+    if REF_FIXTURES.is_dir():
+        for nm in ("rocket.png", "reference/squoosh_example_palette.png"):
+            img, meta = load_png_fixture(nm)
+            cases.append((nm.split("/")[-1], img, meta))
+        if not quick:
+            for nm in ("playground.png", "reference/squoosh_example.png"):
+                img, meta = load_png_fixture(nm)
+                cases.append((nm.split("/")[-1], img, meta))
+    for name, img, meta in cases:
+        h, w, c = img.shape
+        cells = [name, f"{w}x{h}"]
+        from pixo_tpu import ColorType
+
+        ct = ColorType.RGB if c == 3 else ColorType.RGBA
+        for preset in (0, 1, 2):
+            if preset == 2 and quick and w * h > 1 << 20:
+                cells.append("(skipped --quick)")
+                continue
+            opts = PngOptions.from_preset(w, h, preset)
+            opts.color_type = ct
+            t0 = time.perf_counter()
+            out = _our_png(img, opts)
+            t = time.perf_counter() - t0
+            cells.append(f"{fmt_size(len(out))} / {fmt_time(t)}")
+        t0 = time.perf_counter()
+        pil = _pillow_png(img, 9, optimize=True)
+        tp = time.perf_counter() - t0
+        cells.append(f"{fmt_size(len(pil))} / {fmt_time(tp)}")
+        row("png-presets", *cells)
+
+
+def bench_png_lossy(quick):
+    """Group 5: lossy PNG vs Pillow adaptive palette (reference §5 quotes
+    pngquant: avatar 113.1 KB, rocket 392.9 KB — pixo 128.5/279.2)."""
+    from PIL import Image
+
+    from pixo_tpu import ColorType, PngOptions
+    from pixo_tpu.options import QuantizationMode, QuantizationOptions
+
+    hdr("5. PNG lossy (256 colors, dithered)",
+        "Image", "Dims", "ours lossy", "Pillow palette", "ref pixo (quoted)")
+    cases = [("Gradient 512", synth_gradient(512, 512),
+              "4.3 KB (no dither)")]
+    if REF_FIXTURES.is_dir():
+        av, _ = load_png_fixture("avatar-color.png")
+        rk, _ = load_png_fixture("rocket.png")
+        cases += [("avatar-color.png", av, "128.5 KB"),
+                  ("rocket.png", rk, "279.2 KB")]
+    for name, img, ref in cases:
+        h, w, c = img.shape
+        opts = PngOptions(
+            width=w, height=h,
+            color_type=ColorType.RGB if c == 3 else ColorType.RGBA,
+            quantization=QuantizationOptions(
+                mode=QuantizationMode.FORCE, max_colors=256, dithering=True
+            ),
+        )
+        t0 = time.perf_counter()
+        out = _our_png(img, opts)
+        t = time.perf_counter() - t0
+        mode = "RGB" if c == 3 else "RGBA"
+        arr = img if c != 1 else img[..., 0]
+        buf = io.BytesIO()
+        pimg = Image.fromarray(arr, mode)
+        if mode == "RGBA":
+            pimg = pimg.convert("RGB")
+        pimg.convert("P", palette=Image.Palette.ADAPTIVE, colors=256).save(
+            buf, "PNG", optimize=True
+        )
+        row("png-lossy", name, f"{w}x{h}",
+            f"{fmt_size(len(out))} / {fmt_time(t)}",
+            fmt_size(len(buf.getvalue())), ref)
+
+
+def bench_jpeg_presets(quick):
+    """Group 6: JPEG presets x fixtures (reference §6 quotes mozjpeg)."""
+    from pixo_tpu import JpegOptions, jpeg
+
+    hdr("6. JPEG presets (q85; ref mozjpeg quotes in last column)",
+        "Image", "Dims", "fast", "balanced", "max", "Pillow opt+prog",
+        "ref mozjpeg")
+    cases = [("Gradient 512", synth_gradient(512, 512), "8.2 KB")]
+    if REF_FIXTURES.is_dir():
+        fixture_rows = [("browser.jpg", "297.2 KB")]
+        if not quick:
+            fixture_rows += [("multi-agent.jpg", "352.3 KB"),
+                             ("review.jpg", "317.9 KB"),
+                             ("web.jpg", "518.5 KB")]
+        for nm, moz in fixture_rows:
+            img, _ = load_jpg_fixture(nm)
+            cases.append((nm, img, moz))
+    for name, img, moz in cases:
+        h, w = img.shape[:2]
+        cells = [name, f"{w}x{h}"]
+        for preset in (0, 1, 2):
+            opts = JpegOptions.from_preset(w, h, 85, preset)
+            t0 = time.perf_counter()
+            out = jpeg.encode(img, opts)
+            t = time.perf_counter() - t0
+            cells.append(f"{fmt_size(len(out))} / {fmt_time(t)}")
+        t0 = time.perf_counter()
+        pil = _pillow_jpeg(img, optimize=True, progressive=True)
+        tp = time.perf_counter() - t0
+        cells.append(f"{fmt_size(len(pil))} / {fmt_time(tp)}")
+        cells.append(moz)
+        row("jpeg-presets", *cells)
+
+
+GROUPS = {
+    "1": bench_png_encoders,
+    "2": bench_jpeg_encoders,
+    "3": bench_deflate,
+    "4": bench_png_presets,
+    "5": bench_png_lossy,
+    "6": bench_jpeg_presets,
+}
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--device", default="cpu", choices=["cpu", "default"])
+    ap.add_argument("--groups", default="1,2,3,4,5,6")
+    ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
-    if args.device == "cpu":
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
 
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
-
-    from PIL import Image
-
-    from pixo_tpu import ColorType, JpegOptions, PngOptions, jpeg, png
-    from pixo_tpu.utils.synthetic import synth_gradient, synth_noise, synth_text_like
-
-    cases = {
-        "gradient-512": synth_gradient(512, 512, 3),
-        "noise-256": synth_noise(256, 256, 3),
-        "text-512": synth_text_like(512, 512, 3),
-    }
-    fixtures = Path("/root/reference/tests/fixtures")
-    if fixtures.is_dir():
-        for name in ("rocket.png", "avatar-color.png"):
-            p = fixtures / name
-            if p.exists():
-                img = Image.open(p)
-                img.load()
-                cases[name] = np.asarray(img.convert("RGB"))
-
-    print(f"{'case':18s} {'codec':28s} {'bytes':>9s} {'ms':>8s}")
-    for name, img in cases.items():
-        h, w = img.shape[:2]
-
-        jopts = JpegOptions(width=w, height=h, quality=85, color_type=ColorType.RGB)
-        t = timeit(lambda: jpeg.encode(img, jopts))
-        size = len(jpeg.encode(img, jopts))
-        print(f"{name:18s} {'pixo_tpu jpeg q85':28s} {size:9d} {t*1e3:8.2f}")
-
-        jopts_max = JpegOptions.max(w, h, 85)
-        t = timeit(lambda: jpeg.encode(img, jopts_max), min_time=0.1)
-        size = len(jpeg.encode(img, jopts_max))
-        print(f"{name:18s} {'pixo_tpu jpeg max preset':28s} {size:9d} {t*1e3:8.2f}")
-
-        buf = io.BytesIO()
-
-        def pil_jpeg():
-            b = io.BytesIO()
-            Image.fromarray(img, "RGB").save(b, "JPEG", quality=85)
-            return b
-
-        t = timeit(pil_jpeg)
-        size = len(pil_jpeg().getvalue())
-        print(f"{name:18s} {'Pillow/libjpeg q85':28s} {size:9d} {t*1e3:8.2f}")
-
-        popts = PngOptions.balanced(w, h).replace(color_type=ColorType.RGB)
-        t = timeit(lambda: png.encode(img, popts), min_time=0.1)
-        size = len(png.encode(img, popts))
-        print(f"{name:18s} {'pixo_tpu png balanced':28s} {size:9d} {t*1e3:8.2f}")
-
-        def pil_png():
-            b = io.BytesIO()
-            Image.fromarray(img, "RGB").save(b, "PNG", optimize=True)
-            return b
-
-        t = timeit(pil_png, min_time=0.1)
-        size = len(pil_png().getvalue())
-        print(f"{name:18s} {'Pillow/zlib optimize':28s} {size:9d} {t*1e3:8.2f}")
-        print()
+    print(f"# comparison bench — device={args.device} quick={args.quick}")
+    print(f"# reference numbers quoted from "
+          f"/root/reference/benches/BENCHMARKS.md")
+    for g in args.groups.split(","):
+        GROUPS[g.strip()](args.quick)
 
 
 if __name__ == "__main__":

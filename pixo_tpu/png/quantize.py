@@ -190,7 +190,10 @@ def median_cut_palette(
     boxes = [_Box(colors, counts)]
     while len(boxes) < max_colors:
         scores = [b.range_score()[1] for b in boxes]
-        idx = int(np.argmax(scores))
+        # Rust max_by_key keeps the LAST maximal element on ties
+        # (mod.rs:1311-1317); reproduce for palette-order byte parity.
+        best = max(scores)
+        idx = len(scores) - 1 - scores[::-1].index(best)
         if not boxes[idx].can_split():
             break
         box = boxes.pop(idx)

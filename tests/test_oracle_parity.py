@@ -291,3 +291,23 @@ def test_goldens_committed():
     """Every oracle golden referenced above must exist on disk so CI
     never needs the interpreter."""
     assert CACHE_DIR.is_dir() and any(CACHE_DIR.iterdir())
+
+
+def test_png_lossy_bytes_identical_to_pixo(monkeypatch):
+    """The WHOLE lossy stack — sampled histogram, median-cut (Rust
+    last-max box ties), k-means, 6-6-6 LUT, FS dithering, mZeng reorder,
+    indexed encode, parity DEFLATE — byte-identical to the reference.
+    (The oracle run for this golden takes ~40 min in the interpreter —
+    LUT build is ~1G instructions — so the golden is precious; never
+    delete it casually.)"""
+    monkeypatch.setenv("PIXO_TPU_DEFLATE_PARITY", "1")
+    h = w = 32
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    smooth = np.stack(
+        [xx * 255 // 31, yy * 255 // 31, ((xx + yy) * 255 // 62)], axis=-1
+    ).astype(np.uint8)
+    ref = cached_call("png", smooth.tobytes(), w, h, 2, 1, True)
+    opts = PngOptions.from_preset_with_lossless(w, h, 1, lossless=False)
+    opts.color_type = ColorType.RGB
+    ours = png.encode(smooth, opts)
+    assert bytes(ours) == bytes(ref)
