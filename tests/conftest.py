@@ -46,3 +46,11 @@ def gradient_rgb():
 @pytest.fixture
 def gradient_rgba():
     return synth_gradient(64, 64, 4)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu: on-chip validation against the real TPU (opt-in: pytest -m tpu; "
+        "skips when no healthy chip is reachable)",
+    )

@@ -1,0 +1,116 @@
+"""On-chip validation payload for the ``tpu`` pytest marker.
+
+Runs in a SUBPROCESS with the default platform (the test process forces
+jax_platforms=cpu; a separate process is the only way to reach the real
+chip).  Prints one line per check: ``OK <name>`` / ``FAIL <name> <why>``
+and exits 0 only if every check passed; exits 3 if no TPU device is
+available (the parent turns that into a skip).
+
+Checks (each asserts BIT-equality between the on-chip result and the
+host/NumPy tier):
+  - pallas-filter: the Pallas PNG filter bank vs the XLA path
+  - trellis: the device lax.scan trellis vs the host C++ DP
+  - quantize-lut + dither: device quantization kernels vs host
+"""
+
+import os
+import sys
+
+sys.path.insert(
+    0,
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+)
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+
+    try:
+        devs = jax.devices()
+    except Exception as e:  # noqa: BLE001
+        print(f"NOTPU init failed: {e}")
+        return 3
+    if not devs or devs[0].platform == "cpu":
+        print(f"NOTPU platform={devs[0].platform if devs else 'none'}")
+        return 3
+    print(f"# running on {devs[0].platform}:{devs[0].device_kind}")
+
+    failures = 0
+
+    def check(name, fn):
+        nonlocal failures
+        try:
+            fn()
+            print(f"OK {name}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            failures += 1
+            print(f"FAIL {name} {type(e).__name__}: {e}", flush=True)
+
+    rng = np.random.default_rng(0)
+
+    def pallas_filter():
+        import jax.numpy as jnp
+
+        from pixo_tpu.ops.pallas_kernels import filter_bank
+
+        rows = jnp.asarray(rng.integers(0, 256, (64, 256 * 3), dtype=np.uint8))
+        c_ref, s_ref = filter_bank(rows, 3, use_pallas=False)
+        c_got, s_got = filter_bank(rows, 3, use_pallas=True)
+        assert np.array_equal(np.asarray(c_ref), np.asarray(c_got)), (
+            "pallas candidates != xla on chip"
+        )
+        assert np.array_equal(np.asarray(s_ref), np.asarray(s_got)), (
+            "pallas scores != xla on chip"
+        )
+
+    def trellis():
+        from pixo_tpu.jpeg.tables import ZIGZAG, QuantizationTables
+        from pixo_tpu.jpeg.trellis import trellis_quantize
+
+        q = QuantizationTables(85)
+        blocks = (rng.normal(0, 60, (192, 64))).astype(np.float32)
+        pattern = [0, 1] * 96
+        host = trellis_quantize(
+            blocks, pattern[:192], q.luminance_table[ZIGZAG],
+            q.chrominance_table[ZIGZAG], mode="host",
+        )
+        dev = trellis_quantize(
+            blocks, pattern[:192], q.luminance_table[ZIGZAG],
+            q.chrominance_table[ZIGZAG], mode="device",
+        )
+        assert np.array_equal(host, dev), "device trellis != host"
+
+    def quantize_kernels():
+        from pixo_tpu.ops.quantize_device import (
+            dither_fs_device,
+            palette_lut_device,
+        )
+        from pixo_tpu.png import quantize as Q
+
+        pal = rng.integers(0, 256, (64, 4), dtype=np.uint8)
+        pal[:, 3] = 255
+        host_lut = np.asarray(Q.PaletteLut(pal).opaque_lut)
+        dev_lut = np.asarray(palette_lut_device(pal))
+        assert np.array_equal(host_lut, dev_lut), "device LUT != host"
+        h, w = 24, 31
+        rgba = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        rgba[..., 3] = 255
+        lutobj = Q.PaletteLut(pal)
+        host_idx = Q._dither_fs_py(rgba.reshape(-1, 4), w, h, pal, lutobj)
+        dev_idx = np.asarray(
+            dither_fs_device(rgba[None], pal[None], dev_lut[None])
+        )[0].reshape(-1)
+        assert np.array_equal(host_idx.astype(np.int32), dev_idx), (
+            "device dither != host"
+        )
+
+    check("pallas-filter", pallas_filter)
+    check("trellis", trellis)
+    check("quantize", quantize_kernels)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
