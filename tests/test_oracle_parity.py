@@ -293,6 +293,26 @@ def test_goldens_committed():
     assert CACHE_DIR.is_dir() and any(CACHE_DIR.iterdir())
 
 
+def test_png_lossy_noisy_bytes_identical_to_pixo(monkeypatch):
+    """Lossy parity on noisy photographic-class content (dithering does
+    real work here: every pixel carries diffused error)."""
+    monkeypatch.setenv("PIXO_TPU_DEFLATE_PARITY", "1")
+    h = w = 32
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    smooth = np.stack(
+        [xx * 255 // 31, yy * 255 // 31, ((xx + yy) * 255 // 62)], axis=-1
+    ).astype(np.uint8)
+    rng = np.random.default_rng(21)
+    noisy = np.clip(
+        smooth.astype(int) + rng.integers(-9, 10, (h, w, 3)), 0, 255
+    ).astype(np.uint8)
+    ref = cached_call("png", noisy.tobytes(), w, h, 2, 1, True)
+    opts = PngOptions.from_preset_with_lossless(w, h, 1, lossless=False)
+    opts.color_type = ColorType.RGB
+    ours = png.encode(noisy, opts)
+    assert bytes(ours) == bytes(ref)
+
+
 def test_png_lossy_bytes_identical_to_pixo(monkeypatch):
     """The WHOLE lossy stack — sampled histogram, median-cut (Rust
     last-max box ties), k-means, 6-6-6 LUT, FS dithering, mZeng reorder,
