@@ -295,15 +295,27 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # Headline stays the steady-state min(stage) figure: the measured
-    # stream number (reported above) includes the dev tunnel's MB/s-range
-    # d2h per batch, which real v5e PCIe hosts do not see.
+    # Headline policy (VERDICT r2 task 4): when the MEASURED end-to-end
+    # stream — one wall clock over >=8 double-buffered batches, d2h
+    # included — clears the 250 MP/s/chip north star, IT is the headline.
+    # Only when the dev tunnel's MB/s-range d2h (a harness artifact; v5e
+    # PCIe is ~3 orders faster) drags it below the bar does the headline
+    # fall back to the steady-state min(stage) figure, with the measured
+    # number recorded alongside either way.
+    headline = pipeline_mps
+    mode = "min-stage"
+    if measured_mps is not None and measured_mps >= 250.0:
+        headline = measured_mps
+        mode = "measured-stream"
     record = {
         "metric": "jpeg_q85_420_encode_throughput",
-        "value": round(pipeline_mps, 1),
+        "value": round(headline, 1),
         "unit": "MP/s/chip",
-        "vs_baseline": round(pipeline_mps / BASELINE_MPS, 3),
+        "vs_baseline": round(headline / BASELINE_MPS, 3),
+        "mode": mode,
     }
+    if measured_mps is not None:
+        record["measured_stream_mps"] = round(measured_mps, 1)
     if cpu_fallback:
         # machine-readable marker: this run measured only the binding
         # host stage (TPU tunnel unavailable); consumers must not read
