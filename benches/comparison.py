@@ -287,8 +287,10 @@ def bench_png_lossy(quick):
     from pixo_tpu import ColorType, PngOptions
     from pixo_tpu.options import QuantizationMode, QuantizationOptions
 
-    hdr("5. PNG lossy (256 colors, dithered)",
-        "Image", "Dims", "ours lossy", "Pillow palette", "ref pixo (quoted)")
+    hdr("5. PNG lossy (256 colors; ref bench runs dithering=false — "
+        "comparison.rs:625)",
+        "Image", "Dims", "ours no-dither", "ours dithered",
+        "Pillow palette", "ref pixo (quoted, no dither)")
     cases = [("Gradient 512", synth_gradient(512, 512),
               "4.3 KB (no dither)")]
     if REF_FIXTURES.is_dir():
@@ -298,16 +300,20 @@ def bench_png_lossy(quick):
                   ("rocket.png", rk, "279.2 KB")]
     for name, img, ref in cases:
         h, w, c = img.shape
-        opts = PngOptions(
-            width=w, height=h,
-            color_type=ColorType.RGB if c == 3 else ColorType.RGBA,
-            quantization=QuantizationOptions(
-                mode=QuantizationMode.FORCE, max_colors=256, dithering=True
-            ),
-        )
-        t0 = time.perf_counter()
-        out = _our_png(img, opts)
-        t = time.perf_counter() - t0
+        cells = [name, f"{w}x{h}"]
+        for dith in (False, True):
+            opts = PngOptions(
+                width=w, height=h,
+                color_type=ColorType.RGB if c == 3 else ColorType.RGBA,
+                quantization=QuantizationOptions(
+                    mode=QuantizationMode.FORCE, max_colors=256,
+                    dithering=dith,
+                ),
+            )
+            t0 = time.perf_counter()
+            out = _our_png(img, opts)
+            t = time.perf_counter() - t0
+            cells.append(f"{fmt_size(len(out))} / {fmt_time(t)}")
         mode = "RGB" if c == 3 else "RGBA"
         arr = img if c != 1 else img[..., 0]
         buf = io.BytesIO()
@@ -317,9 +323,8 @@ def bench_png_lossy(quick):
         pimg.convert("P", palette=Image.Palette.ADAPTIVE, colors=256).save(
             buf, "PNG", optimize=True
         )
-        row("png-lossy", name, f"{w}x{h}",
-            f"{fmt_size(len(out))} / {fmt_time(t)}",
-            fmt_size(len(buf.getvalue())), ref)
+        cells += [fmt_size(len(buf.getvalue())), ref]
+        row("png-lossy", *cells)
 
 
 def bench_jpeg_presets(quick):

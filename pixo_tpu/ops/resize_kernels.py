@@ -71,35 +71,71 @@ def resize_bilinear(img, *, dst_w: int, dst_h: int):
     return jnp.clip(round_half_away(value), 0.0, 255.0).astype(jnp.uint8)
 
 
-def _lanczos_kernel(x: np.ndarray, a: float = 3.0) -> np.ndarray:
-    out = np.zeros_like(x)
-    tiny = np.abs(x) < np.finfo(np.float32).eps
-    inside = (~tiny) & (np.abs(x) < a)
-    px = math.pi * x[inside]
-    pxa = px / a
-    out[inside] = (a * np.sin(px) * np.sin(pxa)) / (px * pxa)
-    out[tiny] = 1.0
-    return out
+def _lanczos_kernel_f32(x: np.float32, a: np.float32) -> np.float32:
+    """One kernel tap, every op rounded to f32 in the reference\'s exact
+    order (resize.rs:391-403)."""
+    f32 = np.float32
+    ax = abs(x)
+    if ax < np.finfo(np.float32).eps:
+        return f32(1.0)
+    if ax >= a:
+        return f32(0.0)
+    pi = f32(math.pi)
+    px = f32(pi * x)
+    pxa = f32(px / a)
+    return f32(
+        f32(f32(a * np.sin(px, dtype=np.float32)) * np.sin(pxa, dtype=np.float32))
+        / f32(px * pxa)
+    )
+
+
+def lanczos_taps(src: int, dst: int, a: float = 3.0):
+    """Per-destination Lanczos windows in tap form.
+
+    Returns (starts [dst] int32, weights [dst, K] f32) with windows
+    right-padded by zero weights — an EXACT no-op during the serial f32
+    accumulation (adding f32(px * 0.0) == +0.0 never rounds).  The f32
+    op order of the weight computation and normalization mirrors
+    resize.rs:414-456.
+    """
+    f32 = np.float32
+    scale = f32(src) / f32(dst)
+    filter_scale = max(scale, f32(1.0))
+    support = f32(f32(a) * filter_scale)
+    eps = np.finfo(np.float32).eps
+    starts, windows = [], []
+    for d in range(dst):
+        center = f32(f32(f32(d) + f32(0.5)) * scale - f32(0.5))
+        start = max(int(np.floor(f32(center - support))), 0)
+        end = min(int(np.ceil(f32(center + support))) + 1, src)
+        ws = []
+        wsum = f32(0.0)
+        for s in range(start, end):
+            x = f32(f32(f32(s) - center) / filter_scale)
+            wv = _lanczos_kernel_f32(x, f32(a))
+            ws.append(wv)
+            wsum = f32(wsum + wv)
+        if abs(wsum) > eps:
+            ws = [f32(w_ / wsum) for w_ in ws]
+        starts.append(start)
+        windows.append(ws)
+    k = max(len(w) for w in windows)
+    weights = np.zeros((dst, k), np.float32)
+    for d, ws in enumerate(windows):
+        weights[d, : len(ws)] = ws
+    return np.asarray(starts, np.int32), weights
 
 
 def lanczos_weight_matrix(src: int, dst: int, a: float = 3.0) -> np.ndarray:
-    """Dense [dst, src] f32 weight matrix with normalized Lanczos windows."""
-    scale = src / dst
-    filter_scale = max(scale, 1.0)
-    support = a * filter_scale
+    """Dense [dst, src] f32 weight matrix (kept for the matmul-based
+    throughput analyses in benches; the production path uses
+    ``lanczos_taps`` for serial-f32 byte parity)."""
+    starts, weights = lanczos_taps(src, dst, a)
     mat = np.zeros((dst, src), dtype=np.float32)
     for d in range(dst):
-        center = (d + 0.5) * scale - 0.5
-        start = max(int(np.floor(center - support)), 0)
-        end = min(int(np.ceil(center + support)) + 1, src)
-        xs = (np.arange(start, end, dtype=np.float32) - np.float32(center)) / np.float32(
-            filter_scale
-        )
-        w = _lanczos_kernel(xs.astype(np.float32), a).astype(np.float32)
-        s = np.float32(w.sum())
-        if abs(float(s)) > np.finfo(np.float32).eps:
-            w = w / s
-        mat[d, start:end] = w
+        k = weights.shape[1]
+        end = min(starts[d] + k, src)
+        mat[d, starts[d]:end] = weights[d, : end - starts[d]]
     return mat
 
 
@@ -112,28 +148,41 @@ def resize_lanczos3_batch(imgs, *, dst_w: int, dst_h: int):
     return jax.vmap(fn)(imgs)
 
 
+def _lanczos_pass(img_u8, starts, weights):
+    """One separable pass along axis 0: [S, N, C] u8 -> [dst, N, C] u8.
+
+    The tap loop is a ``lax.scan`` so the f32 accumulator rounds after
+    every multiply-add in the reference\'s exact serial order
+    (resize.rs:459-513) — bit-identical to the scalar loop, verified
+    against the pixo WASM oracle.  Right-padded zero-weight taps are
+    exact no-ops (+0.0 cannot change an f32 sum).
+    """
+    s_dim = img_u8.shape[0]
+    dst, k = weights.shape
+    f = img_u8.astype(jnp.float32)  # [S, N, C]
+    starts_j = jnp.asarray(starts)
+    w_j = jnp.asarray(weights)
+
+    def step(acc, i):
+        idx = jnp.clip(starts_j + i, 0, s_dim - 1)  # [dst]
+        px = f[idx]  # [dst, N, C]
+        return acc + px * w_j[:, i][:, None, None], None
+
+    acc0 = jnp.zeros((dst,) + f.shape[1:], jnp.float32)
+    acc, _ = jax.lax.scan(step, acc0, jnp.arange(k))
+    return jnp.clip(round_half_away(acc), 0.0, 255.0).astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("dst_w", "dst_h"))
 def resize_lanczos3(img, *, dst_w: int, dst_h: int):
-    """[H, W, C] uint8 -> [dst_h, dst_w, C] uint8 via two weight matmuls.
-
-    Matches the reference's separable structure including the intermediate
-    u8 round/clamp between horizontal and vertical passes.
-    """
+    """[H, W, C] uint8 -> [dst_h, dst_w, C] uint8, horizontal then
+    vertical pass with the reference's intermediate u8 round/clamp —
+    byte-identical to pixo (test_oracle_parity.py)."""
     h, w = img.shape[0], img.shape[1]
-    wx = jnp.asarray(lanczos_weight_matrix(w, dst_w))  # [dst_w, w]
-    wy = jnp.asarray(lanczos_weight_matrix(h, dst_h))  # [dst_h, h]
-
-    # channel-major layout keeps both passes as plain [M, K] @ [K, N]
-    # matmuls on the MXU (a trailing c=3/4 axis defeats XLA's tiling)
-    f = img.astype(jnp.float32).transpose(2, 0, 1)  # [c, h, w]
-    # Horizontal: [c, h, w] @ [w, dst_w]
-    t = jax.lax.dot_general(
-        f, wx.T, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [c, h, dst_w]
-    t = jnp.clip(round_half_away(t), 0.0, 255.0)  # intermediate u8 rounding
-    # Vertical: [dst_h, h] @ [h, dst_w] per channel
-    o = jax.lax.dot_general(
-        t, wy.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [c, dst_w, dst_h]  (contracted h; dims become [c, dst_w, dst_h])
-    o = o.transpose(2, 1, 0)  # -> [dst_h, dst_w, c]
-    return jnp.clip(round_half_away(o), 0.0, 255.0).astype(jnp.uint8)
+    sx, wx = lanczos_taps(w, dst_w)
+    sy, wy = lanczos_taps(h, dst_h)
+    # horizontal: operate along W by transposing it to axis 0
+    t = _lanczos_pass(img.transpose(1, 0, 2), sx, wx)  # [dst_w, H, C]
+    # vertical: H is axis 0 after transposing back
+    o = _lanczos_pass(t.transpose(1, 0, 2), sy, wy)  # [dst_h, dst_w, C]
+    return o

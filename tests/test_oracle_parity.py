@@ -265,26 +265,33 @@ def test_resize_bytes_identical_to_pixo(alg, filt):
     assert np.asarray(ours).tobytes() == bytes(ref)
 
 
-@pytest.mark.parametrize("dst", [(7, 5), (23, 9)], ids=["down", "up"])
-def test_resize_lanczos_within_1(dst):
-    """Lanczos3 currently diverges by at most +-1 on a few pixels
-    (rounding-order detail; open divergence tracked in NOTES.md)."""
+@pytest.mark.parametrize(
+    "src_dims,dst",
+    [
+        ((16, 16), (7, 5)),
+        ((16, 16), (23, 9)),
+        ((48, 32), (12, 8)),   # 4x downscale, wide windows
+        ((20, 30), (40, 45)),  # upscale, non-uniform
+    ],
+    ids=["down", "up", "down4x", "upmix"],
+)
+def test_resize_lanczos_bytes_identical_to_pixo(src_dims, dst):
+    """Lanczos3 byte-identity: the tap scan rounds the f32 accumulator
+    in the reference\'s serial order (round-3 fix; previously +-1)."""
+    sh, sw = src_dims
     dw, dh = dst
-    img = _grad(16, 16)
-    ref = np.frombuffer(
-        bytes(cached_call("resize", img.tobytes(), 16, 16, dw, dh, 2, 2)),
-        np.uint8,
-    ).reshape(dh, dw, 3)
+    img = _grad(sh, sw)
+    ref = cached_call("resize", img.tobytes(), sw, sh, dw, dh, 2, 2)
     ours = np.asarray(
         resize(
             img,
             ResizeOptions(
-                src_width=16, src_height=16, dst_width=dw, dst_height=dh,
+                src_width=sw, src_height=sh, dst_width=dw, dst_height=dh,
                 color_type=ColorType.RGB, filter=ResizeFilter.LANCZOS3,
             ),
         )
     )
-    assert int(np.abs(ref.astype(int) - ours.astype(int)).max()) <= 1
+    assert ours.tobytes() == bytes(ref)
 
 
 def test_goldens_committed():
