@@ -338,3 +338,36 @@ def test_png_lossy_bytes_identical_to_pixo(monkeypatch):
     opts.color_type = ColorType.RGB
     ours = png.encode(smooth, opts)
     assert bytes(ours) == bytes(ref)
+
+
+def test_jpeg_preset2_reference_corruption_grows_with_scale():
+    """At 128x128 the reference's max-preset stream is corrupt in bulk:
+    equal size to ours (the wrong EOBn codes are SHORT), strict decode
+    fails, and lenient Pillow reconstructs it at >3x our error.  This is
+    why the reference's published max sizes cannot be read as a size
+    advantage (benches/BENCHMARKS.md round-3 notes)."""
+    import io
+
+    from PIL import Image
+
+    from pixo_tpu.decode import decode_jpeg
+    from pixo_tpu.errors import PixoError
+
+    rng = np.random.default_rng(13)
+    h = w = 128
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    img = np.clip(
+        np.stack([xx * 2, yy * 2, xx + yy], axis=-1)
+        + rng.integers(-12, 13, (h, w, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    ref = bytes(cached_call("jpeg", img.tobytes(), w, h, 2, 85, 2, True))
+    ours = bytes(jpeg.encode(img, JpegOptions.from_preset(w, h, 85, 2)))
+    assert len(ours) <= len(ref) * 1.01  # size parity
+    with pytest.raises(PixoError):
+        decode_jpeg(ref)
+    pr = np.asarray(Image.open(io.BytesIO(ref)).convert("RGB")).astype(int)
+    po = np.asarray(Image.open(io.BytesIO(ours)).convert("RGB")).astype(int)
+    assert np.abs(po - img.astype(int)).mean() * 2 < np.abs(
+        pr - img.astype(int)
+    ).mean()
