@@ -130,18 +130,39 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--json", action="store_true")
     p.add_argument("-n", "--dry-run", action="store_true")
-    p.add_argument("--device", choices=["cpu", "default"], default="cpu",
+    p.add_argument("--device", choices=["cpu", "tpu", "default"],
+                   default="cpu",
                    help="compute backend: cpu (default; a one-shot CLI run "
                         "should not pay the accelerator's compile/transfer "
-                        "latency) or default (the session's JAX platform, "
-                        "e.g. TPU - use for batch driving via the library)")
+                        "latency), tpu (force the TPU platform explicitly), "
+                        "or default (whatever JAX selects). The TPU's "
+                        "throughput surface is the batch/stream library API "
+                        "(pixo_tpu.parallel: encode_png_batch_sharded, "
+                        "encode_jpeg_batch_sharded, encode_jpeg_stream, "
+                        "thumbnail_pipeline), where compiles amortize "
+                        "across images")
     p.add_argument("--version", action="version", version=f"pixo-tpu {__version__}")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if args.device == "cpu":
+    if args.device == "tpu":
+        # explicit opt-in: take the default platform (TPU plugins register
+        # under their own names, e.g. "tpu" or this harness's "axon") and
+        # fail loudly if it turns out to be the CPU instead of silently
+        # degrading
+        import jax
+
+        backend = jax.default_backend()
+        if backend == "cpu":
+            print(
+                "error: --device tpu requested but no accelerator "
+                "platform is available (jax default backend is cpu)",
+                file=sys.stderr,
+            )
+            return 2
+    elif args.device == "cpu":
         # single-image CLI latency profile (the reference CLI is a host
         # tool): pin the CPU backend before any jax use so a one-shot run
         # never pays the TPU first-compile or rides a wedged dev tunnel.
