@@ -246,3 +246,80 @@ class TestCompressService:
         assert pil.size == (24, 32)
         rarr = np.asarray(rout)
         assert rarr.shape == (16, 12, 3)
+
+
+class TestPlayground:
+    """The interactive web playground (examples/playground.py) — the
+    reference web/ analog: page serves, jobs compress through the real
+    pipeline per-options, bad input surfaces as 422."""
+
+    @pytest.fixture()
+    def server(self):
+        import http.client
+        import importlib.util
+        import threading
+        from http.server import ThreadingHTTPServer
+        from pathlib import Path
+
+        spec = importlib.util.spec_from_file_location(
+            "playground",
+            Path(__file__).resolve().parent.parent / "examples" /
+            "playground.py",
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), mod.make_handler())
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield srv.server_address[1]
+        srv.shutdown()
+
+    def _post(self, port, qs, body):
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", f"/compress?{qs}", body=body)
+        resp = conn.getresponse()
+        data = resp.read()
+        headers = dict(resp.getheaders())
+        conn.close()
+        return resp.status, headers, data
+
+    def test_page_and_jobs(self, server):
+        import http.client
+        import io
+        import json
+
+        import numpy as np
+        from PIL import Image
+
+        conn = http.client.HTTPConnection("127.0.0.1", server, timeout=30)
+        conn.request("GET", "/")
+        resp = conn.getresponse()
+        page = resp.read().decode()
+        assert resp.status == 200 and "pixo-tpu" in page
+        conn.close()
+
+        img = synth_gradient(48, 64, 3)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "PNG")
+        src = buf.getvalue()
+
+        for qs, fmt in [
+            ("format=png&preset=1&lossless=true&name=t.png", "PNG"),
+            ("format=jpeg&preset=1&quality=85&sub420=true&name=t.png",
+             "JPEG"),
+            ("format=auto&preset=0&quality=70&rw=32&rh=24&name=t.jpg",
+             "JPEG"),
+        ]:
+            status, headers, out = self._post(server, qs, src)
+            assert status == 200, out
+            meta = json.loads(headers["X-Pixo-Result"])
+            back = Image.open(io.BytesIO(out))
+            assert back.format == fmt
+            assert (back.size[0], back.size[1]) == (meta["width"],
+                                                    meta["height"])
+
+        status, _, err = self._post(server, "format=png&name=x.png",
+                                    b"not an image")
+        assert status == 422 and b"unrecognized" in err
