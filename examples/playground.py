@@ -252,6 +252,9 @@ def main() -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from pixo_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from http.server import ThreadingHTTPServer
 

@@ -175,6 +175,12 @@ def main(argv=None) -> int:
             jax.config.update("jax_platforms", "cpu")
         except Exception:  # noqa: BLE001 - jax absent/odd: encoders cope
             pass
+
+    # persistent XLA compile cache: repeat one-shot runs on the same
+    # shapes skip recompilation (utils/jaxcache.py)
+    from .utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
     t_start = time.perf_counter()
 
     try:
