@@ -447,10 +447,67 @@ def _decode_scan(
                         mcu_cols, mcu_rows, max_h, max_v, fancy_upsampling)
 
 
+def _pixel_tier() -> str:
+    """"host" (NumPy mirrors; ~5x the XLA-CPU path for one image on a
+    small host) or "device" (jnp kernels — the batch/TPU tier).  Env
+    override PIXO_TPU_DECODE_PIXELS; default: host on the CPU backend,
+    device otherwise.  Both tiers are bit-equal (test_kernel_equality)."""
+    import os
+
+    mode = os.environ.get("PIXO_TPU_DECODE_PIXELS")
+    if mode in ("host", "device"):
+        return mode
+    try:
+        import jax
+
+        return "host" if jax.default_backend() == "cpu" else "device"
+    except Exception:  # noqa: BLE001
+        return "host"
+
+
 def _finish_scan(coeffs, width, height, components, qtables,
                  mcu_cols, mcu_rows, max_h, max_v,
                  fancy_upsampling: bool = False) -> JpegImage:
-    """Device tail: dequant + IDCT + assemble + upsample + color convert."""
+    """Pixel tail: dequant + IDCT + assemble + upsample + color convert."""
+    from ..ops.jpeg_decode import dequant_idct_blocks_np, ycbcr_to_rgb_int_np
+
+    if not fancy_upsampling and _pixel_tier() == "host":
+        from ..native import native_jpeg_decode_pixels
+
+        nat = native_jpeg_decode_pixels(
+            [np.asarray(coeffs[ci]) for ci in range(len(components))],
+            [qtables[c.quant_id].astype(np.uint16) for c in components],
+            [c.h for c in components], [c.v for c in components],
+            mcu_cols, mcu_rows, max_h, max_v, width, height,
+        )
+        if nat is not None:
+            ct = ColorType.GRAY if len(components) == 1 else ColorType.RGB
+            return JpegImage(width, height, ct, nat)
+        planes = []
+        for ci, comp in enumerate(components):
+            q = qtables[comp.quant_id].astype(np.int32)
+            blocks = dequant_idct_blocks_np(
+                np.asarray(coeffs[ci]), q[None, :]
+            ).astype(np.int32)
+            bw = mcu_cols * comp.h
+            bh = mcu_rows * comp.v
+            plane = blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+            plane = plane.reshape(bh * 8, bw * 8)
+            if max_v // comp.v > 1:
+                plane = np.repeat(plane, max_v // comp.v, axis=0)
+            if max_h // comp.h > 1:
+                plane = np.repeat(plane, max_h // comp.h, axis=1)
+            planes.append(plane)
+        if len(components) == 1:
+            gray = planes[0][:height, :width].astype(np.uint8)
+            return JpegImage(width, height, ColorType.GRAY, gray)
+        y = planes[0][:height, :width]
+        cb = planes[1][:height, :width] - 128
+        cr = planes[2][:height, :width] - 128
+        return JpegImage(
+            width, height, ColorType.RGB, ycbcr_to_rgb_int_np(y, cb, cr)
+        )
+
     planes = []
     for ci, comp in enumerate(components):
         q = qtables[comp.quant_id].astype(np.int32)

@@ -428,6 +428,61 @@ def native_count_symbols(
     return dc_lum, dc_chrom, ac_lum, ac_chrom
 
 
+def native_jpeg_decode_pixels(
+    comp_coeffs, qtables_zz, comp_h, comp_v,
+    mcu_cols: int, mcu_rows: int, max_h: int, max_v: int,
+    width: int, height: int,
+):
+    """Host pixel tail: dezigzag+dequant+jidctint+assemble+upsample+color.
+
+    comp_coeffs: list of [nb, 64] int16 zigzag arrays (one per component);
+    qtables_zz: list of [64] uint16 zigzag dequant tables.
+    Returns [H, W, 3] (or [H, W] gray) uint8, or None if unavailable.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "jpeg_decode_pixels"):
+        return None
+    if not hasattr(lib.jpeg_decode_pixels, "_configured"):
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.jpeg_decode_pixels.restype = ctypes.c_int64
+        lib.jpeg_decode_pixels.argtypes = [
+            i16p, i64p, u16p, i32p, i32p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, u8p,
+        ]
+        lib.jpeg_decode_pixels._configured = True
+    ncomp = len(comp_coeffs)
+    coeffs = np.ascontiguousarray(
+        np.concatenate([np.asarray(c, np.int16) for c in comp_coeffs])
+    )
+    offs = np.zeros(ncomp + 1, np.int64)
+    for i, c in enumerate(comp_coeffs):
+        offs[i + 1] = offs[i] + len(c)
+    qt = np.ascontiguousarray(
+        np.stack([np.asarray(q, np.uint16) for q in qtables_zz])
+    )
+    ch = np.asarray(comp_h, np.int32)
+    cv = np.asarray(comp_v, np.int32)
+    out = np.empty((height, width, 3) if ncomp == 3 else (height, width),
+                   np.uint8)
+    rc = lib.jpeg_decode_pixels(
+        coeffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        qt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ch.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ncomp, mcu_cols, mcu_rows, max_h, max_v, width, height, _u8(out),
+    )
+    if rc != 0:
+        return None
+    return out
+
+
 def native_deflate(
     data: bytes, level: int, zlib_wrap: bool, parity: bool = False,
     packed: bool = False,

@@ -4320,3 +4320,140 @@ EXPORT int64_t inflate_decompress(const uint8_t* data, int64_t len,
     }
     return opos;
 }
+
+// ============================ JPEG pixel tail ===============================
+// Host tier for the decode pixel stage: dezigzag + dequant + jidctint IDCT
+// + plane assembly + nearest chroma upsample + fixed-point BT.601 inverse,
+// in one pass per image.  Bit-exact with ops/jpeg_decode.py
+// idct8x8_int / ycbcr_to_rgb_int (the jnp device tier) — the jidctint
+// algebra below mirrors ops/jpeg_decode.py:44-99 line for line (NOT the
+// reference's idct.rs, whose fix_mul placement bug we do not reproduce).
+
+namespace jpegpix {
+
+static const int ZZ[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+};
+
+static const int64_t CB = 13;            // CONST_BITS
+static const int64_t PB = 2;             // PASS1_BITS
+static const int64_t R1 = 1LL << (CB - PB - 1);
+static const int64_t R2 = 1LL << (CB + PB + 3 - 1);
+
+static inline void idct_1d(const int64_t d[8], int64_t o[8]) {
+    int64_t z1 = (d[2] + d[6]) * 4433;
+    int64_t tmp2 = z1 - d[6] * 15137;
+    int64_t tmp3 = z1 + d[2] * 6270;
+    int64_t tmp0 = (d[0] + d[4]) << 13;
+    int64_t tmp1 = (d[0] - d[4]) << 13;
+    int64_t tmp10 = tmp0 + tmp3, tmp13 = tmp0 - tmp3;
+    int64_t tmp11 = tmp1 + tmp2, tmp12 = tmp1 - tmp2;
+
+    int64_t za = d[7] + d[1], zb = d[5] + d[3];
+    int64_t zc = d[7] + d[3], zd = d[5] + d[1];
+    int64_t z5 = (zc + zd) * 9633;
+    int64_t t0 = d[7] * 2446, t1 = d[5] * 16819;
+    int64_t t2 = d[3] * 25172, t3 = d[1] * 12299;
+    za *= -7373; zb *= -20995;
+    zc = zc * -16069 + z5;
+    zd = zd * -3196 + z5;
+    t0 += za + zc; t1 += zb + zd; t2 += zb + zc; t3 += za + zd;
+
+    o[0] = tmp10 + t3; o[1] = tmp11 + t2; o[2] = tmp12 + t1;
+    o[3] = tmp13 + t0; o[4] = tmp13 - t0; o[5] = tmp12 - t1;
+    o[6] = tmp11 - t2; o[7] = tmp10 - t3;
+}
+
+static void idct_block(const int16_t* zzc, const uint16_t* qzz,
+                       uint8_t out[64]) {
+    int64_t natural[64];
+    for (int i = 0; i < 64; i++) natural[i] = 0;
+    for (int i = 0; i < 64; i++)
+        natural[ZZ[i]] = (int64_t)zzc[i] * (int64_t)qzz[i];
+
+    int64_t ws[64];
+    // pass 1: columns
+    for (int c = 0; c < 8; c++) {
+        int64_t d[8], o[8];
+        for (int r = 0; r < 8; r++) d[r] = natural[r * 8 + c];
+        idct_1d(d, o);
+        for (int r = 0; r < 8; r++)
+            ws[r * 8 + c] = (o[r] + R1) >> (CB - PB);
+    }
+    // pass 2: rows
+    for (int r = 0; r < 8; r++) {
+        int64_t d[8], o[8];
+        for (int c = 0; c < 8; c++) d[c] = ws[r * 8 + c];
+        idct_1d(d, o);
+        for (int c = 0; c < 8; c++) {
+            int64_t v = ((o[c] + R2) >> (CB + PB + 3)) + 128;
+            out[r * 8 + c] = (uint8_t)(v < 0 ? 0 : v > 255 ? 255 : v);
+        }
+    }
+}
+
+}  // namespace jpegpix
+
+// coeffs: concatenated [nblocks_total, 64] int16 zigzag streams, component
+// blocks contiguous (offsets in comp_off[ncomp+1]); qtables [ncomp][64]
+// zigzag; comp_h/comp_v sampling factors. out: [height, width, ncomp==1?1:3].
+EXPORT int64_t jpeg_decode_pixels(
+    const int16_t* coeffs, const int64_t* comp_off, const uint16_t* qtables,
+    const int32_t* comp_h, const int32_t* comp_v, int32_t ncomp,
+    int32_t mcu_cols, int32_t mcu_rows, int32_t max_h, int32_t max_v,
+    int32_t width, int32_t height, uint8_t* out) {
+    using namespace jpegpix;
+    if (ncomp != 1 && ncomp != 3) return -1;
+
+    std::vector<std::vector<uint8_t>> planes(ncomp);
+    std::vector<int> pw(ncomp), ph(ncomp);
+    for (int ci = 0; ci < ncomp; ci++) {
+        int bw = mcu_cols * comp_h[ci];
+        int bh = mcu_rows * comp_v[ci];
+        pw[ci] = bw * 8; ph[ci] = bh * 8;
+        planes[ci].resize((size_t)pw[ci] * ph[ci]);
+        const int16_t* src = coeffs + comp_off[ci] * 64;
+        int64_t nb = comp_off[ci + 1] - comp_off[ci];
+        if (nb != (int64_t)bw * bh) return -2;
+        const uint16_t* q = qtables + (size_t)ci * 64;
+        uint8_t blk[64];
+        for (int64_t b = 0; b < nb; b++) {
+            idct_block(src + b * 64, q, blk);
+            int by = (int)(b / bw), bx = (int)(b % bw);
+            uint8_t* dst = planes[ci].data() + (size_t)by * 8 * pw[ci] + bx * 8;
+            for (int r = 0; r < 8; r++)
+                memcpy(dst + (size_t)r * pw[ci], blk + r * 8, 8);
+        }
+    }
+
+    if (ncomp == 1) {
+        for (int y = 0; y < height; y++)
+            memcpy(out + (size_t)y * width,
+                   planes[0].data() + (size_t)y * pw[0], width);
+        return 0;
+    }
+
+    int hr1 = max_h / comp_h[1], vr1 = max_v / comp_v[1];
+    int hr2 = max_h / comp_h[2], vr2 = max_v / comp_v[2];
+    for (int y = 0; y < height; y++) {
+        const uint8_t* yrow = planes[0].data() + (size_t)y * pw[0];
+        const uint8_t* cbrow = planes[1].data() + (size_t)(y / vr1) * pw[1];
+        const uint8_t* crrow = planes[2].data() + (size_t)(y / vr2) * pw[2];
+        uint8_t* orow = out + (size_t)y * width * 3;
+        for (int x = 0; x < width; x++) {
+            int32_t Y = yrow[x];
+            int32_t cb = (int32_t)cbrow[x / hr1] - 128;
+            int32_t cr = (int32_t)crrow[x / hr2] - 128;
+            int32_t r = Y + ((cr * 359) >> 8);
+            int32_t g = Y - ((cb * 88 + cr * 183) >> 8);
+            int32_t b = Y + ((cb * 454) >> 8);
+            orow[x * 3 + 0] = (uint8_t)(r < 0 ? 0 : r > 255 ? 255 : r);
+            orow[x * 3 + 1] = (uint8_t)(g < 0 ? 0 : g > 255 ? 255 : g);
+            orow[x * 3 + 2] = (uint8_t)(b < 0 ? 0 : b > 255 ? 255 : b);
+        }
+    }
+    return 0;
+}
