@@ -535,3 +535,40 @@ class TestDecodePixelTiers:
             monkeypatch.setenv("PIXO_TPU_DECODE_PIXELS", tier)
             outs[tier] = np.asarray(decode_jpeg(f).pixels)
         assert np.array_equal(outs["device"], outs["host"])
+
+
+class TestUnfilterDevice:
+    """Device PNG unfilter (wavefront scan, ops/png_unfilter.py) vs the
+    host tiers — bit-identical across filter mixes and bpp (the
+    SURVEY §7.6 'device unfilter' kernel)."""
+
+    @pytest.mark.parametrize("bpp,rb,h", [(3, 48, 16), (4, 64, 20),
+                                          (1, 31, 9), (8, 64, 12)])
+    def test_matches_host(self, bpp, rb, h):
+        from pixo_tpu.decode.png_decoder import unfilter
+        from pixo_tpu.ops.png_unfilter import unfilter_device
+
+        rng = np.random.default_rng(bpp * 100 + h)
+        filters = rng.integers(0, 5, h).astype(np.int32)
+        payload = rng.integers(0, 256, (h, rb), dtype=np.uint8)
+        raw = b"".join(
+            bytes([filters[y]]) + payload[y].tobytes() for y in range(h)
+        )
+        host = np.asarray(unfilter(raw, h, rb, bpp)).reshape(h, rb)
+        dev = np.asarray(unfilter_device(payload, filters, bpp=bpp))
+        assert np.array_equal(host, dev)
+
+    def test_batch(self):
+        from pixo_tpu.decode.png_decoder import unfilter
+        from pixo_tpu.ops.png_unfilter import unfilter_device_batch
+
+        rng = np.random.default_rng(1)
+        f = rng.integers(0, 5, (3, 16)).astype(np.int32)
+        p = rng.integers(0, 256, (3, 16, 48), dtype=np.uint8)
+        dev = np.asarray(unfilter_device_batch(p, f, bpp=3))
+        for i in range(3):
+            raw = b"".join(
+                bytes([f[i, y]]) + p[i, y].tobytes() for y in range(16)
+            )
+            host = np.asarray(unfilter(raw, 16, 48, 3)).reshape(16, 48)
+            assert np.array_equal(host, dev[i])
