@@ -4438,15 +4438,20 @@ EXPORT int64_t jpeg_decode_pixels(
 
     int hr1 = max_h / comp_h[1], vr1 = max_v / comp_v[1];
     int hr2 = max_h / comp_h[2], vr2 = max_v / comp_v[2];
+    // sampling ratios are powers of two (1/2/4): shift, never divide —
+    // ~12M integer divisions per 3 MP image cost more than the IDCT
+    auto sh = [](int r) { return r == 1 ? 0 : r == 2 ? 1 : r == 4 ? 2 : -1; };
+    int hs1 = sh(hr1), vs1 = sh(vr1), hs2 = sh(hr2), vs2 = sh(vr2);
+    if (hs1 < 0 || vs1 < 0 || hs2 < 0 || vs2 < 0) return -3;
     for (int y = 0; y < height; y++) {
         const uint8_t* yrow = planes[0].data() + (size_t)y * pw[0];
-        const uint8_t* cbrow = planes[1].data() + (size_t)(y / vr1) * pw[1];
-        const uint8_t* crrow = planes[2].data() + (size_t)(y / vr2) * pw[2];
+        const uint8_t* cbrow = planes[1].data() + (size_t)(y >> vs1) * pw[1];
+        const uint8_t* crrow = planes[2].data() + (size_t)(y >> vs2) * pw[2];
         uint8_t* orow = out + (size_t)y * width * 3;
         for (int x = 0; x < width; x++) {
             int32_t Y = yrow[x];
-            int32_t cb = (int32_t)cbrow[x / hr1] - 128;
-            int32_t cr = (int32_t)crrow[x / hr2] - 128;
+            int32_t cb = (int32_t)cbrow[x >> hs1] - 128;
+            int32_t cr = (int32_t)crrow[x >> hs2] - 128;
             int32_t r = Y + ((cr * 359) >> 8);
             int32_t g = Y - ((cb * 88 + cr * 183) >> 8);
             int32_t b = Y + ((cb * 454) >> 8);
