@@ -249,6 +249,7 @@ def main() -> None:
     args = ap.parse_args()
     if args.device == "cpu":
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        os.environ.setdefault("PIXO_TPU_COEFFS", "host")
         import jax
 
         jax.config.update("jax_platforms", "cpu")

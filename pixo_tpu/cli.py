@@ -169,6 +169,10 @@ def main(argv=None) -> int:
         # The env override must be paired with the config update - this
         # harness's TPU plugin injects itself over JAX_PLATFORMS alone.
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        # host tiers: reference-exact f32 (XLA:CPU's LLVM backend FMA-
+        # contracts large fusions — see ops/dct.py note; the TPU backend
+        # is exact) and no XLA compile latency in the one-shot path
+        os.environ.setdefault("PIXO_TPU_COEFFS", "host")
         try:
             import jax
 

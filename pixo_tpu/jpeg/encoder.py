@@ -78,10 +78,53 @@ def _device_coeffs(img, lum_q, chrom_q, *, color: str, subsampling: str):
     return zigzag_blocks(coeffs).reshape(-1, 64)
 
 
+def _coeff_tier() -> str:
+    """"device" (jnp kernels, default) or "host" (NumPy mirrors — no XLA
+    dispatch; the one-shot CLI latency tier).  PIXO_TPU_COEFFS overrides.
+    Both tiers are bit-identical (the mirrors ARE the kernel-equality
+    oracles, tests/test_kernel_equality.py)."""
+    import os
+
+    return os.environ.get("PIXO_TPU_COEFFS", "device")
+
+
+def compute_coefficients_host(
+    img: np.ndarray, options: JpegOptions, quant: QuantizationTables
+) -> np.ndarray:
+    """NumPy-mirror coefficient pipeline: pad/blockify -> AAN f32 DCT ->
+    quantize -> zigzag, bit-equal to _device_coeffs without touching
+    XLA (no compile/dispatch latency for one-shot runs)."""
+    from ..ops.blockify import blocks_420_np, blocks_444_np, blocks_gray_np
+    from ..ops.dct import dct8x8_aan_np
+    from ..ops.quantize import quantize_blocks_np, zigzag_blocks_np
+
+    lum = quant.luminance_table.reshape(8, 8).astype(np.float32)
+    chrom = quant.chrominance_table.reshape(8, 8).astype(np.float32)
+    if options.color_type == ColorType.GRAY:
+        blocks = blocks_gray_np(img)
+        qmap = lum[None]
+        bpm = 1
+    elif options.subsampling == Subsampling.S420:
+        blocks = blocks_420_np(img)
+        qmap = np.stack([lum] * 4 + [chrom] * 2)
+        bpm = 6
+    else:
+        blocks = blocks_444_np(img)
+        qmap = np.stack([lum, chrom, chrom])
+        bpm = 3
+    dct = dct8x8_aan_np(blocks)
+    coeffs = quantize_blocks_np(dct.reshape(-1, bpm, 8, 8), qmap[None])
+    return zigzag_blocks_np(coeffs).reshape(-1, 64)
+
+
 def compute_coefficients(
     img: np.ndarray, options: JpegOptions, quant: QuantizationTables
 ) -> np.ndarray:
-    """Run the device pipeline for one image; returns host [nblocks, 64] i16."""
+    """Coefficient pipeline for one image; returns host [nblocks, 64] i16.
+    Tier per :func:`_coeff_tier` (device kernels / NumPy host mirrors,
+    bit-identical)."""
+    if _coeff_tier() == "host":
+        return compute_coefficients_host(img, options, quant)
     color = "gray" if options.color_type == ColorType.GRAY else "rgb"
     sub = "420" if options.subsampling == Subsampling.S420 else "444"
     lum = jnp.asarray(quant.luminance_table.reshape(8, 8))

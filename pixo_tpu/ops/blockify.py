@@ -133,12 +133,23 @@ def blocks_444_np(rgb: "np.ndarray") -> "np.ndarray":
     xs = np.minimum(np.arange(pw), w - 1)
     img = rgb[ys][:, xs]
     ycc = rgb_to_ycbcr_np(img).astype(np.float32) - 128.0
-    out = []
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for c in range(3):
-                out.append(ycc[by : by + 8, bx : bx + 8, c])
-    return np.stack(out)
+    # block order (by, bx, c) — vectorized form of the scalar loop
+    t = ycc.reshape(ph // 8, 8, pw // 8, 8, 3)
+    return np.ascontiguousarray(
+        t.transpose(0, 2, 4, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def blocks_gray_np(gray: "np.ndarray") -> "np.ndarray":
+    import numpy as np
+
+    h, w = gray.shape[:2]
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    ys = np.minimum(np.arange(ph), h - 1)
+    xs = np.minimum(np.arange(pw), w - 1)
+    img = gray[ys][:, xs].astype(np.float32) - 128.0
+    t = img.reshape(ph // 8, 8, pw // 8, 8)
+    return np.ascontiguousarray(t.transpose(0, 2, 1, 3).reshape(-1, 8, 8))
 
 
 def blocks_420_np(rgb: "np.ndarray") -> "np.ndarray":
@@ -161,15 +172,14 @@ def blocks_420_np(rgb: "np.ndarray") -> "np.ndarray":
         return (q[:, 0, :, 0] + q[:, 0, :, 1] + q[:, 1, :, 0] + q[:, 1, :, 1]) * 0.25 - 128.0
 
     cbs, crs = avg(cb), avg(cr)
-    out = []
-    for my in range(0, ph, 16):
-        for mx in range(0, pw, 16):
-            for by in range(2):
-                for bx in range(2):
-                    out.append(
-                        yf[my + by * 8 : my + by * 8 + 8, mx + bx * 8 : mx + bx * 8 + 8]
-                    )
-            cy, cx = my // 2, mx // 2
-            out.append(cbs[cy : cy + 8, cx : cx + 8])
-            out.append(crs[cy : cy + 8, cx : cx + 8])
-    return np.stack(out)
+    nmy, nmx = ph // 16, pw // 16
+    # Y: per-MCU 2x2 blocks in (by, bx) order
+    ymcu = (
+        yf.reshape(nmy, 2, 8, nmx, 2, 8)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(nmy, nmx, 4, 8, 8)
+    )
+    cbb = cbs.reshape(nmy, 8, nmx, 8).transpose(0, 2, 1, 3)[:, :, None]
+    crb = crs.reshape(nmy, 8, nmx, 8).transpose(0, 2, 1, 3)[:, :, None]
+    mcu = np.concatenate([ymcu, cbb, crb], axis=2)  # [nmy, nmx, 6, 8, 8]
+    return np.ascontiguousarray(mcu.reshape(-1, 8, 8))

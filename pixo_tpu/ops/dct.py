@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -38,6 +39,17 @@ S = np.array(
 )
 
 
+# f32 exactness note (round 3): the TPU backend compiles this butterfly
+# with NO fused-multiply-add contraction — jit output is bit-identical to
+# the scalar semantics (verified on the v5e against the NumPy mirror).
+# XLA:CPU's LLVM backend, however, contracts mul+add pairs inside large
+# fusions (measured: ~46% of DCT values drift by half an ULP at 512x512,
+# flipping ~1 in 800k round-half-away quantization ties).  HLO
+# optimization barriers do NOT survive the CPU pipeline, so the CPU
+# backend cannot be made exact from jax; the host NumPy/native tiers are
+# the exact path there (the CLI pins PIXO_TPU_COEFFS=host for this
+# reason).  --xla_backend_optimization_level=0 also restores exactness,
+# at a global compile-quality cost.
 def _aan_1d(cols):
     """One AAN 1D DCT pass over a list of eight [N]-shaped f32 arrays.
 

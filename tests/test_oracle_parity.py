@@ -320,6 +320,24 @@ def test_png_lossy_noisy_bytes_identical_to_pixo(monkeypatch):
     assert bytes(ours) == bytes(ref)
 
 
+def test_png_lossy_rgba_alpha_bytes_identical_to_pixo(monkeypatch):
+    """Alpha-carrying lossy: non-opaque pixels take the direct-redmean
+    dither fallback (not the 6-6-6 LUT) and alpha feeds the histogram,
+    median-cut 4th channel, and tRNS trim — all byte-identical."""
+    monkeypatch.setenv("PIXO_TPU_DEFLATE_PARITY", "1")
+    h = w = 32
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    rgba = np.stack(
+        [xx * 255 // 31, yy * 255 // 31, ((xx + yy) * 255 // 62),
+         np.minimum(255, 60 + xx * 6)], axis=-1
+    ).astype(np.uint8)
+    ref = cached_call("png", rgba.tobytes(), w, h, 3, 1, True)
+    opts = PngOptions.from_preset_with_lossless(w, h, 1, lossless=False)
+    opts.color_type = ColorType.RGBA
+    ours = png.encode(rgba, opts)
+    assert bytes(ours) == bytes(ref)
+
+
 def test_png_lossy_bytes_identical_to_pixo(monkeypatch):
     """The WHOLE lossy stack — sampled histogram, median-cut (Rust
     last-max box ties), k-means, 6-6-6 LUT, FS dithering, mZeng reorder,
