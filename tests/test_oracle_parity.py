@@ -389,3 +389,29 @@ def test_jpeg_preset2_reference_corruption_grows_with_scale():
     assert np.abs(po - img.astype(int)).mean() * 2 < np.abs(
         pr - img.astype(int)
     ).mean()
+
+
+def test_real_fixture_png_bytes_identical_to_pixo(monkeypatch):
+    """Flagship byte-parity proof: the reference's own checked-in
+    squoosh_example_palette.png (1024x540 UI screenshot) decoded and
+    re-encoded at balanced preset is byte-identical to the real pixo
+    encoder — every stage (palette screen, indexed + mZeng, filters,
+    parity DEFLATE) exact at full fixture scale (157,293 bytes)."""
+    from pathlib import Path
+
+    fixture = Path(
+        "/root/reference/tests/fixtures/reference/squoosh_example_palette.png"
+    )
+    if not fixture.exists():
+        pytest.skip("reference fixtures not present")
+    monkeypatch.setenv("PIXO_TPU_DEFLATE_PARITY", "1")
+    from pixo_tpu.decode import decode_png
+
+    r = decode_png(fixture.read_bytes())
+    px = np.asarray(r.pixels).reshape(r.height, r.width, -1)
+    code = {1: 0, 2: 1, 3: 2, 4: 3}[px.shape[2]]
+    ref = cached_call("png", px.tobytes(), r.width, r.height, code, 1, False)
+    opts = PngOptions.from_preset(r.width, r.height, 1)
+    opts.color_type = _PNG_CT[code]
+    ours = png.encode(px, opts)
+    assert bytes(ours) == bytes(ref)
