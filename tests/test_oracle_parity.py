@@ -391,17 +391,22 @@ def test_jpeg_preset2_reference_corruption_grows_with_scale():
     ).mean()
 
 
-def test_real_fixture_png_bytes_identical_to_pixo(monkeypatch):
-    """Flagship byte-parity proof: the reference's own checked-in
-    squoosh_example_palette.png (1024x540 UI screenshot) decoded and
-    re-encoded at balanced preset is byte-identical to the real pixo
-    encoder — every stage (palette screen, indexed + mZeng, filters,
-    parity DEFLATE) exact at full fixture scale (157,293 bytes)."""
+@pytest.mark.parametrize(
+    "name",
+    [
+        # 1024x540 UI screenshot: palette screen + indexed + mZeng path
+        "reference/squoosh_example_palette.png",
+        # 740x740 RGBA avatar: truecolor path, alpha opt, full-scale LZ77
+        "avatar-color.png",
+    ],
+)
+def test_real_fixture_png_bytes_identical_to_pixo(name, monkeypatch):
+    """Flagship byte-parity proofs on the reference's own checked-in
+    fixtures at FULL size, balanced preset: every stage exact
+    (squoosh_palette 157,293 B; avatar-color 541,043 B)."""
     from pathlib import Path
 
-    fixture = Path(
-        "/root/reference/tests/fixtures/reference/squoosh_example_palette.png"
-    )
+    fixture = Path("/root/reference/tests/fixtures") / name
     if not fixture.exists():
         pytest.skip("reference fixtures not present")
     monkeypatch.setenv("PIXO_TPU_DEFLATE_PARITY", "1")
