@@ -398,6 +398,8 @@ def test_jpeg_preset2_reference_corruption_grows_with_scale():
         "reference/squoosh_example_palette.png",
         # 740x740 RGBA avatar: truecolor path, alpha opt, full-scale LZ77
         "avatar-color.png",
+        # 1376x768 RGB photo: photographic truecolor, adaptive filters
+        "rocket.png",
     ],
 )
 def test_real_fixture_png_bytes_identical_to_pixo(name, monkeypatch):
