@@ -18,10 +18,13 @@ tier and batched over images:
     stay exactly representable in f32, so summation order cannot change
     the result (see test_kernel_equality.py::TestDitherDevice).
 
-Integer-range contract: color sums inside k-means use int32; exact while
-``sum(counts) * 255 < 2**31`` (images up to ~8.4 M sampled pixels —
-every supported sampled histogram, which caps at 50 k colors with
-stride-scaled counts bounded by the pixel count).
+Integer-range contract: color sums inside k-means use int32; callers
+must guarantee ``sum(counts) * 255 < 2**31``.  The png.quantize callers
+enforce this by dividing each histogram's counts by their GCD first
+(``_device_kmeans_weights`` — exact, since floor quotients are invariant
+under a common weight divisor, and stride-scaled counts always share the
+stride as a divisor) and fall back to the uint64 host tier for any
+weight vector that cannot be reduced into range.
 """
 
 from __future__ import annotations
@@ -102,24 +105,13 @@ def kmeans_refine_device(
     return jax.lax.fori_loop(0, iterations, body, palette.astype(jnp.uint8))
 
 
-def _lut_grid_np() -> np.ndarray:
-    v6 = np.arange(64, dtype=np.uint8)
-    v8 = (v6 << 2) | (v6 >> 4)
-    r = np.repeat(v8, 64 * 64)
-    g = np.tile(np.repeat(v8, 64), 64)
-    b = np.tile(v8, 64 * 64)
-    a = np.full(64 * 64 * 64, 255, np.uint8)
-    return np.stack([r, g, b, a], axis=1)
-
-
-_LUT_GRID = None
-
-
 def _lut_grid() -> np.ndarray:
-    global _LUT_GRID
-    if _LUT_GRID is None:
-        _LUT_GRID = _lut_grid_np()
-    return _LUT_GRID
+    # the host tier's cached [262144, 4] 6-6-6 grid — one definition, so
+    # the device LUT can never diverge from the host LUT it must equal
+    # (lazy import: png.quantize imports this module inside functions)
+    from ..png.quantize import _lut_grid as host_grid
+
+    return host_grid()
 
 
 @jax.jit

@@ -352,6 +352,28 @@ def _pad_hist(colors: np.ndarray, counts: np.ndarray, m: int = 8192):
     return pc, pw
 
 
+def _device_kmeans_weights(counts: np.ndarray):
+    """Weights safe for the device k-means' int32 accumulators, or None.
+
+    Centroids are floor(sum(c*w) / sum(w)); dividing every weight by a
+    common divisor leaves both quotients' exact rational unchanged, so
+    the result is bit-equal.  Histogram counts are sample counts scaled
+    by the sampling stride (``_sampled_histogram``), so their GCD
+    absorbs the stride and the reduced weights sum to the raw sample
+    count (<= ~100k) — far inside int32 range.  For arbitrary caller
+    weights whose GCD is 1 the reduction can be a no-op; return None
+    then so callers take the (uint64) host tier instead of overflowing.
+    """
+    nz = counts[counts > 0]
+    if len(nz) == 0:
+        return counts
+    g = int(np.gcd.reduce(nz.astype(np.uint64)))
+    reduced = (counts.astype(np.uint64) // max(g, 1)).astype(np.uint32)
+    if int(reduced.sum(dtype=np.uint64)) * 255 >= 2**31:
+        return None
+    return reduced
+
+
 def _pad_palette(palette: np.ndarray, k: int = 256) -> np.ndarray:
     """Pad to K entries with duplicates of entry 0: duplicates at higher
     indices can never win a first-min tie, so assignments, LUTs and
@@ -379,12 +401,16 @@ def _quantize_device(
 
     pal0 = median_cut_palette(colors, counts, max_colors, refine=False)
     true_k = len(pal0)
-    pc, pw = _pad_hist(colors, counts)
-    pal = np.asarray(
-        qd.kmeans_refine_device(
-            _pad_palette(pal0), pc, pw, np.int32(true_k)
+    dw = _device_kmeans_weights(counts)
+    if dw is None:  # int32-unsafe weights: exact host refinement instead
+        pal = refine_palette_kmeans(pal0, colors, counts)
+    else:
+        pc, pw = _pad_hist(colors, dw)
+        pal = np.asarray(
+            qd.kmeans_refine_device(
+                _pad_palette(pal0), pc, pw, np.int32(true_k)
+            )
         )
-    )
     # re-pad with the FINAL entry 0 so padded rows are true duplicates
     # again (harmless in first-min ties) for the LUT/dither stages
     pal = _pad_palette(pal[:true_k])
@@ -419,17 +445,31 @@ def quantize_batch(
     already fits max_colors take the exact-mapping host branch (identical
     to quantize_image).  Bytes equal per-image quantize_image in every
     case."""
+    import os
+
     from ..ops import quantize_device as qd
 
     b, h, w = imgs.shape[:3]
     flat = imgs.reshape(b, h * w, imgs.shape[3])
     results: list = [None] * b
+    if os.environ.get("PIXO_TPU_QUANTIZE") == "host":
+        # explicit host pin: honor the same escape hatch quantize_image does
+        for i in range(b):
+            results[i] = quantize_image(
+                flat[i], w, h, max_colors, dithering, mode="host"
+            )
+        return results
     dev_members = []
     for i in range(b):
         pixels = flat[i]
         colors, counts = _sampled_histogram(pixels)
         if len(colors) <= max_colors:
             results[i] = quantize_image(pixels, w, h, max_colors, dithering)
+        elif _device_kmeans_weights(counts) is None:
+            # int32-unsafe weights for the device k-means: exact host tier
+            results[i] = quantize_image(
+                pixels, w, h, max_colors, dithering, mode="host"
+            )
         else:
             dev_members.append((i, pixels, colors, counts))
     if not dev_members:
@@ -440,7 +480,7 @@ def quantize_batch(
         pal0 = median_cut_palette(colors, counts, max_colors, refine=False)
         true_ks.append(len(pal0))
         pals0.append(_pad_palette(pal0))
-        pc, pw = _pad_hist(colors, counts)
+        pc, pw = _pad_hist(colors, _device_kmeans_weights(counts))
         pcs.append(pc)
         pws.append(pw)
         rgba = (

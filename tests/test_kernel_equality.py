@@ -427,6 +427,38 @@ class TestQuantizeDeviceEquality:
         )[:100]
         assert np.array_equal(host, dev)
 
+    def test_kmeans_refine_large_image_weights(self):
+        """Stride-scaled counts from a multi-megapixel image would
+        overflow the device kernel's int32 accumulators; the caller-side
+        GCD reduction must keep centroids bit-equal to the uint64 host
+        tier (regression: int32 wrap produced garbage palettes)."""
+        from pixo_tpu.ops.quantize_device import kmeans_refine_device
+        from pixo_tpu.png import quantize as Q
+
+        rng = self._rng()
+        colors = rng.integers(0, 256, (800, 4), dtype=np.uint8)
+        # ~12 MP image: ~50k samples scaled by stride 241
+        orig = rng.integers(1, 120, 800).astype(np.uint64)
+        counts = (orig * 241).astype(np.uint32)
+        assert int(counts.sum(dtype=np.uint64)) * 255 >= 2**31
+        palette = rng.integers(0, 256, (64, 4), dtype=np.uint8)
+        host = Q.refine_palette_kmeans(palette.copy(), colors, counts)
+        dw = Q._device_kmeans_weights(counts)
+        assert dw is not None and int(dw.sum(dtype=np.uint64)) * 255 < 2**31
+        pc, pw = Q._pad_hist(colors, dw)
+        dev = np.asarray(
+            kmeans_refine_device(
+                Q._pad_palette(palette, 64), pc, pw, np.int32(64)
+            )
+        )[:64]
+        assert np.array_equal(host, dev)
+
+    def test_kmeans_weights_unreducible_falls_back(self):
+        from pixo_tpu.png import quantize as Q
+
+        bad = np.array([2**31 // 255, 2**31 // 255 + 1], np.uint32)
+        assert Q._device_kmeans_weights(bad) is None
+
     def test_palette_lut(self):
         from pixo_tpu.ops.quantize_device import palette_lut_device
         from pixo_tpu.png import quantize as Q
