@@ -4407,6 +4407,14 @@ EXPORT int64_t jpeg_decode_pixels(
     int32_t width, int32_t height, uint8_t* out) {
     using namespace jpegpix;
     if (ncomp != 1 && ncomp != 3) return -1;
+    // the interleave loops index the first plane at full resolution;
+    // spec-legal files with subsampled luma (comp 0 below max factors)
+    // must take the generic Python upsampling tier instead of
+    // overreading plane rows here
+    if (comp_h[0] != max_h || comp_v[0] != max_v) return -3;
+    if ((int64_t)width > (int64_t)mcu_cols * max_h * 8 ||
+        (int64_t)height > (int64_t)mcu_rows * max_v * 8)
+        return -2;
 
     std::vector<std::vector<uint8_t>> planes(ncomp);
     std::vector<int> pw(ncomp), ph(ncomp);

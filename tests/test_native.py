@@ -304,3 +304,34 @@ class TestFirstCallDeterminism:
         )
         assert r2.returncode == 0, r2.stdout + r2.stderr
         assert r.stdout == r2.stdout
+
+
+@needs_native
+class TestJpegDecodePixelsGuards:
+    """The native pixel tail indexes the luma plane at full resolution;
+    it must refuse (and let the generic Python tier handle) any legal
+    geometry it cannot index safely, instead of overreading plane rows."""
+
+    def _call(self, comp_h, comp_v, max_h, max_v, w, h, mcus=2):
+        from pixo_tpu.native import native_jpeg_decode_pixels
+
+        coeffs = [
+            np.zeros((mcus * ch * mcus * cv, 64), np.int16)
+            for ch, cv in zip(comp_h, comp_v)
+        ]
+        q = [np.ones(64, np.uint16)] * len(comp_h)
+        return native_jpeg_decode_pixels(
+            coeffs, q, comp_h, comp_v, mcus, mcus, max_h, max_v, w, h
+        )
+
+    def test_subsampled_luma_refused(self):
+        # spec-legal Y=1x1 Cb=Cr=2x2: yrow[x] would read past pw[0]
+        assert self._call([1, 2, 2], [1, 2, 2], 2, 2, 32, 32) is None
+
+    def test_oversized_dims_refused(self):
+        assert self._call([2, 1, 1], [2, 1, 1], 2, 2, 33, 32) is None
+        assert self._call([2, 1, 1], [2, 1, 1], 2, 2, 32, 33) is None
+
+    def test_normal_420_accepted(self):
+        out = self._call([2, 1, 1], [2, 1, 1], 2, 2, 32, 32)
+        assert out is not None and out.shape == (32, 32, 3)
