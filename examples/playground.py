@@ -15,11 +15,9 @@ Usage: python examples/playground.py [--port 8077] [--device cpu|default]
 from __future__ import annotations
 
 import argparse
-import io
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -79,8 +77,9 @@ function fmt(n) { return n >= 1048576 ? (n/1048576).toFixed(2)+" MB"
 async function submit(file) {
   const tb = document.querySelector("#jobs tbody");
   const tr = document.createElement("tr");
-  tr.innerHTML = `<td></td><td>${file.name}</td><td>…</td>` +
+  tr.innerHTML = `<td></td><td></td><td>…</td>` +
     `<td>${fmt(file.size)}</td><td>…</td><td>…</td><td>…</td><td></td>`;
+  tr.cells[1].textContent = file.name;  // never innerHTML: names are untrusted
   tb.appendChild(tr);
   const qs = new URLSearchParams({
     format: $("format").value, preset: $("preset").value,
@@ -103,97 +102,43 @@ async function submit(file) {
     tr.cells[5].innerHTML = `<span class="${save >= 0 ? "savings-pos" :
       "savings-neg"}">${save.toFixed(1)}%</span>`;
     tr.cells[6].textContent = meta.elapsed_ms.toFixed(0);
-    tr.cells[7].innerHTML = `<a href="${url}" download="${meta.out_name}">save</a>`;
+    const a = document.createElement("a");
+    a.href = url; a.textContent = "save";
+    a.download = meta.out_name;  // attribute assignment: no HTML parsing
+    tr.cells[7].replaceChildren(a);
   } catch (err) { tr.cells[4].textContent = "error: " + err.message; }
 }
 </script></body></html>
 """
 
 
-def compress_bytes(data: bytes, params: dict) -> tuple[bytes, dict]:
-    """One job: decode -> [resize] -> encode with the requested options.
+# The job function lives in the package (pixo_tpu.playground) so the
+# worker-pool service can pickle it into spawned processes; re-exported
+# here for direct use and tests.
+from pixo_tpu.playground import compress_bytes  # noqa: E402
 
-    Mirrors compress-client.ts compressImage/resizeImage semantics.
+
+_SVC = None  # CompressService once spawned; False after a hard failure
+
+
+def _service():
+    """Lazy worker-pool service (the reference's web-worker split).
+
+    Returns None when disabled (--inline) or after an unrecoverable
+    spawn failure — jobs then run inline in the handler thread.
     """
-    import numpy as np
+    global _SVC
+    if _SVC is False or os.environ.get("PIXO_TPU_PLAYGROUND_INLINE"):
+        return None
+    if _SVC is None:
+        try:
+            from pixo_tpu.parallel.service import CompressService
 
-    from pixo_tpu import ColorType, JpegOptions, PngOptions, jpeg, png
-    from pixo_tpu.cli import load_image
-    from pixo_tpu.options import (
-        QuantizationMode,
-        QuantizationOptions,
-        ResizeFilter,
-        ResizeOptions,
-        Subsampling,
-    )
-    from pixo_tpu.resize import resize as do_resize
-
-    t0 = time.perf_counter()
-    px, w, h, _src_ct = load_image(data)  # our own decoders
-    px = np.asarray(px)
-    if px.ndim == 2:
-        px = px[..., None]
-    px = px.reshape(h, w, -1)
-    c = px.shape[2]
-
-    rw = int(params.get("rw") or 0)
-    rh = int(params.get("rh") or 0)
-    if rw and rh:
-        ct = {1: ColorType.GRAY, 2: ColorType.GRAY_ALPHA,
-              3: ColorType.RGB, 4: ColorType.RGBA}[c]
-        px = np.asarray(
-            do_resize(
-                px,
-                ResizeOptions(
-                    src_width=w, src_height=h, dst_width=rw, dst_height=rh,
-                    color_type=ct, filter=ResizeFilter.LANCZOS3,
-                ),
-            )
-        ).reshape(rh, rw, c)
-        h, w = rh, rw
-
-    fmt = params.get("format", "auto")
-    name = params.get("name", "image")
-    if fmt == "auto":
-        fmt = "jpeg" if name.lower().endswith((".jpg", ".jpeg")) else "png"
-    preset = int(params.get("preset", 1))
-    quality = int(params.get("quality", 85))
-
-    if fmt == "jpeg":
-        if c == 4:  # strip alpha like the playground's stripAlpha
-            px = px[..., :3]
-            c = 3
-        opts = JpegOptions.from_preset(w, h, quality, preset)
-        if c == 1:
-            opts.color_type = ColorType.GRAY
-            px = px[..., 0]
-        opts.subsampling = (
-            Subsampling.S420 if params.get("sub420") == "true"
-            else Subsampling.S444
-        )
-        out = jpeg.encode(np.ascontiguousarray(px), opts)
-        ext, mime = "jpg", "image/jpeg"
-    else:
-        opts = PngOptions.from_preset(w, h, preset)
-        opts.color_type = {1: ColorType.GRAY, 2: ColorType.GRAY_ALPHA,
-                           3: ColorType.RGB, 4: ColorType.RGBA}[c]
-        if params.get("lossless") != "true":
-            opts.quantization = QuantizationOptions(
-                mode=QuantizationMode.AUTO, max_colors=256, dithering=True
-            )
-        out = png.encode(np.ascontiguousarray(px), opts)
-        ext, mime = "png", "image/png"
-
-    stem = name.rsplit(".", 1)[0] or "image"
-    meta = {
-        "width": w,
-        "height": h,
-        "out_size": len(out),
-        "out_name": f"{stem}.pixo.{ext}",
-        "mime": mime,
-        "elapsed_ms": (time.perf_counter() - t0) * 1000.0,
-    }
-    return bytes(out), meta
+            _SVC = CompressService(workers=2)
+        except Exception:  # noqa: BLE001 - no multiprocessing: inline
+            _SVC = False
+            return None
+    return _SVC
 
 
 def make_handler():
@@ -224,7 +169,15 @@ def make_handler():
             n = int(self.headers.get("Content-Length", "0"))
             data = self.rfile.read(n)
             try:
-                out, meta = compress_bytes(data, params)
+                svc = _service()
+                if svc is not None:
+                    # worker-pool path: same ids/deadline/crash-recovery
+                    # contract as the reference's web worker
+                    out, meta = svc.submit_raw(
+                        compress_bytes, data, params
+                    ).result()
+                else:
+                    out, meta = compress_bytes(data, params)
             except Exception as e:  # noqa: BLE001 - surface to the page
                 msg = f"{type(e).__name__}: {e}".encode()
                 self.send_response(422)
