@@ -179,6 +179,18 @@ def main(argv=None) -> int:
             jax.config.update("jax_platforms", "cpu")
         except Exception:  # noqa: BLE001 - jax absent/odd: encoders cope
             pass
+    else:  # --device default
+        # whatever JAX selects; but if that turns out to be the CPU
+        # backend, the coefficient tier must still be the exact host
+        # path — XLA:CPU FMA-contracts the DCT fusion (ops/dct.py note)
+        # and would silently break reference byte-parity
+        try:
+            import jax
+
+            if jax.default_backend() == "cpu":
+                os.environ.setdefault("PIXO_TPU_COEFFS", "host")
+        except Exception:  # noqa: BLE001
+            os.environ.setdefault("PIXO_TPU_COEFFS", "host")
 
     # persistent XLA compile cache: repeat one-shot runs on the same
     # shapes skip recompilation (utils/jaxcache.py)
