@@ -70,6 +70,10 @@ class _HuffTable:
     LUT_BITS = 8
 
     def __init__(self, bits: bytes, vals: bytes):
+        if len(bits) != 16:
+            raise errors.InvalidDecode("truncated DHT segment")
+        if len(vals) < sum(bits):
+            raise errors.InvalidDecode("truncated DHT value list")
         self.vals = vals
         self.spec = (bytes(bits), bytes(vals))  # for the native decoders
         self.min_code = [0] * 17
@@ -85,6 +89,9 @@ class _HuffTable:
                 self.max_code[ln] = code + count - 1
                 k += count
                 code += count
+            if code > (1 << ln):
+                # over-subscribed canonical code space (Kraft sum > 1)
+                raise errors.InvalidDecode("invalid DHT code counts")
             code <<= 1
         # fast 8-bit lookahead: (symbol, length) or (-1, 0)
         self.lut = [(-1, 0)] * (1 << self.LUT_BITS)
@@ -217,12 +224,14 @@ def decode_jpeg(data: bytes, fancy_upsampling: bool = False) -> JpegImage:
                 pq = seg[i] >> 4
                 tq = seg[i] & 0x0F
                 i += 1
+                nbytes = 128 if pq else 64
+                if i + nbytes > len(seg):
+                    raise errors.InvalidDecode("truncated DQT segment")
                 if pq == 0:
                     qtables[tq] = np.frombuffer(seg[i : i + 64], np.uint8).astype(np.uint16)
-                    i += 64
                 else:
                     qtables[tq] = np.frombuffer(seg[i : i + 128], ">u2").astype(np.uint16)
-                    i += 128
+                i += nbytes
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -230,6 +239,8 @@ def decode_jpeg(data: bytes, fancy_upsampling: bool = False) -> JpegImage:
                 th = seg[i] & 0x0F
                 bits = seg[i + 1 : i + 17]
                 total = sum(bits)
+                if len(bits) < 16 or i + 17 + total > len(seg):
+                    raise errors.InvalidDecode("truncated DHT segment")
                 vals = seg[i + 17 : i + 17 + total]
                 table = _HuffTable(bits, vals)
                 if tc == 0:
@@ -242,6 +253,8 @@ def decode_jpeg(data: bytes, fancy_upsampling: bool = False) -> JpegImage:
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             sof_seen = True
             progressive = marker == 0xC2
+            if len(seg) < 6:
+                raise errors.InvalidDecode("truncated SOF segment")
             height = (seg[1] << 8) | seg[2]
             width = (seg[3] << 8) | seg[4]
             ncomp = seg[5]
@@ -249,13 +262,23 @@ def decode_jpeg(data: bytes, fancy_upsampling: bool = False) -> JpegImage:
                 raise errors.UnsupportedDecode("non-8-bit precision")
             if ncomp not in (1, 3):
                 raise errors.UnsupportedDecode(f"{ncomp} components")
+            if len(seg) < 6 + 3 * ncomp:
+                raise errors.InvalidDecode("truncated SOF segment")
             components = []
             for c in range(ncomp):
                 off = 6 + c * 3
-                components.append(
-                    _Component(seg[off], seg[off + 1] >> 4, seg[off + 1] & 0x0F,
-                               seg[off + 2])
-                )
+                comp = _Component(seg[off], seg[off + 1] >> 4, seg[off + 1] & 0x0F,
+                                  seg[off + 2])
+                if not (1 <= comp.h <= 4 and 1 <= comp.v <= 4):
+                    raise errors.InvalidDecode("invalid sampling factors")
+                components.append(comp)
+            # fractional-ratio sampling (e.g. 3:2) has no integer upsample;
+            # reject like libjpeg's "fractional sampling not implemented"
+            sof_max_h = max(c.h for c in components)
+            sof_max_v = max(c.v for c in components)
+            for comp in components:
+                if sof_max_h % comp.h or sof_max_v % comp.v:
+                    raise errors.UnsupportedDecode("fractional sampling ratios")
         elif marker in SOF_UNSUPPORTED:
             raise errors.UnsupportedDecode(f"SOF marker 0xFF{marker:02X} (non-baseline)")
         elif marker == 0xDD:  # DRI
@@ -269,6 +292,8 @@ def decode_jpeg(data: bytes, fancy_upsampling: bool = False) -> JpegImage:
                     dc_tables, ac_tables, restart_interval, fancy_upsampling,
                 )
             ns = seg[0]
+            if not 1 <= ns <= 4 or len(seg) < 1 + 2 * ns + 3:
+                raise errors.InvalidDecode("truncated SOS segment")
             for c in range(ns):
                 cid = seg[1 + c * 2]
                 tsel = seg[2 + c * 2]
@@ -422,7 +447,10 @@ def _decode_scan(
                     # DC
                     s = dc_t.decode(reader)
                     diff = _extend(reader.read_bits(s), s) if s else 0
-                    prev_dc[ci] += diff
+                    # wrap like 16-bit coefficient storage would: a corrupt
+                    # stream may accumulate past int16 without being invalid
+                    # at any single step
+                    prev_dc[ci] = ((prev_dc[ci] + diff + 0x8000) & 0xFFFF) - 0x8000
                     block[0] = prev_dc[ci]
                     # AC
                     k = 1
@@ -540,8 +568,9 @@ def _finish_scan(coeffs, width, height, components, qtables,
 def _prog_dc_first(reader, dc_t, block, al, prev_dc, ci):
     s = dc_t.decode(reader)
     diff = _extend(reader.read_bits(s), s) if s else 0
-    prev_dc[ci] += diff
-    block[0] = prev_dc[ci] << al
+    # wrap into int16 range (see the baseline scan): corruption-robust
+    prev_dc[ci] = ((prev_dc[ci] + diff + 0x8000) & 0xFFFF) - 0x8000
+    block[0] = (((prev_dc[ci] << al) + 0x8000) & 0xFFFF) - 0x8000
 
 
 def _prog_dc_refine(reader, block, al):
@@ -739,6 +768,8 @@ def _decode_progressive(
     while True:
         # ---- decode the scan whose header is in sos_seg ----
         ns = sos_seg[0]
+        if not 1 <= ns <= 4 or len(sos_seg) < 1 + 2 * ns + 3:
+            raise errors.InvalidDecode("truncated SOS segment")
         scan_comps = []
         for c in range(ns):
             cid = sos_seg[1 + c * 2]

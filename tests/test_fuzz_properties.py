@@ -133,6 +133,116 @@ class TestDeflateFuzz:
         assert zlib.decompress(c) == data
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _mutation_corpus():
+    """Small valid streams for mutation fuzzing (encoded once)."""
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (17, 24, 3), dtype=np.uint8)
+    pal = np.concatenate(
+        [rng.integers(0, 5, (20, 20, 3), dtype=np.uint8) * 51,
+         np.full((20, 20, 1), 255, np.uint8)], axis=2,
+    )
+    out = {}
+    out["png_rgb"] = bytes(
+        png.encode(rgb, PngOptions(width=24, height=17,
+                                   color_type=ColorType.RGB))
+    )
+    out["png_pal"] = bytes(png.encode(pal, PngOptions.balanced(20, 20)))
+    out["jpeg_420"] = bytes(
+        jpeg.encode(rgb, JpegOptions(width=24, height=17, quality=80,
+                                     subsampling=Subsampling.S420,
+                                     restart_interval=2))
+    )
+    out["jpeg_prog"] = bytes(
+        jpeg.encode(rgb, JpegOptions(width=24, height=17, quality=80,
+                                     progressive=True))
+    )
+    return out
+
+
+def _png_fix_crcs(data: bytes) -> bytes:
+    """Recompute every chunk CRC so payload corruption survives the CRC
+    check and reaches INFLATE/unfilter/expansion."""
+    out = bytearray(data[:8])
+    i = 8
+    while i + 8 <= len(data):
+        ln = int.from_bytes(data[i:i + 4], "big")
+        chunk = data[i + 4:i + 8 + ln]
+        if len(chunk) < 4 + ln:
+            out += data[i:]
+            break
+        out += data[i:i + 4] + chunk
+        out += zlib.crc32(chunk).to_bytes(4, "big")
+        i += 12 + ln
+    return bytes(out)
+
+
+class TestDecodeMutationFuzz:
+    """Mutation fuzzing: take VALID encoder output and truncate it, flip
+    bits, or corrupt payload windows. The decoders must either succeed
+    or raise PixoError — never hang, crash, or leak a foreign exception
+    (zlib.error, struct.error, IndexError, ...). This is the decode-side
+    complement of the reference's structured-input fuzz targets
+    (tests/fuzz/fuzz_targets/*.rs), which are encode-only."""
+
+    def _expect_clean(self, decode, data):
+        from pixo_tpu import errors
+
+        try:
+            decode(bytes(data))
+        except errors.PixoError:
+            pass
+
+    @fuzz_settings
+    @given(key=st.sampled_from(["png_rgb", "png_pal"]),
+           frac=st.floats(0.0, 1.0))
+    def test_png_truncation(self, key, frac):
+        data = _mutation_corpus()[key]
+        self._expect_clean(decode_png, data[: int(len(data) * frac)])
+
+    @fuzz_settings
+    @given(key=st.sampled_from(["png_rgb", "png_pal"]),
+           pos=st.integers(8, 10_000), bit=st.integers(0, 7))
+    def test_png_bitflip(self, key, pos, bit):
+        data = bytearray(_mutation_corpus()[key])
+        data[pos % len(data)] ^= 1 << bit
+        self._expect_clean(decode_png, data)
+
+    @fuzz_settings
+    @given(key=st.sampled_from(["png_rgb", "png_pal"]),
+           pos=st.integers(0, 10_000), seed=st.integers(0, 2**32 - 1),
+           n=st.integers(1, 16))
+    def test_png_payload_corruption_reaches_inflate(self, key, pos, seed, n):
+        # corrupt a window, then FIX the chunk CRCs: the corruption must
+        # be handled by INFLATE / unfilter / palette expansion, not
+        # masked by the CRC guard
+        data = bytearray(_mutation_corpus()[key])
+        rng = np.random.default_rng(seed)
+        start = 8 + pos % max(len(data) - 8 - n, 1)
+        data[start:start + n] = rng.integers(0, 256, n, np.uint8).tobytes()
+        self._expect_clean(decode_png, _png_fix_crcs(bytes(data)))
+
+    @fuzz_settings
+    @given(key=st.sampled_from(["jpeg_420", "jpeg_prog"]),
+           frac=st.floats(0.0, 1.0))
+    def test_jpeg_truncation(self, key, frac):
+        data = _mutation_corpus()[key]
+        self._expect_clean(decode_jpeg, data[: int(len(data) * frac)])
+
+    @fuzz_settings
+    @given(key=st.sampled_from(["jpeg_420", "jpeg_prog"]),
+           pos=st.integers(2, 10_000), bit=st.integers(0, 7))
+    def test_jpeg_bitflip(self, key, pos, bit):
+        # no CRC in JPEG: every flip lands on live marker parsing or the
+        # entropy decoder
+        data = bytearray(_mutation_corpus()[key])
+        data[pos % len(data)] ^= 1 << bit
+        self._expect_clean(decode_jpeg, data)
+
+
 class TestDecodeFuzzRobustness:
     @fuzz_settings
     @given(data=st.binary(min_size=0, max_size=300))
