@@ -168,15 +168,24 @@ def decode_png(data: bytes, *, keep_bit_depth: bool = False) -> PngImage:
 
     if color_type == 3:
         assert plte is not None
-        if int(samples.max(initial=0)) >= len(plte):
-            raise errors.InvalidDecode("palette index out of range")
-        if trns is not None and len(trns) > 0:
+        # reference parity (src/decode/png.rs:492-530): out-of-range
+        # indices expand to opaque black, and tRNS upgrades the output to
+        # RGBA only when it contains a non-opaque entry
+        # (has_alpha_in_trns, src/decode/png.rs:70-73)
+        oob = samples >= len(plte)
+        if oob.any():
+            samples = np.where(oob, 0, samples)
+        if trns is not None and bool((np.asarray(trns) != 0xFF).any()):
             alpha = np.full(len(plte), 255, np.uint8)
             alpha[: min(len(trns), len(plte))] = trns[: len(plte)]
             rgba = np.concatenate([plte, alpha[:, None]], axis=1)
             pixels = rgba[samples]
+            if oob.any():
+                pixels[oob] = (0, 0, 0, 255)
             return PngImage(width, height, ColorType.RGBA, pixels)
         pixels = plte[samples]
+        if oob.any():
+            pixels[oob] = (0, 0, 0)
         return PngImage(width, height, ColorType.RGB, pixels)
 
     ct = {0: ColorType.GRAY, 2: ColorType.RGB, 4: ColorType.GRAY_ALPHA,
