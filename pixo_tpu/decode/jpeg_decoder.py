@@ -93,6 +93,12 @@ class _HuffTable:
                 # over-subscribed canonical code space (Kraft sum > 1)
                 raise errors.InvalidDecode("invalid DHT code counts")
             code <<= 1
+        self.lut = None  # built on first Python-tier decode; the native
+        # decoders only consume .spec, so eager construction would cost
+        # ~0.2 ms/image of pure-Python loops for nothing
+
+    def _build_lut(self):
+        bits, vals = self.spec
         # fast 8-bit lookahead: (symbol, length) or (-1, 0)
         self.lut = [(-1, 0)] * (1 << self.LUT_BITS)
         code = 0
@@ -107,6 +113,8 @@ class _HuffTable:
             code <<= 1
 
     def decode(self, reader: "_MsbReader") -> int:
+        if self.lut is None:
+            self._build_lut()
         peek = reader.peek(self.LUT_BITS)
         sym, ln = self.lut[peek]
         if ln and reader.has_bits(ln):
@@ -388,38 +396,29 @@ def _decode_scan(
             raise errors.InvalidDecode("missing Huffman table")
 
     # Per-component coefficient stores over the MCU-padded block grid.
+    # np.empty is safe: both the native decoder (memset per block) and the
+    # Python fallback (whole-block assignment) write every block of the
+    # padded grid before it is read.
     coeffs = [
-        np.zeros((mcu_rows * c.v * mcu_cols * c.h, 64), np.int16)
+        np.empty((mcu_rows * c.v * mcu_cols * c.h, 64), np.int16)
         for c in components
     ]
 
     segments, _ = _split_entropy(scan_data)
 
-    from ..native import native_jpeg_decode_segment
+    from ..native import native_jpeg_decode_scan
 
-    native_ok = True
     prev_dc_arr = np.zeros(len(components), np.int32)
     comp_h = [c.h for c in components]
     comp_v = [c.v for c in components]
     dcs = [dc_specs[c.dc_table] for c in components]
     acs = [ac_specs[c.ac_table] for c in components]
-    for si, seg in enumerate(segments):
-        if restart_interval:
-            m0 = si * restart_interval
-            m1 = min((si + 1) * restart_interval, total_mcus)
-        else:
-            m0, m1 = 0, total_mcus
-        if m0 >= m1:
-            continue
-        prev_dc_arr[:] = 0
-        ok = native_jpeg_decode_segment(
-            seg, m0, m1, mcu_cols, comp_h, comp_v, dcs, acs, coeffs, prev_dc_arr
-        )
-        if not ok:
-            native_ok = False
-            break
-        if restart_interval and m1 < total_mcus and si + 1 >= len(segments):
-            raise errors.InvalidDecode("missing restart segment")
+    # one native call for the whole scan: the segment loop (and the DC
+    # predictor reset per restart segment) runs inside the library
+    native_ok = bool(segments) and native_jpeg_decode_scan(
+        segments, restart_interval, total_mcus, mcu_cols,
+        comp_h, comp_v, dcs, acs, coeffs, prev_dc_arr
+    )
     if native_ok and restart_interval and len(segments) < -(-total_mcus // restart_interval):
         raise errors.InvalidDecode("missing restart segment")
     if native_ok:

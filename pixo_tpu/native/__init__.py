@@ -144,6 +144,19 @@ def _configure(lib) -> None:
         i32p,
     ]
 
+    if hasattr(lib, "jpeg_decode_scan"):
+        lib.jpeg_decode_scan.restype = ctypes.c_int32
+        lib.jpeg_decode_scan.argtypes = [
+            u8p, i64p, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32,
+            i32p, i32p,
+            u8p, u8p, i32p,
+            u8p, u8p, i32p,
+            ctypes.POINTER(i16p),
+            i32p,
+        ]
+
     lib.jpeg_prog_dc_segment.restype = ctypes.c_int32
     lib.jpeg_prog_dc_segment.argtypes = [
         u8p, ctypes.c_int64,
@@ -670,6 +683,68 @@ def native_jpeg_decode_segment(
     rc = lib.jpeg_decode_segment(
         _u8(seg_arr), len(seg),
         mcu_start, mcu_end, mcu_cols, ncomp,
+        ch.ctypes.data_as(i32p), cv.ctypes.data_as(i32p),
+        _u8(dc_bits), _u8(dc_vals), dc_off.ctypes.data_as(i32p),
+        _u8(ac_bits), _u8(ac_vals), ac_off.ctypes.data_as(i32p),
+        planes_arr,
+        prev_dc.ctypes.data_as(i32p),
+    )
+    return rc == 0
+
+
+def native_jpeg_decode_scan(
+    segments,        # list of bytes (pre-split, unstuffed restart segments)
+    restart_interval: int,
+    total_mcus: int,
+    mcu_cols: int,
+    comp_h,
+    comp_v,
+    dc_specs,   # list of (bits16, vals) per component
+    ac_specs,
+    coeff_planes,  # list of np.int16 [nblocks, 64] arrays (written in place)
+    prev_dc: np.ndarray,  # int32 [ncomp], in/out scratch
+) -> bool:
+    """Decode every restart segment of a baseline scan in one native
+    call (the per-segment ctypes crossing costs ~35 us; a DRI=1 stream
+    has thousands of segments)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "jpeg_decode_scan"):
+        return False
+    ncomp = len(comp_h)
+    joined = b"".join(segments)
+    seg_arr = np.frombuffer(joined, np.uint8) if joined else np.zeros(1, np.uint8)
+    seg_off = np.zeros(len(segments) + 1, np.int64)
+    np.cumsum([len(s) for s in segments], out=seg_off[1:])
+    ch = np.asarray(comp_h, dtype=np.int32)
+    cv = np.asarray(comp_v, dtype=np.int32)
+    dc_bits = np.concatenate([np.frombuffer(b, np.uint8) for b, _ in dc_specs])
+    ac_bits = np.concatenate([np.frombuffer(b, np.uint8) for b, _ in ac_specs])
+    dc_vals = np.concatenate(
+        [np.frombuffer(v, np.uint8) if v else np.zeros(1, np.uint8) for _, v in dc_specs]
+    )
+    ac_vals = np.concatenate(
+        [np.frombuffer(v, np.uint8) if v else np.zeros(1, np.uint8) for _, v in ac_specs]
+    )
+    dc_off = np.zeros(ncomp, np.int32)
+    ac_off = np.zeros(ncomp, np.int32)
+    o = 0
+    for i, (_, v) in enumerate(dc_specs):
+        dc_off[i] = o
+        o += max(len(v), 1)
+    o = 0
+    for i, (_, v) in enumerate(ac_specs):
+        ac_off[i] = o
+        o += max(len(v), 1)
+
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    planes_arr = (i16p * ncomp)(
+        *[p.ctypes.data_as(i16p) for p in coeff_planes]
+    )
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.jpeg_decode_scan(
+        _u8(seg_arr), seg_off.ctypes.data_as(i64p), len(segments),
+        restart_interval, total_mcus, mcu_cols, ncomp,
         ch.ctypes.data_as(i32p), cv.ctypes.data_as(i32p),
         _u8(dc_bits), _u8(dc_vals), dc_off.ctypes.data_as(i32p),
         _u8(ac_bits), _u8(ac_vals), ac_off.ctypes.data_as(i32p),

@@ -1259,6 +1259,19 @@ struct MsbReader {
         : data(d), len(l), pos(0), acc(0), nbits(0), error(false) {}
 
     inline void fill() {
+        // fast path: one unaligned big-endian 64-bit load tops the
+        // accumulator up instead of a per-byte loop
+        if (pos + 8 <= len) {
+            int add = (56 - nbits) >> 3;
+            if (add <= 0) return;
+            uint64_t chunk;
+            memcpy(&chunk, data + pos, 8);
+            chunk = __builtin_bswap64(chunk);
+            acc = (acc << (add * 8)) | (chunk >> (64 - add * 8));
+            pos += add;
+            nbits += add * 8;
+            return;
+        }
         while (nbits <= 56 && pos < len) {
             acc = (acc << 8) | data[pos++];
             nbits += 8;
@@ -1311,6 +1324,61 @@ static inline int extend(uint32_t bits, int size) {
     return (int)bits;
 }
 
+// Combined AC lookahead: a 12-bit window resolves the Huffman code AND
+// its appended value bits in one table hit for most symbols (libjpeg-
+// turbo style).  run 0xFF = EOB, 0xFE = ZRL; len 0 = fall back to the
+// canonical walk.
+struct AcLut {
+    // packed entry: len(8) | run(8) | val(16); len 0 = slow path,
+    // run 0xFF = EOB, 0xFE = ZRL — one cache line stream per hit
+    uint32_t e[4096];
+    // content key: restart-interval streams call per segment with the
+    // same tables; rebuild only when the spec actually changes
+    uint8_t key_bits[16];
+    uint8_t key_vals[256];
+    int key_n = -1;
+
+    static inline uint32_t pack(int len, int run, int16_t val) {
+        return (uint32_t)(uint8_t)len | ((uint32_t)(uint8_t)run << 8) |
+               ((uint32_t)(uint16_t)val << 16);
+    }
+
+    void build(const uint8_t* bits, const uint8_t* values) {
+        int n = 0;
+        for (int i = 0; i < 16; i++) n += bits[i];
+        if (n > 256) n = 256;
+        if (key_n == n && memcmp(key_bits, bits, 16) == 0 &&
+            memcmp(key_vals, values, (size_t)n) == 0)
+            return;
+        memcpy(key_bits, bits, 16);
+        memcpy(key_vals, values, (size_t)n);
+        key_n = n;
+        memset(e, 0, sizeof(e));
+        int code = 0, k = 0;
+        for (int ln = 1; ln <= 12; ln++) {
+            for (int c = 0; c < bits[ln - 1]; c++, code++, k++) {
+                int rs = values[k];
+                int rrun = rs >> 4, size = rs & 15;
+                int prefix = code << (12 - ln);
+                if (size == 0) {
+                    uint32_t ent = pack(ln, rrun == 15 ? 0xFE : 0xFF, 0);
+                    for (int f = 0; f < (1 << (12 - ln)); f++)
+                        e[prefix | f] = ent;
+                } else if (ln + size <= 12) {
+                    int rem = 12 - ln - size;
+                    for (int v = 0; v < (1 << size); v++) {
+                        uint32_t ent = pack(ln + size, rrun,
+                                            (int16_t)extend((uint32_t)v, size));
+                        int base = prefix | (v << rem);
+                        for (int f = 0; f < (1 << rem); f++) e[base | f] = ent;
+                    }
+                }
+            }
+            code <<= 1;
+        }
+    }
+};
+
 }  // namespace jdec
 
 // Decode one entropy segment covering MCUs [mcu_start, mcu_end).
@@ -1327,14 +1395,20 @@ EXPORT int32_t jpeg_decode_segment(
     int32_t* prev_dc /* per component, in/out */) {
     using namespace jdec;
     HuffDec dct[4], act[4];
+    // a DC symbol is (run=0, size=s), so the same combined builder
+    // yields a (code+diff-bits) LUT; entry run==0xFF marks size 0 (diff 0)
+    static thread_local AcLut aclut[4], dclut[4];
     for (int c = 0; c < ncomp; c++) {
         dct[c].build(dc_bits + 16 * c, dc_vals_flat + dc_vals_off[c]);
         act[c].build(ac_bits + 16 * c, ac_vals_flat + ac_vals_off[c]);
+        aclut[c].build(ac_bits + 16 * c, ac_vals_flat + ac_vals_off[c]);
+        dclut[c].build(dc_bits + 16 * c, dc_vals_flat + dc_vals_off[c]);
     }
     MsbReader r(seg, seg_len);
     for (int64_t mcu = mcu_start; mcu < mcu_end; mcu++) {
         int64_t my = mcu / mcu_cols, mx = mcu % mcu_cols;
         for (int c = 0; c < ncomp; c++) {
+            const AcLut& L = aclut[c];
             for (int by = 0; by < comp_v[c]; by++) {
                 for (int bx = 0; bx < comp_h[c]; bx++) {
                     int64_t row = my * comp_v[c] + by;
@@ -1342,13 +1416,43 @@ EXPORT int32_t jpeg_decode_segment(
                     int16_t* block =
                         coeff_planes[c] + (row * (int64_t)(mcu_cols * comp_h[c]) + col) * 64;
                     memset(block, 0, 128);
-                    int s = r.decode(dct[c]);
-                    if (s < 0 || s > 15) return -1;
-                    int diff = s ? extend(r.read_bits(s), s) : 0;
+                    if (r.nbits < 27) r.fill();
+                    int diff;
+                    uint32_t dent = 0;
+                    if (r.nbits >= 12)
+                        dent = dclut[c].e[(r.acc >> (r.nbits - 12)) & 0xFFF];
+                    int dtl = (int)(dent & 0xFF);
+                    if (dtl && dtl <= r.nbits) {
+                        r.nbits -= dtl;
+                        diff = (((dent >> 8) & 0xFF) == 0xFF)
+                                   ? 0
+                                   : (int)(int16_t)(dent >> 16);
+                    } else {
+                        int s = r.decode(dct[c]);
+                        if (s < 0 || s > 15) return -1;
+                        diff = s ? extend(r.read_bits(s), s) : 0;
+                    }
                     prev_dc[c] += diff;
                     block[0] = (int16_t)prev_dc[c];
                     int k = 1;
                     while (k < 64) {
+                        if (r.nbits < 27) r.fill();
+                        if (r.nbits >= 12) {
+                            int p = (int)((r.acc >> (r.nbits - 12)) & 0xFFF);
+                            uint32_t ent = L.e[p];
+                            int tl = (int)(ent & 0xFF);
+                            if (tl && tl <= r.nbits) {
+                                r.nbits -= tl;
+                                uint32_t run = (ent >> 8) & 0xFF;
+                                if (run == 0xFF) break;      // EOB
+                                if (run == 0xFE) { k += 16; continue; }  // ZRL
+                                k += (int)run;
+                                if (k > 63) return -1;
+                                block[k] = (int16_t)(ent >> 16);
+                                k++;
+                                continue;
+                            }
+                        }
                         int rs = r.decode(act[c]);
                         if (rs < 0) return -1;
                         int run = rs >> 4, size = rs & 0x0F;
@@ -1365,6 +1469,34 @@ EXPORT int32_t jpeg_decode_segment(
                 }
             }
         }
+    }
+    return 0;
+}
+
+// Whole-scan driver: loops restart segments inside the library so a
+// restart-heavy stream (DRI=1..4) costs one FFI crossing instead of one
+// per segment (~35 us each through ctypes).  Segment si covers MCUs
+// [si*ri, min((si+1)*ri, total)); DC predictors reset per segment.
+EXPORT int32_t jpeg_decode_scan(
+    const uint8_t* segs, const int64_t* seg_off, int32_t nseg,
+    int64_t restart_interval, int64_t total_mcus, int32_t mcu_cols,
+    int32_t ncomp, const int32_t* comp_h, const int32_t* comp_v,
+    const uint8_t* dc_bits, const uint8_t* dc_vals_flat, const int32_t* dc_vals_off,
+    const uint8_t* ac_bits, const uint8_t* ac_vals_flat, const int32_t* ac_vals_off,
+    int16_t** coeff_planes, int32_t* prev_dc) {
+    for (int32_t si = 0; si < nseg; si++) {
+        int64_t m0 = restart_interval ? si * restart_interval : 0;
+        int64_t m1 = restart_interval ? (si + 1) * restart_interval : total_mcus;
+        if (m1 > total_mcus) m1 = total_mcus;
+        if (m0 >= m1) break;
+        for (int c = 0; c < ncomp && c < 4; c++) prev_dc[c] = 0;
+        int32_t rc = jpeg_decode_segment(
+            segs + seg_off[si], seg_off[si + 1] - seg_off[si], m0, m1,
+            mcu_cols, ncomp, comp_h, comp_v, dc_bits, dc_vals_flat,
+            dc_vals_off, ac_bits, ac_vals_flat, ac_vals_off, coeff_planes,
+            prev_dc);
+        if (rc != 0) return rc;
+        if (!restart_interval) break;
     }
     return 0;
 }
@@ -4371,20 +4503,41 @@ static void idct_block(const int16_t* zzc, const uint16_t* qzz,
                        uint8_t out[64]) {
     int64_t natural[64];
     for (int i = 0; i < 64; i++) natural[i] = 0;
-    for (int i = 0; i < 64; i++)
+    int last = 63;
+    while (last > 0 && zzc[last] == 0) last--;
+    for (int i = 0; i <= last; i++)
         natural[ZZ[i]] = (int64_t)zzc[i] * (int64_t)qzz[i];
 
     int64_t ws[64];
-    // pass 1: columns
+    // pass 1: columns.  DC-only column shortcut is bit-exact: with
+    // d[1..7]=0 every o[r] is d[0]<<13, and (d0<<13 + R1) >> (CB-PB)
+    // == d0<<2 because the rounding bit (1<<10) can never carry past
+    // the shifted-away low 11 bits.
     for (int c = 0; c < 8; c++) {
+        const int64_t* col = natural + c;
+        if ((col[8] | col[16] | col[24] | col[32] | col[40] | col[48] |
+             col[56]) == 0) {
+            int64_t v = col[0] << PB;
+            for (int r = 0; r < 8; r++) ws[r * 8 + c] = v;
+            continue;
+        }
         int64_t d[8], o[8];
         for (int r = 0; r < 8; r++) d[r] = natural[r * 8 + c];
         idct_1d(d, o);
         for (int r = 0; r < 8; r++)
             ws[r * 8 + c] = (o[r] + R1) >> (CB - PB);
     }
-    // pass 2: rows
+    // pass 2: rows.  DC-only row => every o[c] is d[0]<<13 exactly, so
+    // the rounded/shifted/clamped sample is computed once and replicated.
     for (int r = 0; r < 8; r++) {
+        const int64_t* row = ws + r * 8;
+        if ((row[1] | row[2] | row[3] | row[4] | row[5] | row[6] |
+             row[7]) == 0) {
+            int64_t v = (((row[0] << CB) + R2) >> (CB + PB + 3)) + 128;
+            uint8_t s = (uint8_t)(v < 0 ? 0 : v > 255 ? 255 : v);
+            memset(out + r * 8, s, 8);
+            continue;
+        }
         int64_t d[8], o[8];
         for (int c = 0; c < 8; c++) d[c] = ws[r * 8 + c];
         idct_1d(d, o);
@@ -4394,6 +4547,122 @@ static void idct_block(const int16_t* zzc, const uint16_t* qzz,
         }
     }
 }
+
+#if defined(__AVX2__)
+// AVX2 IDCT: the whole 8x8 jidctint in epi32 vectors, one vector per
+// row (lanes = columns) for pass 1, transposed for pass 2.  int32 wrap
+// semantics match the device tier (ops/jpeg_decode.py idct8x8_int runs
+// in jnp.int32); conforming streams never overflow, so this is also
+// bit-equal to the int64 scalar fallback on every tested input.
+
+static inline void transpose8x8_epi32(__m256i r[8]) {
+    __m256i t0 = _mm256_unpacklo_epi32(r[0], r[1]);
+    __m256i t1 = _mm256_unpackhi_epi32(r[0], r[1]);
+    __m256i t2 = _mm256_unpacklo_epi32(r[2], r[3]);
+    __m256i t3 = _mm256_unpackhi_epi32(r[2], r[3]);
+    __m256i t4 = _mm256_unpacklo_epi32(r[4], r[5]);
+    __m256i t5 = _mm256_unpackhi_epi32(r[4], r[5]);
+    __m256i t6 = _mm256_unpacklo_epi32(r[6], r[7]);
+    __m256i t7 = _mm256_unpackhi_epi32(r[6], r[7]);
+    __m256i u0 = _mm256_unpacklo_epi64(t0, t2);
+    __m256i u1 = _mm256_unpackhi_epi64(t0, t2);
+    __m256i u2 = _mm256_unpacklo_epi64(t1, t3);
+    __m256i u3 = _mm256_unpackhi_epi64(t1, t3);
+    __m256i u4 = _mm256_unpacklo_epi64(t4, t6);
+    __m256i u5 = _mm256_unpackhi_epi64(t4, t6);
+    __m256i u6 = _mm256_unpacklo_epi64(t5, t7);
+    __m256i u7 = _mm256_unpackhi_epi64(t5, t7);
+    r[0] = _mm256_permute2x128_si256(u0, u4, 0x20);
+    r[1] = _mm256_permute2x128_si256(u1, u5, 0x20);
+    r[2] = _mm256_permute2x128_si256(u2, u6, 0x20);
+    r[3] = _mm256_permute2x128_si256(u3, u7, 0x20);
+    r[4] = _mm256_permute2x128_si256(u0, u4, 0x31);
+    r[5] = _mm256_permute2x128_si256(u1, u5, 0x31);
+    r[6] = _mm256_permute2x128_si256(u2, u6, 0x31);
+    r[7] = _mm256_permute2x128_si256(u3, u7, 0x31);
+}
+
+static inline void idct_pass_avx2(const __m256i d[8], __m256i o[8],
+                                  int shift, __m256i rnd) {
+    auto mulc = [](__m256i v, int32_t c) {
+        return _mm256_mullo_epi32(v, _mm256_set1_epi32(c));
+    };
+    __m256i z1 = mulc(_mm256_add_epi32(d[2], d[6]), 4433);
+    __m256i tmp2 = _mm256_sub_epi32(z1, mulc(d[6], 15137));
+    __m256i tmp3 = _mm256_add_epi32(z1, mulc(d[2], 6270));
+    __m256i tmp0 = _mm256_slli_epi32(_mm256_add_epi32(d[0], d[4]), 13);
+    __m256i tmp1 = _mm256_slli_epi32(_mm256_sub_epi32(d[0], d[4]), 13);
+    __m256i tmp10 = _mm256_add_epi32(tmp0, tmp3);
+    __m256i tmp13 = _mm256_sub_epi32(tmp0, tmp3);
+    __m256i tmp11 = _mm256_add_epi32(tmp1, tmp2);
+    __m256i tmp12 = _mm256_sub_epi32(tmp1, tmp2);
+
+    __m256i za = _mm256_add_epi32(d[7], d[1]);
+    __m256i zb = _mm256_add_epi32(d[5], d[3]);
+    __m256i zc = _mm256_add_epi32(d[7], d[3]);
+    __m256i zd = _mm256_add_epi32(d[5], d[1]);
+    __m256i z5 = mulc(_mm256_add_epi32(zc, zd), 9633);
+    __m256i t0 = mulc(d[7], 2446);
+    __m256i t1 = mulc(d[5], 16819);
+    __m256i t2 = mulc(d[3], 25172);
+    __m256i t3 = mulc(d[1], 12299);
+    za = mulc(za, -7373);
+    zb = mulc(zb, -20995);
+    zc = _mm256_add_epi32(mulc(zc, -16069), z5);
+    zd = _mm256_add_epi32(mulc(zd, -3196), z5);
+    t0 = _mm256_add_epi32(t0, _mm256_add_epi32(za, zc));
+    t1 = _mm256_add_epi32(t1, _mm256_add_epi32(zb, zd));
+    t2 = _mm256_add_epi32(t2, _mm256_add_epi32(zb, zc));
+    t3 = _mm256_add_epi32(t3, _mm256_add_epi32(za, zd));
+
+    auto ds = [&](__m256i v) {
+        return _mm256_srai_epi32(_mm256_add_epi32(v, rnd), shift);
+    };
+    o[0] = ds(_mm256_add_epi32(tmp10, t3));
+    o[1] = ds(_mm256_add_epi32(tmp11, t2));
+    o[2] = ds(_mm256_add_epi32(tmp12, t1));
+    o[3] = ds(_mm256_add_epi32(tmp13, t0));
+    o[4] = ds(_mm256_sub_epi32(tmp13, t0));
+    o[5] = ds(_mm256_sub_epi32(tmp12, t1));
+    o[6] = ds(_mm256_sub_epi32(tmp11, t2));
+    o[7] = ds(_mm256_sub_epi32(tmp10, t3));
+}
+
+static void idct_block_avx2(const int16_t* zzc, const uint16_t* qzz,
+                            uint8_t out[64]) {
+    int last = 63;
+    while (last > 0 && zzc[last] == 0) last--;
+    if (last == 0) {
+        // DC-only block: one sample replicated (both pass shortcuts)
+        int32_t dq = (int32_t)zzc[0] * (int32_t)qzz[0];
+        int32_t ws = dq << PB;
+        int64_t v = ((((int64_t)ws << CB) + R2) >> (CB + PB + 3)) + 128;
+        memset(out, (uint8_t)(v < 0 ? 0 : v > 255 ? 255 : v), 64);
+        return;
+    }
+    alignas(32) int32_t natural[64];
+    memset(natural, 0, sizeof(natural));
+    for (int i = 0; i <= last; i++)
+        natural[ZZ[i]] = (int32_t)zzc[i] * (int32_t)qzz[i];
+
+    __m256i d[8], ws[8], o[8];
+    for (int r = 0; r < 8; r++)
+        d[r] = _mm256_load_si256((const __m256i*)(natural + r * 8));
+    idct_pass_avx2(d, ws, (int)(CB - PB), _mm256_set1_epi32((int32_t)R1));
+    transpose8x8_epi32(ws);  // lanes become rows
+    idct_pass_avx2(ws, o, (int)(CB + PB + 3), _mm256_set1_epi32((int32_t)R2));
+    // o[c] lanes = rows; transpose back so vectors are output rows
+    transpose8x8_epi32(o);
+    const __m256i c128 = _mm256_set1_epi32(128);
+    for (int r = 0; r < 8; r += 2) {
+        __m256i a = _mm256_add_epi32(o[r], c128);
+        __m256i b = _mm256_add_epi32(o[r + 1], c128);
+        __m256i p16 = _mm256_permute4x64_epi64(_mm256_packs_epi32(a, b), 0xD8);
+        __m256i p8 = _mm256_permute4x64_epi64(_mm256_packus_epi16(p16, p16), 0xD8);
+        _mm_storeu_si128((__m128i*)(out + r * 8), _mm256_castsi256_si128(p8));
+    }
+}
+#endif  // __AVX2__
 
 }  // namespace jpegpix
 
@@ -4429,7 +4698,11 @@ EXPORT int64_t jpeg_decode_pixels(
         const uint16_t* q = qtables + (size_t)ci * 64;
         uint8_t blk[64];
         for (int64_t b = 0; b < nb; b++) {
+#if defined(__AVX2__)
+            idct_block_avx2(src + b * 64, q, blk);
+#else
             idct_block(src + b * 64, q, blk);
+#endif
             int by = (int)(b / bw), bx = (int)(b % bw);
             uint8_t* dst = planes[ci].data() + (size_t)by * 8 * pw[ci] + bx * 8;
             for (int r = 0; r < 8; r++)
@@ -4451,6 +4724,107 @@ EXPORT int64_t jpeg_decode_pixels(
     auto sh = [](int r) { return r == 1 ? 0 : r == 2 ? 1 : r == 4 ? 2 : -1; };
     int hs1 = sh(hr1), vs1 = sh(vr1), hs2 = sh(hr2), vs2 = sh(vr2);
     if (hs1 < 0 || vs1 < 0 || hs2 < 0 || vs2 < 0) return -3;
+
+#if defined(__AVX2__)
+    // AVX2 color tail: per-row nearest chroma upsample into padded stack
+    // buffers, then 16-px fixed-point BT.601 inverse with the exact
+    // arithmetic of the scalar loop below (mullo/srai epi32 + saturating
+    // packs == compute-then-clamp, since all terms fit int16 range).
+    {
+        std::vector<uint8_t> cbbuf(width + 64), crbuf(width + 64);
+        auto upsample_row = [&](const uint8_t* src, int hsx, uint8_t* dst) {
+            if (hsx == 0) { memcpy(dst, src, width); return; }
+            if (hsx == 1) {
+                int half = (width + 1) >> 1;
+                int x = 0;
+                for (; x + 16 <= half; x += 16) {
+                    __m128i v = _mm_loadu_si128((const __m128i*)(src + x));
+                    _mm_storeu_si128((__m128i*)(dst + 2 * x),
+                                     _mm_unpacklo_epi8(v, v));
+                    _mm_storeu_si128((__m128i*)(dst + 2 * x + 16),
+                                     _mm_unpackhi_epi8(v, v));
+                }
+                for (; x < half; x++) { dst[2 * x] = src[x]; dst[2 * x + 1] = src[x]; }
+                return;
+            }
+            for (int x = 0; x < width; x++) dst[x] = src[x >> hsx];
+        };
+        // 16-px interleave masks: output chunk k byte i is channel (16k+i)%3
+        // of pixel (16k+i)/3
+        alignas(16) int8_t mr[3][16], mg[3][16], mb[3][16];
+        for (int k = 0; k < 3; k++)
+            for (int i = 0; i < 16; i++) {
+                int j = 16 * k + i;
+                mr[k][i] = (j % 3 == 0) ? (int8_t)(j / 3) : (int8_t)0x80;
+                mg[k][i] = (j % 3 == 1) ? (int8_t)(j / 3) : (int8_t)0x80;
+                mb[k][i] = (j % 3 == 2) ? (int8_t)(j / 3) : (int8_t)0x80;
+            }
+        const __m256i c128 = _mm256_set1_epi32(128);
+        const __m256i c359 = _mm256_set1_epi32(359);
+        const __m256i c88 = _mm256_set1_epi32(88);
+        const __m256i c183 = _mm256_set1_epi32(183);
+        const __m256i c454 = _mm256_set1_epi32(454);
+        auto conv8 = [&](const uint8_t* yp, const uint8_t* cbp,
+                         const uint8_t* crp, __m256i& r, __m256i& g,
+                         __m256i& b) {
+            __m256i Y = _mm256_cvtepu8_epi32(_mm_loadl_epi64((const __m128i*)yp));
+            __m256i cb = _mm256_sub_epi32(
+                _mm256_cvtepu8_epi32(_mm_loadl_epi64((const __m128i*)cbp)), c128);
+            __m256i cr = _mm256_sub_epi32(
+                _mm256_cvtepu8_epi32(_mm_loadl_epi64((const __m128i*)crp)), c128);
+            r = _mm256_add_epi32(Y, _mm256_srai_epi32(_mm256_mullo_epi32(cr, c359), 8));
+            g = _mm256_sub_epi32(Y, _mm256_srai_epi32(
+                _mm256_add_epi32(_mm256_mullo_epi32(cb, c88),
+                                 _mm256_mullo_epi32(cr, c183)), 8));
+            b = _mm256_add_epi32(Y, _mm256_srai_epi32(_mm256_mullo_epi32(cb, c454), 8));
+        };
+        auto pack16 = [&](__m256i lo, __m256i hi) {
+            __m256i p16 = _mm256_permute4x64_epi64(
+                _mm256_packs_epi32(lo, hi), 0xD8);
+            __m256i p8 = _mm256_permute4x64_epi64(
+                _mm256_packus_epi16(p16, p16), 0xD8);
+            return _mm256_castsi256_si128(p8);
+        };
+        for (int y = 0; y < height; y++) {
+            const uint8_t* yrow = planes[0].data() + (size_t)y * pw[0];
+            upsample_row(planes[1].data() + (size_t)(y >> vs1) * pw[1], hs1,
+                         cbbuf.data());
+            upsample_row(planes[2].data() + (size_t)(y >> vs2) * pw[2], hs2,
+                         crbuf.data());
+            uint8_t* orow = out + (size_t)y * width * 3;
+            int x = 0;
+            for (; x + 16 <= width; x += 16) {
+                __m256i r0, g0, b0, r1, g1, b1;
+                conv8(yrow + x, cbbuf.data() + x, crbuf.data() + x, r0, g0, b0);
+                conv8(yrow + x + 8, cbbuf.data() + x + 8, crbuf.data() + x + 8,
+                      r1, g1, b1);
+                __m128i R = pack16(r0, r1), G = pack16(g0, g1), B = pack16(b0, b1);
+                uint8_t* dst = orow + (size_t)x * 3;
+                for (int k = 0; k < 3; k++) {
+                    __m128i o = _mm_or_si128(
+                        _mm_or_si128(
+                            _mm_shuffle_epi8(R, _mm_load_si128((const __m128i*)mr[k])),
+                            _mm_shuffle_epi8(G, _mm_load_si128((const __m128i*)mg[k]))),
+                        _mm_shuffle_epi8(B, _mm_load_si128((const __m128i*)mb[k])));
+                    _mm_storeu_si128((__m128i*)(dst + 16 * k), o);
+                }
+            }
+            for (; x < width; x++) {
+                int32_t Y = yrow[x];
+                int32_t cb = (int32_t)cbbuf[x] - 128;
+                int32_t cr = (int32_t)crbuf[x] - 128;
+                int32_t r = Y + ((cr * 359) >> 8);
+                int32_t g = Y - ((cb * 88 + cr * 183) >> 8);
+                int32_t b = Y + ((cb * 454) >> 8);
+                orow[x * 3 + 0] = (uint8_t)(r < 0 ? 0 : r > 255 ? 255 : r);
+                orow[x * 3 + 1] = (uint8_t)(g < 0 ? 0 : g > 255 ? 255 : g);
+                orow[x * 3 + 2] = (uint8_t)(b < 0 ? 0 : b > 255 ? 255 : b);
+            }
+        }
+        return 0;
+    }
+#endif
+
     for (int y = 0; y < height; y++) {
         const uint8_t* yrow = planes[0].data() + (size_t)y * pw[0];
         const uint8_t* cbrow = planes[1].data() + (size_t)(y >> vs1) * pw[1];
