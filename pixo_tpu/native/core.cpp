@@ -4240,6 +4240,18 @@ struct BitReader {
     BitReader(const uint8_t* d, int64_t l) : data(d), len(l), pos(0), acc(0), nbits(0), error(false) {}
 
     inline void fill() {
+        // one unaligned 64-bit load instead of a per-byte loop; mask
+        // keeps bits >= nbits zero so later ORs stay sound
+        if (pos + 8 <= len) {
+            uint64_t chunk;
+            memcpy(&chunk, data + pos, 8);
+            acc |= chunk << nbits;
+            int add = (63 - nbits) >> 3;
+            pos += add;
+            nbits += add * 8;
+            acc &= (1ull << nbits) - 1;
+            return;
+        }
         while (nbits <= 56 && pos < len) {
             acc |= (uint64_t)data[pos++] << nbits;
             nbits += 8;
@@ -4265,8 +4277,8 @@ struct BitReader {
 // canonical decode table: fast 10-bit lookup + slow path
 struct DecTable {
     static const int FAST_BITS = 10;
-    uint16_t fast_sym[1 << FAST_BITS];
-    uint8_t fast_len[1 << FAST_BITS];
+    // packed: sym << 8 | code_len; 0 = slow path (one load per symbol)
+    uint32_t fast[1 << FAST_BITS];
     // slow path: first code/offset per length
     uint32_t first_code[16];
     int first_sym_idx[16];
@@ -4296,7 +4308,7 @@ struct DecTable {
         for (int i = 0; i < n; i++)
             if (lengths[i]) sorted_syms[offs[lengths[i]]++] = (uint16_t)i;
         // fast table (LSB-first bit order: reverse the code)
-        memset(fast_len, 0, sizeof(fast_len));
+        memset(fast, 0, sizeof(fast));
         code = 0;
         idx = 0;
         for (int b = 1; b <= FAST_BITS; b++) {
@@ -4305,23 +4317,22 @@ struct DecTable {
                 // reverse b bits of c
                 uint32_t r = 0, x = c;
                 for (int j = 0; j < b; j++) { r = (r << 1) | (x & 1); x >>= 1; }
-                for (uint32_t hi = 0; hi < (1u << (FAST_BITS - b)); hi++) {
-                    uint32_t slot = r | (hi << b);
-                    fast_sym[slot] = sorted_syms[first_sym_idx[b] + k];
-                    fast_len[slot] = (uint8_t)b;
-                }
+                uint32_t ent = ((uint32_t)sorted_syms[first_sym_idx[b] + k] << 8) |
+                               (uint32_t)b;
+                for (uint32_t hi = 0; hi < (1u << (FAST_BITS - b)); hi++)
+                    fast[r | (hi << b)] = ent;
             }
         }
     }
 
     inline int decode(BitReader& br) {
         if (br.nbits < 16) br.fill();
-        uint32_t peek = (uint32_t)(br.acc & ((1 << FAST_BITS) - 1));
-        if (fast_len[peek] && fast_len[peek] <= br.nbits) {
-            int b = fast_len[peek];
+        uint32_t e = fast[br.acc & ((1 << FAST_BITS) - 1)];
+        int b = (int)(e & 0xFF);
+        if (b && b <= br.nbits) {
             br.acc >>= b;
             br.nbits -= b;
-            return fast_sym[peek];
+            return (int)(e >> 8);
         }
         // slow path: accumulate MSB-first code bit by bit
         uint32_t code = 0;
@@ -4426,11 +4437,34 @@ EXPORT int64_t inflate_decompress(const uint8_t* data, int64_t len,
                 if (!lit_table.valid) return -1;
             }
             for (;;) {
-                int sym = lit_table.decode(br);
-                if (sym < 0) return -1;
+                if (br.nbits < 48) br.fill();
+                int sym;
+                uint32_t e = lit_table.fast[br.acc & ((1 << DecTable::FAST_BITS) - 1)];
+                int cl = (int)(e & 0xFF);
+                if (cl && cl <= br.nbits) {
+                    br.acc >>= cl;
+                    br.nbits -= cl;
+                    sym = (int)(e >> 8);
+                } else {
+                    sym = lit_table.decode(br);
+                    if (sym < 0) return -1;
+                }
                 if (sym < 256) {
                     if (opos >= out_cap) return -1;
                     out[opos++] = (uint8_t)sym;
+                    // literal burst: >=15 bits buffered decodes any one
+                    // more code without a refill check
+                    for (;;) {
+                        if (br.nbits < 15) break;
+                        e = lit_table.fast[br.acc & ((1 << DecTable::FAST_BITS) - 1)];
+                        cl = (int)(e & 0xFF);
+                        int s2 = (int)(e >> 8);
+                        if (!cl || cl > br.nbits || s2 >= 256) break;
+                        br.acc >>= cl;
+                        br.nbits -= cl;
+                        if (opos >= out_cap) return -1;
+                        out[opos++] = (uint8_t)s2;
+                    }
                 } else if (sym == 256) {
                     break;
                 } else {
@@ -4441,8 +4475,24 @@ EXPORT int64_t inflate_decompress(const uint8_t* data, int64_t len,
                     if (ds < 0 || ds >= 30) return -1;
                     int dist = DIST_BASE[ds] + (int)br.read(DIST_EXTRA[ds]);
                     if (br.error || dist > opos || opos + mlen > out_cap) return -1;
-                    // byte-by-byte to support overlapping copies (dist < len)
-                    for (int i = 0; i < mlen; i++, opos++) out[opos] = out[opos - dist];
+                    uint8_t* dst = out + opos;
+                    const uint8_t* src = dst - dist;
+                    if (dist == 1 && opos + mlen <= out_cap) {
+                        memset(dst, src[0], (size_t)mlen);   // RLE run
+                        opos += mlen;
+                    } else if (dist >= 8 && opos + mlen + 8 <= out_cap) {
+                        // non-overlapping 8-byte chunks (may overshoot
+                        // into the +8 slack, never past out_cap)
+                        int i = 0;
+                        do {
+                            memcpy(dst + i, src + i, 8);
+                            i += 8;
+                        } while (i < mlen);
+                        opos += mlen;
+                    } else {
+                        for (int i = 0; i < mlen; i++, opos++)
+                            out[opos] = out[opos - dist];
+                    }
                 }
             }
         } else {
