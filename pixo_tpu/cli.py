@@ -81,7 +81,7 @@ def _parse_pnm(data: bytes):
     return pixels.reshape(height, width, channels), width, height
 
 
-def load_image(data: bytes):
+def load_image(data: bytes, fancy_upsampling: bool = False):
     """-> (pixels [H, W, C] uint8, width, height, color_type)."""
     fmt = detect_format_from_bytes(data)
     if fmt == "png":
@@ -89,7 +89,7 @@ def load_image(data: bytes):
         px = img.pixels if img.pixels.ndim == 3 else img.pixels[..., None]
         return px, img.width, img.height, img.color_type
     if fmt == "jpeg":
-        img = decode_jpeg(data)
+        img = decode_jpeg(data, fancy_upsampling=fancy_upsampling)
         px = img.pixels if img.pixels.ndim == 3 else img.pixels[..., None]
         return px, img.width, img.height, img.color_type
     px, w, h = _parse_pnm(data)
@@ -125,6 +125,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resize", metavar="WxH", help="resize before encoding")
     p.add_argument("--resize-filter", choices=["nearest", "bilinear", "lanczos3"],
                    default="lanczos3")
+    p.add_argument("--fancy-upsampling", action="store_true",
+                   help="libjpeg-style triangle chroma upsampling when "
+                        "decoding subsampled JPEG input (default nearest, "
+                        "matching the reference decoder)")
     p.add_argument("--grayscale", action="store_true")
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--quiet", action="store_true")
@@ -205,7 +209,8 @@ def main(argv=None) -> int:
         else:
             data = Path(args.input).read_bytes()
         t0 = time.perf_counter()
-        pixels, width, height, color_type = load_image(data)
+        pixels, width, height, color_type = load_image(
+            data, fancy_upsampling=getattr(args, "fancy_upsampling", False))
         t_decode = time.perf_counter() - t0
     except (OSError, ValueError, errors.PixoError) as exc:
         print(f"error: {exc}", file=sys.stderr)

@@ -119,6 +119,25 @@ class TestMain:
         assert main([str(inp), "-o", str(out), "--quiet"]) == 0
         assert Image.open(out).size == (56, 40)
 
+    def test_fancy_upsampling_flag(self, tmp_path):
+        """--fancy-upsampling beats nearest-chroma against the libjpeg
+        oracle on subsampled input (and only affects JPEG decode)."""
+        from pixo_tpu import jpeg
+        from pixo_tpu.options import JpegOptions, Subsampling
+
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+        inp = tmp_path / "in420.jpg"
+        Image.fromarray(img).save(inp, quality=85)  # Pillow 420 default
+        near, fancy = tmp_path / "n.png", tmp_path / "f.png"
+        assert main([str(inp), "-o", str(near), "--quiet"]) == 0
+        assert main([str(inp), "-o", str(fancy), "--quiet",
+                     "--fancy-upsampling"]) == 0
+        pil = np.asarray(Image.open(inp).convert("RGB")).astype(int)
+        n = np.asarray(Image.open(near).convert("RGB")).astype(int)
+        f = np.asarray(Image.open(fancy).convert("RGB")).astype(int)
+        assert np.abs(f - pil).mean() < np.abs(n - pil).mean()
+
 
 def test_device_tpu_refuses_without_accelerator(tmp_path, capsys):
     """--device tpu is an explicit opt-in: on a CPU-only backend it must
