@@ -1361,7 +1361,10 @@ struct AcLut {
                 int rrun = rs >> 4, size = rs & 15;
                 int prefix = code << (12 - ln);
                 if (size == 0) {
-                    uint32_t ent = pack(ln, rrun == 15 ? 0xFE : 0xFF, 0);
+                    // val carries the raw run nibble: baseline ignores it,
+                    // the progressive first pass reads it as the EOBn order
+                    uint32_t ent = pack(ln, rrun == 15 ? 0xFE : 0xFF,
+                                        (int16_t)rrun);
                     for (int f = 0; f < (1 << (12 - ln)); f++)
                         e[prefix | f] = ent;
                 } else if (ln + size <= 12) {
@@ -1577,6 +1580,8 @@ EXPORT int32_t jpeg_prog_ac_segment(
     using namespace jdec;
     HuffDec act;
     act.build(ac_bits, ac_vals);
+    static thread_local AcLut aclut;
+    if (ah == 0) aclut.build(ac_bits, ac_vals);
     MsbReader r(seg, seg_len);
     int64_t eobrun = *eobrun_io;
     const int p1 = 1 << al, m1 = -(1 << al);
@@ -1588,6 +1593,27 @@ EXPORT int32_t jpeg_prog_ac_segment(
             if (eobrun > 0) { eobrun--; continue; }
             int k = ss;
             while (k <= se) {
+                if (r.nbits < 27) r.fill();
+                if (r.nbits >= 12) {
+                    uint32_t ent = aclut.e[(r.acc >> (r.nbits - 12)) & 0xFFF];
+                    int tl = (int)(ent & 0xFF);
+                    if (tl && tl <= r.nbits) {
+                        r.nbits -= tl;
+                        uint32_t run = (ent >> 8) & 0xFF;
+                        if (run == 0xFE) { k += 16; continue; }   // ZRL
+                        if (run == 0xFF) {                        // EOB/EOBn
+                            int ebr = (int)(int16_t)(ent >> 16);
+                            eobrun = ((int64_t)1 << ebr) - 1;
+                            if (ebr) eobrun += r.read_bits(ebr);
+                            break;
+                        }
+                        k += (int)run;
+                        if (k > se) return -1;
+                        block[k] = (int16_t)((int)(int16_t)(ent >> 16) << al);
+                        k++;
+                        continue;
+                    }
+                }
                 int rs = r.decode(act);
                 if (rs < 0) return -1;
                 int run = rs >> 4, size = rs & 0x0F;
