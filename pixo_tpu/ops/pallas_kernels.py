@@ -104,3 +104,99 @@ def filter_bank(rows_u8, bpp: int, *, use_pallas: bool | None = None):
 
     cands = _candidates(rows_u8, bpp)
     return cands, _signed_abs_scores(cands)
+
+
+# ======================= batched 8x8 DCT / IDCT ==============================
+# Pallas tiers for the JPEG transform pair.  Blocks ride the LANE axis
+# ([8, 8, N] layout) so every AAN/jidctint temporary is an [8, N]-shaped
+# VPU op; the butterfly helpers are shared with the XLA tiers
+# (ops/dct.py, ops/jpeg_decode.py), so the operation ORDER is identical
+# by construction.  Exactness: the int32 IDCT is bit-exact on every
+# backend (incl. interpret mode).  The f32 DCT is bit-exact on the
+# Mosaic/TPU path (no mul+add contraction — asserted by the on-chip
+# suite, tests/test_tpu_onchip.py); under interpret mode on XLA:CPU the
+# kernel body is jit-compiled and LLVM FMA-contracts it, the same
+# half-ULP drift documented for the XLA tier in ops/dct.py.
+
+_DCT_LANES = 512
+
+
+def _dct_aan_kernel(x_ref, o_ref):
+    from .dct import _aan_1d
+
+    x = x_ref[...]  # [8, 8, TB] f32: [row, col, block]
+    rows_done = _aan_1d([x[:, i, :] for i in range(8)])   # rows pass
+    t = jnp.stack(rows_done, axis=1)                      # [8(row), 8(col), TB]
+    cols_done = _aan_1d([t[i, :, :] for i in range(8)])   # columns pass
+    o_ref[...] = jnp.stack(cols_done, axis=0)
+
+
+def _idct_int_kernel(x_ref, o_ref):
+    from .jpeg_decode import (CONST_BITS, PASS1_BITS, ROUND_OUTPUT,
+                              ROUND_PASS1, _idct_pass)
+
+    x = x_ref[...]  # [8, 8, TB] int32 natural-order dequantized
+    ws = _idct_pass([x[i, :, :] for i in range(8)],
+                    lambda v: (v + ROUND_PASS1) >> (CONST_BITS - PASS1_BITS))
+    w = jnp.stack(ws, axis=0)                             # [8(row), 8(col), TB]
+    outs = _idct_pass(
+        [w[:, i, :] for i in range(8)],
+        lambda v: jnp.clip(
+            ((v + ROUND_OUTPUT) >> (CONST_BITS + PASS1_BITS + 3)) + 128, 0, 255),
+    )
+    o_ref[...] = jnp.stack(outs, axis=1)
+
+
+def _blocks_to_lanes(blocks, dtype):
+    """[..., 8, 8] -> ([8, 8, Npad], lead_shape, n)."""
+    lead = blocks.shape[:-2]
+    n = 1
+    for d in lead:
+        n *= int(d)
+    x = blocks.reshape((n, 8, 8)).astype(dtype)
+    xt = jnp.transpose(x, (1, 2, 0))
+    npad = -(-max(n, 1) // _DCT_LANES) * _DCT_LANES
+    if npad != n:
+        xt = jnp.pad(xt, ((0, 0), (0, 0), (0, npad - n)))
+    return xt, lead, n
+
+
+def _lanes_to_blocks(out, lead, n):
+    return jnp.transpose(out[:, :, :n], (2, 0, 1)).reshape(lead + (8, 8))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dct8x8_aan_pallas(blocks, *, interpret: bool = False):
+    """Forward AAN DCT over [..., 8, 8] f32 blocks; bit-exact with
+    ops/dct.py dct8x8_aan (same helper, same op order)."""
+    xt, lead, n = _blocks_to_lanes(blocks, jnp.float32)
+    out = pl.pallas_call(
+        _dct_aan_kernel,
+        grid=(xt.shape[2] // _DCT_LANES,),
+        in_specs=[pl.BlockSpec((8, 8, _DCT_LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, 8, _DCT_LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(xt.shape, jnp.float32),
+        interpret=interpret,
+    )(xt)
+    return _lanes_to_blocks(out, lead, n)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def idct8x8_int_pallas(blocks, *, interpret: bool = False):
+    """jidctint inverse over [..., 8, 8] int32 natural-order dequantized
+    coefficients -> uint8 pixels; bit-exact with ops/jpeg_decode.py
+    idct8x8_int (same helper, same int32 wrap semantics)."""
+    xt, lead, n = _blocks_to_lanes(blocks, jnp.int32)
+    out = pl.pallas_call(
+        _idct_int_kernel,
+        grid=(xt.shape[2] // _DCT_LANES,),
+        in_specs=[pl.BlockSpec((8, 8, _DCT_LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, 8, _DCT_LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(xt.shape, jnp.int32),
+        interpret=interpret,
+    )(xt)
+    return _lanes_to_blocks(out, lead, n).astype(jnp.uint8)

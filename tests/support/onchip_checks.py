@@ -106,9 +106,31 @@ def main() -> int:
             "device dither != host"
         )
 
+    def pallas_dct():
+        import jax.numpy as jnp
+
+        from pixo_tpu.ops.dct import dct8x8_aan_np
+        from pixo_tpu.ops.jpeg_decode import idct8x8_int_np
+        from pixo_tpu.ops.pallas_kernels import (dct8x8_aan_pallas,
+                                                 idct8x8_int_pallas)
+
+        blocks = rng.uniform(-128, 127, (1333, 8, 8)).astype(np.float32)
+        got = np.asarray(dct8x8_aan_pallas(jnp.asarray(blocks)))
+        ref = dct8x8_aan_np(blocks)
+        # Mosaic does not FMA-contract: the f32 AAN butterfly must be
+        # BIT-exact on chip (the XLA:CPU tier is not — ops/dct.py note)
+        assert np.array_equal(got, ref), "pallas AAN DCT != NumPy mirror on chip"
+
+        co = rng.integers(-2048, 2048, (1333, 8, 8)).astype(np.int32)
+        gi = np.asarray(idct8x8_int_pallas(jnp.asarray(co)))
+        assert np.array_equal(gi, idct8x8_int_np(co)), (
+            "pallas jidctint != NumPy mirror on chip"
+        )
+
     check("pallas-filter", pallas_filter)
     check("trellis", trellis)
     check("quantize", quantize_kernels)
+    check("pallas-dct", pallas_dct)
     return 1 if failures else 0
 
 
