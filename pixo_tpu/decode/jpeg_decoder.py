@@ -290,10 +290,14 @@ def decode_jpeg(data: bytes, fancy_upsampling: bool = False) -> JpegImage:
         elif marker in SOF_UNSUPPORTED:
             raise errors.UnsupportedDecode(f"SOF marker 0xFF{marker:02X} (non-baseline)")
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise errors.InvalidDecode("truncated DRI segment")
             restart_interval = (seg[0] << 8) | seg[1]
         elif marker == 0xDA:  # SOS
             if not sof_seen:
                 raise errors.InvalidDecode("SOS before SOF")
+            if not seg:
+                raise errors.InvalidDecode("truncated SOS segment")
             if progressive:
                 return _decode_progressive(
                     data, pos, seg, width, height, components, qtables,
@@ -766,6 +770,8 @@ def _decode_progressive(
 
     while True:
         # ---- decode the scan whose header is in sos_seg ----
+        if not sos_seg:
+            raise errors.InvalidDecode("truncated SOS segment")
         ns = sos_seg[0]
         if not 1 <= ns <= 4 or len(sos_seg) < 1 + 2 * ns + 3:
             raise errors.InvalidDecode("truncated SOS segment")
@@ -899,13 +905,17 @@ def _decode_progressive(
                     pq = seg[i] >> 4
                     tq = seg[i] & 0x0F
                     i += 1
+                    nbytes = 128 if pq else 64
+                    if i + nbytes > len(seg):
+                        raise errors.InvalidDecode("truncated DQT segment")
                     if pq == 0:
                         qtables[tq] = np.frombuffer(seg[i : i + 64], np.uint8).astype(np.uint16)
-                        i += 64
                     else:
                         qtables[tq] = np.frombuffer(seg[i : i + 128], ">u2").astype(np.uint16)
-                        i += 128
+                    i += nbytes
             elif marker == 0xDD:  # DRI between scans
+                if len(seg) < 2:
+                    raise errors.InvalidDecode("truncated DRI segment")
                 restart_interval = (seg[0] << 8) | seg[1]
             elif marker == 0xDA:
                 sos_seg = seg

@@ -131,18 +131,7 @@ def _configure(lib) -> None:
         i64p, i64p,
     ]
 
-    lib.jpeg_decode_segment.restype = ctypes.c_int32
     i32p = ctypes.POINTER(ctypes.c_int32)
-    lib.jpeg_decode_segment.argtypes = [
-        u8p, ctypes.c_int64,
-        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
-        ctypes.c_int32,
-        i32p, i32p,
-        u8p, u8p, i32p,
-        u8p, u8p, i32p,
-        ctypes.POINTER(i16p),
-        i32p,
-    ]
 
     if hasattr(lib, "jpeg_decode_scan"):
         lib.jpeg_decode_scan.restype = ctypes.c_int32
@@ -633,61 +622,6 @@ def native_count_progressive_scan(
     rc = lib.jpeg_count_progressive_scan(
         blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), blocks.shape[0],
         ss, se, ah, al, i64(dc_counts), i64(ac_counts),
-    )
-    return rc == 0
-
-
-def native_jpeg_decode_segment(
-    seg: bytes,
-    mcu_start: int,
-    mcu_end: int,
-    mcu_cols: int,
-    comp_h,
-    comp_v,
-    dc_specs,   # list of (bits16, vals) per component
-    ac_specs,
-    coeff_planes,  # list of np.int16 [nblocks, 64] arrays (written in place)
-    prev_dc: np.ndarray,  # int32 [ncomp], in/out
-) -> bool:
-    lib = _load()
-    if lib is None or not hasattr(lib, "jpeg_decode_segment"):
-        return False
-    ncomp = len(comp_h)
-    seg_arr = np.frombuffer(seg, dtype=np.uint8) if seg else np.zeros(1, np.uint8)
-    ch = np.asarray(comp_h, dtype=np.int32)
-    cv = np.asarray(comp_v, dtype=np.int32)
-    dc_bits = np.concatenate([np.frombuffer(b, np.uint8) for b, _ in dc_specs])
-    ac_bits = np.concatenate([np.frombuffer(b, np.uint8) for b, _ in ac_specs])
-    dc_vals = np.concatenate(
-        [np.frombuffer(v, np.uint8) if v else np.zeros(1, np.uint8) for _, v in dc_specs]
-    )
-    ac_vals = np.concatenate(
-        [np.frombuffer(v, np.uint8) if v else np.zeros(1, np.uint8) for _, v in ac_specs]
-    )
-    dc_off = np.zeros(ncomp, np.int32)
-    ac_off = np.zeros(ncomp, np.int32)
-    o = 0
-    for i, (_, v) in enumerate(dc_specs):
-        dc_off[i] = o
-        o += max(len(v), 1)
-    o = 0
-    for i, (_, v) in enumerate(ac_specs):
-        ac_off[i] = o
-        o += max(len(v), 1)
-
-    i16p = ctypes.POINTER(ctypes.c_int16)
-    planes_arr = (i16p * ncomp)(
-        *[p.ctypes.data_as(i16p) for p in coeff_planes]
-    )
-    i32p = ctypes.POINTER(ctypes.c_int32)
-    rc = lib.jpeg_decode_segment(
-        _u8(seg_arr), len(seg),
-        mcu_start, mcu_end, mcu_cols, ncomp,
-        ch.ctypes.data_as(i32p), cv.ctypes.data_as(i32p),
-        _u8(dc_bits), _u8(dc_vals), dc_off.ctypes.data_as(i32p),
-        _u8(ac_bits), _u8(ac_vals), ac_off.ctypes.data_as(i32p),
-        planes_arr,
-        prev_dc.ctypes.data_as(i32p),
     )
     return rc == 0
 

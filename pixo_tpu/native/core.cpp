@@ -1343,21 +1343,29 @@ struct AcLut {
                ((uint32_t)(uint16_t)val << 16);
     }
 
-    void build(const uint8_t* bits, const uint8_t* values) {
+    void build(const uint8_t* bits, const uint8_t* values, bool dc = false) {
         int n = 0;
         for (int i = 0; i < 16; i++) n += bits[i];
-        if (n > 256) n = 256;
-        if (key_n == n && memcmp(key_bits, bits, 16) == 0 &&
+        // content cache only when the full value list fits the key
+        // (an over-long-but-Kraft-valid table must never collide)
+        bool cacheable = n <= (int)sizeof(key_vals);
+        if (cacheable && key_n == (dc ? n | 0x10000 : n) &&
+            memcmp(key_bits, bits, 16) == 0 &&
             memcmp(key_vals, values, (size_t)n) == 0)
             return;
-        memcpy(key_bits, bits, 16);
-        memcpy(key_vals, values, (size_t)n);
-        key_n = n;
+        if (cacheable) {
+            memcpy(key_bits, bits, 16);
+            memcpy(key_vals, values, (size_t)n);
+            key_n = dc ? n | 0x10000 : n;
+        } else {
+            key_n = -1;
+        }
         memset(e, 0, sizeof(e));
         int code = 0, k = 0;
         for (int ln = 1; ln <= 12; ln++) {
             for (int c = 0; c < bits[ln - 1]; c++, code++, k++) {
                 int rs = values[k];
+                if (dc && rs > 15) continue;   // invalid DC symbol: slow path
                 int rrun = rs >> 4, size = rs & 15;
                 int prefix = code << (12 - ln);
                 if (size == 0) {
@@ -1387,26 +1395,16 @@ struct AcLut {
 // Decode one entropy segment covering MCUs [mcu_start, mcu_end).
 // comp_* arrays are per scan-component; coeff output planes are
 // row-major over each component's MCU-padded block grid.
-EXPORT int32_t jpeg_decode_segment(
+static int32_t jpeg_decode_segment_impl(
     const uint8_t* seg, int64_t seg_len,
     int64_t mcu_start, int64_t mcu_end, int32_t mcu_cols,
     int32_t ncomp,
     const int32_t* comp_h, const int32_t* comp_v,
-    const uint8_t* dc_bits, const uint8_t* dc_vals_flat, const int32_t* dc_vals_off,
-    const uint8_t* ac_bits, const uint8_t* ac_vals_flat, const int32_t* ac_vals_off,
+    const jdec::HuffDec* dct, const jdec::HuffDec* act,
+    const jdec::AcLut* aclut, const jdec::AcLut* dclut,
     int16_t** coeff_planes /* per component */,
     int32_t* prev_dc /* per component, in/out */) {
     using namespace jdec;
-    HuffDec dct[4], act[4];
-    // a DC symbol is (run=0, size=s), so the same combined builder
-    // yields a (code+diff-bits) LUT; entry run==0xFF marks size 0 (diff 0)
-    static thread_local AcLut aclut[4], dclut[4];
-    for (int c = 0; c < ncomp; c++) {
-        dct[c].build(dc_bits + 16 * c, dc_vals_flat + dc_vals_off[c]);
-        act[c].build(ac_bits + 16 * c, ac_vals_flat + ac_vals_off[c]);
-        aclut[c].build(ac_bits + 16 * c, ac_vals_flat + ac_vals_off[c]);
-        dclut[c].build(dc_bits + 16 * c, dc_vals_flat + dc_vals_off[c]);
-    }
     MsbReader r(seg, seg_len);
     for (int64_t mcu = mcu_start; mcu < mcu_end; mcu++) {
         int64_t my = mcu / mcu_cols, mx = mcu % mcu_cols;
@@ -1435,7 +1433,9 @@ EXPORT int32_t jpeg_decode_segment(
                         if (s < 0 || s > 15) return -1;
                         diff = s ? extend(r.read_bits(s), s) : 0;
                     }
-                    prev_dc[c] += diff;
+                    // wrap like the Python tier: 16-bit coefficient storage
+                    // semantics, no int32 signed-overflow UB on corrupt data
+                    prev_dc[c] = ((prev_dc[c] + diff + 0x8000) & 0xFFFF) - 0x8000;
                     block[0] = (int16_t)prev_dc[c];
                     int k = 1;
                     while (k < 64) {
@@ -1487,17 +1487,30 @@ EXPORT int32_t jpeg_decode_scan(
     const uint8_t* dc_bits, const uint8_t* dc_vals_flat, const int32_t* dc_vals_off,
     const uint8_t* ac_bits, const uint8_t* ac_vals_flat, const int32_t* ac_vals_off,
     int16_t** coeff_planes, int32_t* prev_dc) {
+    using namespace jdec;
+    if (ncomp < 1 || ncomp > 4) return -1;
+    // all tables (canonical + combined lookahead) build ONCE per scan;
+    // the per-segment loop only resets the DC predictors
+    HuffDec dct[4], act[4];
+    static thread_local AcLut aclut[4], dclut[4];
+    for (int c = 0; c < ncomp; c++) {
+        dct[c].build(dc_bits + 16 * c, dc_vals_flat + dc_vals_off[c]);
+        act[c].build(ac_bits + 16 * c, ac_vals_flat + ac_vals_off[c]);
+        aclut[c].build(ac_bits + 16 * c, ac_vals_flat + ac_vals_off[c]);
+        // dc=true rejects symbols > 15 from the fast table so the slow
+        // path (which returns -1 on them) stays authoritative
+        dclut[c].build(dc_bits + 16 * c, dc_vals_flat + dc_vals_off[c], true);
+    }
     for (int32_t si = 0; si < nseg; si++) {
         int64_t m0 = restart_interval ? si * restart_interval : 0;
         int64_t m1 = restart_interval ? (si + 1) * restart_interval : total_mcus;
         if (m1 > total_mcus) m1 = total_mcus;
         if (m0 >= m1) break;
-        for (int c = 0; c < ncomp && c < 4; c++) prev_dc[c] = 0;
-        int32_t rc = jpeg_decode_segment(
+        for (int c = 0; c < ncomp; c++) prev_dc[c] = 0;
+        int32_t rc = jpeg_decode_segment_impl(
             segs + seg_off[si], seg_off[si + 1] - seg_off[si], m0, m1,
-            mcu_cols, ncomp, comp_h, comp_v, dc_bits, dc_vals_flat,
-            dc_vals_off, ac_bits, ac_vals_flat, ac_vals_off, coeff_planes,
-            prev_dc);
+            mcu_cols, ncomp, comp_h, comp_v, dct, act, aclut, dclut,
+            coeff_planes, prev_dc);
         if (rc != 0) return rc;
         if (!restart_interval) break;
     }
@@ -1540,8 +1553,8 @@ EXPORT int32_t jpeg_prog_dc_segment(
                             int s = r.decode(dct[c]);
                             if (s < 0 || s > 15) return -1;
                             int diff = s ? extend(r.read_bits(s), s) : 0;
-                            prev_dc[c] += diff;
-                            block[0] = (int16_t)(prev_dc[c] << al);
+                            prev_dc[c] = ((prev_dc[c] + diff + 0x8000) & 0xFFFF) - 0x8000;
+                            block[0] = (int16_t)((((prev_dc[c] << al) + 0x8000) & 0xFFFF) - 0x8000);
                         } else if (r.read_bit()) {
                             block[0] = (int16_t)(block[0] | (1 << al));
                         }
@@ -1555,8 +1568,8 @@ EXPORT int32_t jpeg_prog_dc_segment(
                     int s = r.decode(dct[c]);
                     if (s < 0 || s > 15) return -1;
                     int diff = s ? extend(r.read_bits(s), s) : 0;
-                    prev_dc[c] += diff;
-                    block[0] = (int16_t)(prev_dc[c] << al);
+                    prev_dc[c] = ((prev_dc[c] + diff + 0x8000) & 0xFFFF) - 0x8000;
+                    block[0] = (int16_t)((((prev_dc[c] << al) + 0x8000) & 0xFFFF) - 0x8000);
                 } else if (r.read_bit()) {
                     block[0] = (int16_t)(block[0] | (1 << al));
                 }
