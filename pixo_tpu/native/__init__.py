@@ -146,6 +146,16 @@ def _configure(lib) -> None:
             i32p,
         ]
 
+    if hasattr(lib, "jpeg_coefficients"):
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.jpeg_coefficients.restype = ctypes.c_int64
+        lib.jpeg_coefficients.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32,
+            f32p, f32p,
+            i16p,
+        ]
+
     lib.jpeg_prog_dc_segment.restype = ctypes.c_int32
     lib.jpeg_prog_dc_segment.argtypes = [
         u8p, ctypes.c_int64,
@@ -624,6 +634,43 @@ def native_count_progressive_scan(
         ss, se, ah, al, i64(dc_counts), i64(ac_counts),
     )
     return rc == 0
+
+
+def native_jpeg_coefficients(
+    img: np.ndarray,       # [h, w] uint8 (gray) or [h, w, 3|4] uint8
+    mode: str,             # "gray" | "444" | "420"
+    qlum: np.ndarray,      # natural-order [64] float32
+    qchrom: np.ndarray,
+) -> Optional[np.ndarray]:
+    """AVX2 coefficient pipeline (clamp-pad -> YCbCr -> blockify -> AAN
+    DCT -> quantize -> zigzag), bit-exact with the NumPy mirror tier.
+    Returns [nblocks, 64] int16 or None (library/ISA unavailable)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "jpeg_coefficients"):
+        return None
+    m = {"gray": 0, "444": 1, "420": 2}[mode]
+    h, w = img.shape[:2]
+    c_in = 1 if img.ndim == 2 else img.shape[2]
+    if m == 0:
+        nblocks = ((h + 7) // 8) * ((w + 7) // 8)
+    elif m == 1:
+        nblocks = ((h + 7) // 8) * ((w + 7) // 8) * 3
+    else:
+        nblocks = ((h + 15) // 16) * ((w + 15) // 16) * 6
+    img = np.ascontiguousarray(img)
+    ql = np.ascontiguousarray(qlum.reshape(-1).astype(np.float32))
+    qc = np.ascontiguousarray(qchrom.reshape(-1).astype(np.float32))
+    out = np.empty((nblocks, 64), np.int16)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    rc = lib.jpeg_coefficients(
+        _u8(img.reshape(-1)), h, w, c_in, m,
+        ql.ctypes.data_as(f32p), qc.ctypes.data_as(f32p),
+        out.ctypes.data_as(i16p),
+    )
+    if rc != nblocks:
+        return None
+    return out
 
 
 def native_jpeg_decode_scan(

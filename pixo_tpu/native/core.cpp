@@ -4933,3 +4933,310 @@ EXPORT int64_t jpeg_decode_pixels(
     }
     return 0;
 }
+
+// ===================== JPEG encode coefficient pipeline =====================
+// Host tier of clamp-pad -> fixed-point YCbCr -> blockify (444/420/gray)
+// -> float AAN DCT -> round-half-away quantize -> zigzag, bit-exact with
+// the NumPy mirrors (ops/blockify.py, ops/dct.py, ops/quantize.py).
+// All f32 arithmetic uses explicit AVX intrinsics (separate mul/add —
+// never FMA-contracted), with per-element operation order identical to
+// the mirrors, so outputs are byte-identical.  One call replaces the
+// ~35 ms NumPy path for one-shot CLI encodes.
+
+namespace jcoef {
+
+#if defined(__AVX2__)
+
+static const float AAN_A1 = 0.70710678118654752440f;
+static const float AAN_A2 = 0.5411961f;
+static const float AAN_A3 = 0.70710678118654752440f;
+static const float AAN_A4 = 1.3065629f;
+static const float AAN_A5 = 0.38268343f;
+static const float AAN_S[8] = {0.3535534f, 0.2548978f, 0.2705981f, 0.3006724f,
+                               0.3535534f, 0.4499881f, 0.6532815f, 1.2814578f};
+
+static inline void transpose8x8_ps(__m256 r[8]) {
+    __m256 t0 = _mm256_unpacklo_ps(r[0], r[1]);
+    __m256 t1 = _mm256_unpackhi_ps(r[0], r[1]);
+    __m256 t2 = _mm256_unpacklo_ps(r[2], r[3]);
+    __m256 t3 = _mm256_unpackhi_ps(r[2], r[3]);
+    __m256 t4 = _mm256_unpacklo_ps(r[4], r[5]);
+    __m256 t5 = _mm256_unpackhi_ps(r[4], r[5]);
+    __m256 t6 = _mm256_unpacklo_ps(r[6], r[7]);
+    __m256 t7 = _mm256_unpackhi_ps(r[6], r[7]);
+    __m256 u0 = _mm256_shuffle_ps(t0, t2, 0x44);
+    __m256 u1 = _mm256_shuffle_ps(t0, t2, 0xEE);
+    __m256 u2 = _mm256_shuffle_ps(t1, t3, 0x44);
+    __m256 u3 = _mm256_shuffle_ps(t1, t3, 0xEE);
+    __m256 u4 = _mm256_shuffle_ps(t4, t6, 0x44);
+    __m256 u5 = _mm256_shuffle_ps(t4, t6, 0xEE);
+    __m256 u6 = _mm256_shuffle_ps(t5, t7, 0x44);
+    __m256 u7 = _mm256_shuffle_ps(t5, t7, 0xEE);
+    r[0] = _mm256_permute2f128_ps(u0, u4, 0x20);
+    r[1] = _mm256_permute2f128_ps(u1, u5, 0x20);
+    r[2] = _mm256_permute2f128_ps(u2, u6, 0x20);
+    r[3] = _mm256_permute2f128_ps(u3, u7, 0x20);
+    r[4] = _mm256_permute2f128_ps(u0, u4, 0x31);
+    r[5] = _mm256_permute2f128_ps(u1, u5, 0x31);
+    r[6] = _mm256_permute2f128_ps(u2, u6, 0x31);
+    r[7] = _mm256_permute2f128_ps(u3, u7, 0x31);
+}
+
+// one AAN 1D pass over eight lane-vectors (exact _aan_1d op order; every
+// step an explicit mul/add intrinsic so nothing can contract to FMA)
+static inline void aan_1d_avx(__m256 d[8]) {
+    __m256 tmp0 = _mm256_add_ps(d[0], d[7]);
+    __m256 tmp7 = _mm256_sub_ps(d[0], d[7]);
+    __m256 tmp1 = _mm256_add_ps(d[1], d[6]);
+    __m256 tmp6 = _mm256_sub_ps(d[1], d[6]);
+    __m256 tmp2 = _mm256_add_ps(d[2], d[5]);
+    __m256 tmp5 = _mm256_sub_ps(d[2], d[5]);
+    __m256 tmp3 = _mm256_add_ps(d[3], d[4]);
+    __m256 tmp4 = _mm256_sub_ps(d[3], d[4]);
+
+    __m256 tmp10 = _mm256_add_ps(tmp0, tmp3);
+    __m256 tmp13 = _mm256_sub_ps(tmp0, tmp3);
+    __m256 tmp11 = _mm256_add_ps(tmp1, tmp2);
+    __m256 tmp12 = _mm256_sub_ps(tmp1, tmp2);
+
+    __m256 o0 = _mm256_add_ps(tmp10, tmp11);
+    __m256 o4 = _mm256_sub_ps(tmp10, tmp11);
+
+    __m256 z1 = _mm256_mul_ps(_mm256_add_ps(tmp12, tmp13), _mm256_set1_ps(AAN_A1));
+    __m256 o2 = _mm256_add_ps(tmp13, z1);
+    __m256 o6 = _mm256_sub_ps(tmp13, z1);
+
+    __m256 t10 = _mm256_add_ps(tmp4, tmp5);
+    __m256 t11 = _mm256_add_ps(tmp5, tmp6);
+    __m256 t12 = _mm256_add_ps(tmp6, tmp7);
+
+    __m256 z5 = _mm256_mul_ps(_mm256_sub_ps(t10, t12), _mm256_set1_ps(AAN_A5));
+    __m256 z2 = _mm256_add_ps(_mm256_mul_ps(t10, _mm256_set1_ps(AAN_A2)), z5);
+    __m256 z4 = _mm256_add_ps(_mm256_mul_ps(t12, _mm256_set1_ps(AAN_A4)), z5);
+    __m256 z3 = _mm256_mul_ps(t11, _mm256_set1_ps(AAN_A3));
+
+    __m256 z11 = _mm256_add_ps(tmp7, z3);
+    __m256 z13 = _mm256_sub_ps(tmp7, z3);
+
+    __m256 o5 = _mm256_add_ps(z13, z2);
+    __m256 o3 = _mm256_sub_ps(z13, z2);
+    __m256 o1 = _mm256_add_ps(z11, z4);
+    __m256 o7 = _mm256_sub_ps(z11, z4);
+
+    d[0] = _mm256_mul_ps(o0, _mm256_set1_ps(AAN_S[0]));
+    d[1] = _mm256_mul_ps(o1, _mm256_set1_ps(AAN_S[1]));
+    d[2] = _mm256_mul_ps(o2, _mm256_set1_ps(AAN_S[2]));
+    d[3] = _mm256_mul_ps(o3, _mm256_set1_ps(AAN_S[3]));
+    d[4] = _mm256_mul_ps(o4, _mm256_set1_ps(AAN_S[4]));
+    d[5] = _mm256_mul_ps(o5, _mm256_set1_ps(AAN_S[5]));
+    d[6] = _mm256_mul_ps(o6, _mm256_set1_ps(AAN_S[6]));
+    d[7] = _mm256_mul_ps(o7, _mm256_set1_ps(AAN_S[7]));
+}
+
+// dct block [8][8] f32 (rows) -> quantized+zigzagged int16[64].
+// Mirrors dct8x8_aan_np (pass along last axis, then along row axis) and
+// round_half_away_np (nearest; exact .5 ties away from zero).
+static inline void dct_quant_zz_block(const float blk[64], const float* q,
+                                      const int* zz_src, int16_t* out) {
+    __m256 r[8];
+    for (int i = 0; i < 8; i++) r[i] = _mm256_loadu_ps(blk + i * 8);
+    // rows pass: butterfly along the row elements -> transpose so lanes
+    // index rows and vector index = element position
+    transpose8x8_ps(r);
+    aan_1d_avx(r);      // r[i] = transformed element i across all rows
+    transpose8x8_ps(r); // back to row-major: r[i] = transformed row i
+    // columns pass: butterfly along the row axis directly
+    aan_1d_avx(r);      // r[i] = final coefficient row i? (see note)
+    // NOTE: after the first transpose-pair, r is row-major [row][elem];
+    // the second aan_1d_avx consumed the vectors as d0..d7 = rows, so
+    // its outputs are coefficient ROWS-of-the-transform along the row
+    // axis: r[k][c] = coefficient (k, c) — matching
+    // np.stack(cols_done, axis=-2).
+    alignas(32) float coef[64];
+    const __m256 half = _mm256_set1_ps(0.5f);
+    for (int i = 0; i < 8; i++) {
+        __m256 d = _mm256_div_ps(r[i], _mm256_loadu_ps(q + i * 8));
+        __m256 nearest = _mm256_round_ps(
+            d, _MM_FROUND_TO_NEAREST_INT | _MM_FROUND_NO_EXC);
+        __m256 t = _mm256_round_ps(d, _MM_FROUND_TO_ZERO | _MM_FROUND_NO_EXC);
+        __m256 frac = _mm256_sub_ps(d, t);
+        __m256 absfrac = _mm256_andnot_ps(_mm256_set1_ps(-0.0f), frac);
+        __m256 tie = _mm256_cmp_ps(absfrac, half, _CMP_EQ_OQ);
+        __m256 ge0 = _mm256_cmp_ps(d, _mm256_setzero_ps(), _CMP_GE_OQ);
+        __m256 away = _mm256_add_ps(
+            t, _mm256_blendv_ps(_mm256_set1_ps(-1.0f), _mm256_set1_ps(1.0f), ge0));
+        __m256 res = _mm256_blendv_ps(nearest, away, tie);
+        _mm256_store_ps(coef + i * 8, res);
+    }
+    for (int i = 0; i < 64; i++) out[i] = (int16_t)coef[zz_src[i]];
+}
+
+// fixed-point BT.601 forward (color.py rgb_to_ycbcr_np semantics) for one
+// clamped row; emits f32 y-128 plus raw cb/cr (also f32) for 420, or
+// y/cb/cr-128 directly for 444
+static inline void ycc_row(const uint8_t* rgb, int n, int c_in,
+                           float* y, float* cb, float* cr, int minus128_chroma) {
+    for (int x = 0; x < n; x++) {
+        int r = rgb[x * c_in + 0];
+        int g = rgb[x * c_in + (c_in > 1 ? 1 : 0)];
+        int b = rgb[x * c_in + (c_in > 1 ? 2 : 0)];
+        int yv = (77 * r + 150 * g + 29 * b + 128) >> 8;
+        int cbv = ((-43 * r - 85 * g + 128 * b + 128) >> 8) + 128;
+        int crv = ((128 * r - 107 * g - 21 * b + 128) >> 8) + 128;
+        yv = yv < 0 ? 0 : yv > 255 ? 255 : yv;
+        cbv = cbv < 0 ? 0 : cbv > 255 ? 255 : cbv;
+        crv = crv < 0 ? 0 : crv > 255 ? 255 : crv;
+        y[x] = (float)yv - 128.0f;
+        cb[x] = minus128_chroma ? (float)cbv - 128.0f : (float)cbv;
+        cr[x] = minus128_chroma ? (float)crv - 128.0f : (float)crv;
+    }
+}
+
+static const int ZZN[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+};
+
+#endif  // __AVX2__
+
+}  // namespace jcoef
+
+// img: [h, w, c_in] uint8 (c_in 1/3/4; alpha ignored), qlum/qchrom:
+// natural-order [64] f32.  mode: 0=gray, 1=444, 2=420.  out: int16
+// [nblocks, 64] zigzag, block order identical to the NumPy mirrors.
+// Returns nblocks or -1 (no AVX2 build / bad args).
+EXPORT int64_t jpeg_coefficients(
+    const uint8_t* img, int64_t h, int64_t w, int32_t c_in, int32_t mode,
+    const float* qlum, const float* qchrom, int16_t* out) {
+#if !defined(__AVX2__)
+    (void)img; (void)h; (void)w; (void)c_in; (void)mode; (void)qlum;
+    (void)qchrom; (void)out;
+    return -1;
+#else
+    using namespace jcoef;
+    if (h <= 0 || w <= 0) return -1;
+    if (mode == 0) {
+        if (c_in != 1) return -1;
+        int64_t ph = (h + 7) & ~7LL, pw = (w + 7) & ~7LL;
+        int64_t bw = pw / 8, bh = ph / 8;
+        std::vector<float> rows((size_t)8 * pw);
+        float blk[64];
+        int16_t* o = out;
+        for (int64_t by = 0; by < bh; by++) {
+            for (int rr = 0; rr < 8; rr++) {
+                int64_t sy = by * 8 + rr;
+                if (sy >= h) sy = h - 1;
+                const uint8_t* src = img + sy * w;
+                float* dst = rows.data() + (size_t)rr * pw;
+                for (int64_t x = 0; x < w; x++) dst[x] = (float)src[x] - 128.0f;
+                for (int64_t x = w; x < pw; x++) dst[x] = dst[w - 1];
+            }
+            for (int64_t bx = 0; bx < bw; bx++) {
+                for (int rr = 0; rr < 8; rr++)
+                    memcpy(blk + rr * 8, rows.data() + (size_t)rr * pw + bx * 8,
+                           32);
+                dct_quant_zz_block(blk, qlum, ZZN, o);
+                o += 64;
+            }
+        }
+        return bh * bw;
+    }
+    if (c_in != 3 && c_in != 4) return -1;
+    if (mode == 1) {  // 444
+        int64_t ph = (h + 7) & ~7LL, pw = (w + 7) & ~7LL;
+        int64_t bw = pw / 8, bh = ph / 8;
+        std::vector<float> yb((size_t)8 * pw), cbb((size_t)8 * pw),
+            crb((size_t)8 * pw);
+        float blk[64];
+        int16_t* o = out;
+        for (int64_t by = 0; by < bh; by++) {
+            for (int rr = 0; rr < 8; rr++) {
+                int64_t sy = by * 8 + rr;
+                if (sy >= h) sy = h - 1;
+                float* yd = yb.data() + (size_t)rr * pw;
+                float* cbd = cbb.data() + (size_t)rr * pw;
+                float* crd = crb.data() + (size_t)rr * pw;
+                ycc_row(img + sy * w * c_in, (int)w, c_in, yd, cbd, crd, 1);
+                for (int64_t x = w; x < pw; x++) {
+                    yd[x] = yd[w - 1]; cbd[x] = cbd[w - 1]; crd[x] = crd[w - 1];
+                }
+            }
+            for (int64_t bx = 0; bx < bw; bx++) {
+                const float* planes[3] = {yb.data(), cbb.data(), crb.data()};
+                for (int comp = 0; comp < 3; comp++) {
+                    for (int rr = 0; rr < 8; rr++)
+                        memcpy(blk + rr * 8,
+                               planes[comp] + (size_t)rr * pw + bx * 8, 32);
+                    dct_quant_zz_block(blk, comp == 0 ? qlum : qchrom, ZZN, o);
+                    o += 64;
+                }
+            }
+        }
+        return bh * bw * 3;
+    }
+    if (mode != 2) return -1;
+    // 420: pad to 16, MCU = 4 Y (by,bx) + avg-cb + avg-cr
+    int64_t ph = (h + 15) & ~15LL, pw = (w + 15) & ~15LL;
+    int64_t nmx = pw / 16, nmy = ph / 16;
+    std::vector<float> yb((size_t)16 * pw), cbr((size_t)16 * pw),
+        crr((size_t)16 * pw), cbs((size_t)8 * (pw / 2)),
+        crs((size_t)8 * (pw / 2));
+    float blk[64];
+    int16_t* o = out;
+    for (int64_t my = 0; my < nmy; my++) {
+        for (int rr = 0; rr < 16; rr++) {
+            int64_t sy = my * 16 + rr;
+            if (sy >= h) sy = h - 1;
+            float* yd = yb.data() + (size_t)rr * pw;
+            float* cbd = cbr.data() + (size_t)rr * pw;
+            float* crd = crr.data() + (size_t)rr * pw;
+            ycc_row(img + sy * w * c_in, (int)w, c_in, yd, cbd, crd, 0);
+            for (int64_t x = w; x < pw; x++) {
+                yd[x] = yd[w - 1]; cbd[x] = cbd[w - 1]; crd[x] = crd[w - 1];
+            }
+        }
+        // chroma 2x2 average: ((a + b) + c) + d) order must match the
+        // mirror: (q00 + q01 + q10 + q11) * 0.25 - 128
+        for (int rr = 0; rr < 8; rr++) {
+            const float* cb0 = cbr.data() + (size_t)(2 * rr) * pw;
+            const float* cb1 = cbr.data() + (size_t)(2 * rr + 1) * pw;
+            const float* cr0 = crr.data() + (size_t)(2 * rr) * pw;
+            const float* cr1 = crr.data() + (size_t)(2 * rr + 1) * pw;
+            float* cbd = cbs.data() + (size_t)rr * (pw / 2);
+            float* crd = crs.data() + (size_t)rr * (pw / 2);
+            for (int64_t x = 0; x < pw / 2; x++) {
+                // mirror order: q[:,0,:,0] + q[:,0,:,1] + q[:,1,:,0] + q[:,1,:,1]
+                float sb = ((cb0[2 * x] + cb0[2 * x + 1]) + cb1[2 * x]) +
+                           cb1[2 * x + 1];
+                float sr = ((cr0[2 * x] + cr0[2 * x + 1]) + cr1[2 * x]) +
+                           cr1[2 * x + 1];
+                cbd[x] = sb * 0.25f - 128.0f;
+                crd[x] = sr * 0.25f - 128.0f;
+            }
+        }
+        for (int64_t mx = 0; mx < nmx; mx++) {
+            for (int sub = 0; sub < 4; sub++) {
+                int64_t y0 = (sub / 2) * 8, x0 = mx * 16 + (sub % 2) * 8;
+                for (int rr = 0; rr < 8; rr++)
+                    memcpy(blk + rr * 8,
+                           yb.data() + (size_t)(y0 + rr) * pw + x0, 32);
+                dct_quant_zz_block(blk, qlum, ZZN, o);
+                o += 64;
+            }
+            for (int rr = 0; rr < 8; rr++)
+                memcpy(blk + rr * 8,
+                       cbs.data() + (size_t)rr * (pw / 2) + mx * 8, 32);
+            dct_quant_zz_block(blk, qchrom, ZZN, o);
+            o += 64;
+            for (int rr = 0; rr < 8; rr++)
+                memcpy(blk + rr * 8,
+                       crs.data() + (size_t)rr * (pw / 2) + mx * 8, 32);
+            dct_quant_zz_block(blk, qchrom, ZZN, o);
+            o += 64;
+        }
+    }
+    return nmy * nmx * 6;
+#endif
+}

@@ -335,3 +335,77 @@ class TestJpegDecodePixelsGuards:
     def test_normal_420_accepted(self):
         out = self._call([2, 1, 1], [2, 1, 1], 2, 2, 32, 32)
         assert out is not None and out.shape == (32, 32, 3)
+
+
+@needs_native
+class TestJpegCoefficientsNative:
+    """AVX2 coefficient pipeline vs the NumPy mirror tier: identical
+    int16 zigzag streams for every mode on clamp-padding geometries."""
+
+    def _mirror(self, img, mode):
+        from pixo_tpu.jpeg.tables import QuantizationTables
+        from pixo_tpu.ops.blockify import (blocks_420_np, blocks_444_np,
+                                           blocks_gray_np)
+        from pixo_tpu.ops.dct import dct8x8_aan_np
+        from pixo_tpu.ops.quantize import quantize_blocks_np, zigzag_blocks_np
+
+        q = QuantizationTables(85)
+        lum = q.luminance_table.reshape(8, 8).astype(np.float32)
+        chrom = q.chrominance_table.reshape(8, 8).astype(np.float32)
+        if mode == "gray":
+            blocks, qmap, bpm = blocks_gray_np(img), lum[None], 1
+        elif mode == "420":
+            blocks = blocks_420_np(img)
+            qmap, bpm = np.stack([lum] * 4 + [chrom] * 2), 6
+        else:
+            blocks = blocks_444_np(img)
+            qmap, bpm = np.stack([lum, chrom, chrom]), 3
+        dct = dct8x8_aan_np(blocks)
+        coeffs = quantize_blocks_np(dct.reshape(-1, bpm, 8, 8), qmap[None])
+        return zigzag_blocks_np(coeffs).reshape(-1, 64), lum, chrom
+
+    @pytest.mark.parametrize("mode", ["gray", "444", "420"])
+    @pytest.mark.parametrize("hw", [(8, 8), (17, 23), (1, 1), (9, 33),
+                                    (100, 7), (64, 96)])
+    def test_matches_numpy_mirror(self, mode, hw):
+        from pixo_tpu.native import native_jpeg_coefficients
+
+        rng = np.random.default_rng(hw[0] * 100 + hw[1])
+        h, w = hw
+        if mode == "gray":
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        else:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        ref, lum, chrom = self._mirror(img, mode)
+        nat = native_jpeg_coefficients(img, mode, lum, chrom)
+        if nat is None:
+            pytest.skip("no AVX2 native coefficients")
+        np.testing.assert_array_equal(nat, ref)
+
+    def test_rgba_alpha_ignored(self):
+        from pixo_tpu.native import native_jpeg_coefficients
+
+        rng = np.random.default_rng(5)
+        rgb = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+        rgba = np.concatenate(
+            [rgb, rng.integers(0, 256, (24, 17, 1), dtype=np.uint8)], axis=2)
+        ref, lum, chrom = self._mirror(rgb, "444")
+        nat = native_jpeg_coefficients(rgba, "444", lum, chrom)
+        if nat is None:
+            pytest.skip("no AVX2 native coefficients")
+        np.testing.assert_array_equal(nat, ref)
+
+    def test_full_encode_host_tier_equals_device(self, monkeypatch):
+        from pixo_tpu import jpeg
+        from pixo_tpu.options import JpegOptions, Subsampling
+
+        rng = np.random.default_rng(6)
+        img = rng.integers(0, 256, (41, 57, 3), dtype=np.uint8)
+        for sub in (Subsampling.S444, Subsampling.S420):
+            opts = JpegOptions(width=57, height=41, quality=85,
+                               subsampling=sub, optimize_huffman=True)
+            monkeypatch.delenv("PIXO_TPU_COEFFS", raising=False)
+            dev = jpeg.encode(img, opts)
+            monkeypatch.setenv("PIXO_TPU_COEFFS", "host")
+            host = jpeg.encode(img, opts)
+            assert bytes(dev) == bytes(host)
