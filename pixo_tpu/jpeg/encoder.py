@@ -354,12 +354,25 @@ def encode_batch(imgs: np.ndarray, options: JpegOptions) -> List[bytes]:
     quant = QuantizationTables(options.quality)
     color = "gray" if options.color_type == ColorType.GRAY else "rgb"
     sub = "420" if options.subsampling == Subsampling.S420 else "444"
+    _, _, pattern = scan_layout(options.width, options.height, color, sub)
+
+    if _coeff_tier() == "host":
+        # host tier: the native AVX2 pipeline per image on a thread pool
+        # (ctypes releases the GIL) — no XLA dispatch at all
+        import concurrent.futures
+
+        def one(i: int) -> bytes:
+            zz = compute_coefficients(imgs[i], options, quant)
+            return _emit_jpeg(zz, imgs[i], options, quant, pattern)
+
+        with concurrent.futures.ThreadPoolExecutor() as ex:
+            return list(ex.map(one, range(b)))
+
     lum = jnp.asarray(quant.luminance_table.reshape(8, 8))
     chrom = jnp.asarray(quant.chrominance_table.reshape(8, 8))
     zz_all = np.asarray(
         _device_coeffs_batch(jnp.asarray(imgs), lum, chrom, color=color, subsampling=sub)
     )
-    _, _, pattern = scan_layout(options.width, options.height, color, sub)
 
     return [
         _emit_jpeg(zz_all[i], imgs[i], options, quant, pattern) for i in range(b)
