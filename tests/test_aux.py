@@ -293,7 +293,9 @@ class TestPlayground:
         import numpy as np
         from PIL import Image
 
-        conn = http.client.HTTPConnection("127.0.0.1", server, timeout=30)
+        # generous: the shared 1-vCPU host wobbles badly under parallel
+        # load (this test flaked twice at 30 s while benches ran)
+        conn = http.client.HTTPConnection("127.0.0.1", server, timeout=120)
         conn.request("GET", "/")
         resp = conn.getresponse()
         page = resp.read().decode()

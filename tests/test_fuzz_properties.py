@@ -160,6 +160,19 @@ def _mutation_corpus():
         jpeg.encode(rgb, JpegOptions(width=24, height=17, quality=80,
                                      progressive=True))
     )
+    out["png_adam7"] = bytes(
+        png.encode(rgb, PngOptions(width=24, height=17,
+                                   color_type=ColorType.RGB, interlace=True))
+    )
+    g16 = rng.integers(0, 65536, (12, 19), dtype=np.uint16)
+    out["png_gray16"] = bytes(
+        png.encode(g16, PngOptions(width=19, height=12,
+                                   color_type=ColorType.GRAY, bit_depth=16))
+    )
+    out["jpeg_gray"] = bytes(
+        jpeg.encode(rgb[:, :, 0], JpegOptions(width=24, height=17, quality=80,
+                                              color_type=ColorType.GRAY))
+    )
     return out
 
 
@@ -197,14 +210,14 @@ class TestDecodeMutationFuzz:
             pass
 
     @fuzz_settings
-    @given(key=st.sampled_from(["png_rgb", "png_pal"]),
+    @given(key=st.sampled_from(["png_rgb", "png_pal", "png_adam7", "png_gray16"]),
            frac=st.floats(0.0, 1.0))
     def test_png_truncation(self, key, frac):
         data = _mutation_corpus()[key]
         self._expect_clean(decode_png, data[: int(len(data) * frac)])
 
     @fuzz_settings
-    @given(key=st.sampled_from(["png_rgb", "png_pal"]),
+    @given(key=st.sampled_from(["png_rgb", "png_pal", "png_adam7", "png_gray16"]),
            pos=st.integers(8, 10_000), bit=st.integers(0, 7))
     def test_png_bitflip(self, key, pos, bit):
         data = bytearray(_mutation_corpus()[key])
@@ -212,7 +225,7 @@ class TestDecodeMutationFuzz:
         self._expect_clean(decode_png, data)
 
     @fuzz_settings
-    @given(key=st.sampled_from(["png_rgb", "png_pal"]),
+    @given(key=st.sampled_from(["png_rgb", "png_pal", "png_adam7", "png_gray16"]),
            pos=st.integers(0, 10_000), seed=st.integers(0, 2**32 - 1),
            n=st.integers(1, 16))
     def test_png_payload_corruption_reaches_inflate(self, key, pos, seed, n):
@@ -226,14 +239,14 @@ class TestDecodeMutationFuzz:
         self._expect_clean(decode_png, _png_fix_crcs(bytes(data)))
 
     @fuzz_settings
-    @given(key=st.sampled_from(["jpeg_420", "jpeg_prog"]),
+    @given(key=st.sampled_from(["jpeg_420", "jpeg_prog", "jpeg_gray"]),
            frac=st.floats(0.0, 1.0))
     def test_jpeg_truncation(self, key, frac):
         data = _mutation_corpus()[key]
         self._expect_clean(decode_jpeg, data[: int(len(data) * frac)])
 
     @fuzz_settings
-    @given(key=st.sampled_from(["jpeg_420", "jpeg_prog"]),
+    @given(key=st.sampled_from(["jpeg_420", "jpeg_prog", "jpeg_gray"]),
            pos=st.integers(2, 10_000), bit=st.integers(0, 7))
     def test_jpeg_bitflip(self, key, pos, bit):
         # no CRC in JPEG: every flip lands on live marker parsing or the
