@@ -5073,10 +5073,74 @@ static inline void dct_quant_zz_block(const float blk[64], const float* q,
 
 // fixed-point BT.601 forward (color.py rgb_to_ycbcr_np semantics) for one
 // clamped row; emits f32 y-128 plus raw cb/cr (also f32) for 420, or
-// y/cb/cr-128 directly for 444
+// y/cb/cr-128 directly for 444.  SIMD: one 32-bit gather per 8 pixels
+// pulls r|g|b|(junk) packed words; the last pixel stays scalar so the
+// gather never reads past the image buffer.
 static inline void ycc_row(const uint8_t* rgb, int n, int c_in,
                            float* y, float* cb, float* cr, int minus128_chroma) {
-    for (int x = 0; x < n; x++) {
+    int x = 0;
+#if defined(__AVX2__)
+    if (c_in >= 3) {
+        const __m256i step = _mm256_setr_epi32(0, c_in, 2 * c_in, 3 * c_in,
+                                               4 * c_in, 5 * c_in, 6 * c_in,
+                                               7 * c_in);
+        const __m256i m255 = _mm256_set1_epi32(255);
+        const __m256i c128i = _mm256_set1_epi32(128);
+        const __m256 f128 = _mm256_set1_ps(128.0f);
+        int limit = n - 1;  // last pixel scalar (gather would overread 1-2 B)
+        for (; x + 8 <= limit; x += 8) {
+            __m256i idx = _mm256_add_epi32(step, _mm256_set1_epi32(x * c_in));
+            __m256i v = _mm256_i32gather_epi32(
+                (const int*)rgb, idx, 1);
+            __m256i r = _mm256_and_si256(v, m255);
+            __m256i g = _mm256_and_si256(_mm256_srli_epi32(v, 8), m255);
+            __m256i b = _mm256_and_si256(_mm256_srli_epi32(v, 16), m255);
+            __m256i yv = _mm256_srai_epi32(
+                _mm256_add_epi32(
+                    _mm256_add_epi32(
+                        _mm256_mullo_epi32(r, _mm256_set1_epi32(77)),
+                        _mm256_mullo_epi32(g, _mm256_set1_epi32(150))),
+                    _mm256_add_epi32(
+                        _mm256_mullo_epi32(b, _mm256_set1_epi32(29)), c128i)),
+                8);
+            __m256i cbv = _mm256_add_epi32(
+                _mm256_srai_epi32(
+                    _mm256_add_epi32(
+                        _mm256_add_epi32(
+                            _mm256_mullo_epi32(r, _mm256_set1_epi32(-43)),
+                            _mm256_mullo_epi32(g, _mm256_set1_epi32(-85))),
+                        _mm256_add_epi32(
+                            _mm256_mullo_epi32(b, _mm256_set1_epi32(128)),
+                            c128i)),
+                    8),
+                c128i);
+            __m256i crv = _mm256_add_epi32(
+                _mm256_srai_epi32(
+                    _mm256_add_epi32(
+                        _mm256_add_epi32(
+                            _mm256_mullo_epi32(r, _mm256_set1_epi32(128)),
+                            _mm256_mullo_epi32(g, _mm256_set1_epi32(-107))),
+                        _mm256_add_epi32(
+                            _mm256_mullo_epi32(b, _mm256_set1_epi32(-21)),
+                            c128i)),
+                    8),
+                c128i);
+            yv = _mm256_min_epi32(_mm256_max_epi32(yv, _mm256_setzero_si256()), m255);
+            cbv = _mm256_min_epi32(_mm256_max_epi32(cbv, _mm256_setzero_si256()), m255);
+            crv = _mm256_min_epi32(_mm256_max_epi32(crv, _mm256_setzero_si256()), m255);
+            _mm256_storeu_ps(y + x, _mm256_sub_ps(_mm256_cvtepi32_ps(yv), f128));
+            __m256 cbf = _mm256_cvtepi32_ps(cbv);
+            __m256 crf = _mm256_cvtepi32_ps(crv);
+            if (minus128_chroma) {
+                cbf = _mm256_sub_ps(cbf, f128);
+                crf = _mm256_sub_ps(crf, f128);
+            }
+            _mm256_storeu_ps(cb + x, cbf);
+            _mm256_storeu_ps(cr + x, crf);
+        }
+    }
+#endif
+    for (; x < n; x++) {
         int r = rgb[x * c_in + 0];
         int g = rgb[x * c_in + (c_in > 1 ? 1 : 0)];
         int b = rgb[x * c_in + (c_in > 1 ? 2 : 0)];
