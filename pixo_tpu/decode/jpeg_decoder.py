@@ -502,7 +502,7 @@ def _finish_scan(coeffs, width, height, components, qtables,
     """Pixel tail: dequant + IDCT + assemble + upsample + color convert."""
     from ..ops.jpeg_decode import dequant_idct_blocks_np, ycbcr_to_rgb_int_np
 
-    if not fancy_upsampling and _pixel_tier() == "host":
+    if _pixel_tier() == "host":
         from ..native import native_jpeg_decode_pixels
 
         nat = native_jpeg_decode_pixels(
@@ -510,10 +510,14 @@ def _finish_scan(coeffs, width, height, components, qtables,
             [qtables[c.quant_id].astype(np.uint16) for c in components],
             [c.h for c in components], [c.v for c in components],
             mcu_cols, mcu_rows, max_h, max_v, width, height,
+            fancy=fancy_upsampling,
         )
         if nat is not None:
             ct = ColorType.GRAY if len(components) == 1 else ColorType.RGB
             return JpegImage(width, height, ct, nat)
+    if not fancy_upsampling and _pixel_tier() == "host":
+        # NumPy fallback is nearest-only; fancy falls through to the jnp
+        # tier below when the native path declines
         planes = []
         for ci, comp in enumerate(components):
             q = qtables[comp.quant_id].astype(np.int32)

@@ -443,7 +443,7 @@ def native_count_symbols(
 def native_jpeg_decode_pixels(
     comp_coeffs, qtables_zz, comp_h, comp_v,
     mcu_cols: int, mcu_rows: int, max_h: int, max_v: int,
-    width: int, height: int,
+    width: int, height: int, fancy: bool = False,
 ):
     """Host pixel tail: dezigzag+dequant+jidctint+assemble+upsample+color.
 
@@ -465,7 +465,7 @@ def native_jpeg_decode_pixels(
             i16p, i64p, u16p, i32p, i32p,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32, u8p,
+            ctypes.c_int32, ctypes.c_int32, u8p,
         ]
         lib.jpeg_decode_pixels._configured = True
     ncomp = len(comp_coeffs)
@@ -488,7 +488,8 @@ def native_jpeg_decode_pixels(
         qt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         ch.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         cv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        ncomp, mcu_cols, mcu_rows, max_h, max_v, width, height, _u8(out),
+        ncomp, mcu_cols, mcu_rows, max_h, max_v, width, height,
+        1 if fancy else 0, _u8(out),
     )
     if rc != 0:
         return None

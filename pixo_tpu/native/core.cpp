@@ -4762,7 +4762,7 @@ EXPORT int64_t jpeg_decode_pixels(
     const int16_t* coeffs, const int64_t* comp_off, const uint16_t* qtables,
     const int32_t* comp_h, const int32_t* comp_v, int32_t ncomp,
     int32_t mcu_cols, int32_t mcu_rows, int32_t max_h, int32_t max_v,
-    int32_t width, int32_t height, uint8_t* out) {
+    int32_t width, int32_t height, int32_t fancy, uint8_t* out) {
     using namespace jpegpix;
     if (ncomp != 1 && ncomp != 3) return -1;
     // the interleave loops index the first plane at full resolution;
@@ -4813,6 +4813,62 @@ EXPORT int64_t jpeg_decode_pixels(
     auto sh = [](int r) { return r == 1 ? 0 : r == 2 ? 1 : r == 4 ? 2 : -1; };
     int hs1 = sh(hr1), vs1 = sh(vr1), hs2 = sh(hr2), vs2 = sh(vr2);
     if (hs1 < 0 || vs1 < 0 || hs2 < 0 || vs2 < 0) return -3;
+    // fancy (triangle) upsampling supports ratios 1/2 only — other
+    // geometries fall back to the jnp tier, matching upsample_triangle
+    if (fancy && (hr1 > 2 || vr1 > 2 || hr2 > 2 || vr2 > 2)) return -3;
+
+    // libjpeg triangle upsample of one output row into dst[0..width):
+    // bit-equal to ops/jpeg_decode.py upsample_triangle, which shifts
+    // over the FULL padded plane (edge replicate only at plane edges).
+    auto fancy_row = [&](const uint8_t* plane, int pwc, int phc, int hr,
+                         int vr, int y, uint8_t* dst) {
+        const uint8_t *mainr, *othr;
+        int rnd_v = 0;
+        if (vr == 2) {
+            int k = y >> 1;
+            if (k >= phc) k = phc - 1;
+            int ok = (y & 1) ? (k + 1 < phc ? k + 1 : phc - 1)
+                             : (k > 0 ? k - 1 : 0);
+            mainr = plane + (size_t)k * pwc;
+            othr = plane + (size_t)ok * pwc;
+            rnd_v = (y & 1) ? 1 : 2;
+        } else {
+            mainr = plane + (size_t)y * pwc;
+            othr = nullptr;
+        }
+        if (hr == 2 && vr == 2) {
+            // r[c] = 3*main[c] + oth[c] (x4 scale), then 3:1 horizontally
+            int cmax = (width + 1) / 2;
+            int r_prev, r_cur, r_next;
+            r_cur = 3 * (int)mainr[0] + (int)othr[0];
+            r_prev = r_cur;  // left edge replicate
+            for (int c = 0; c < cmax; c++) {
+                int cn = c + 1 < pwc ? c + 1 : pwc - 1;
+                r_next = 3 * (int)mainr[cn] + (int)othr[cn];
+                int e = (3 * r_cur + r_prev + 8) >> 4;
+                int o = (3 * r_cur + r_next + 7) >> 4;
+                if (2 * c < width) dst[2 * c] = (uint8_t)e;
+                if (2 * c + 1 < width) dst[2 * c + 1] = (uint8_t)o;
+                r_prev = r_cur;
+                r_cur = r_next;
+            }
+        } else if (hr == 2) {
+            int cmax = (width + 1) / 2;
+            for (int c = 0; c < cmax; c++) {
+                int cp = c > 0 ? c - 1 : 0;
+                int cn = c + 1 < pwc ? c + 1 : pwc - 1;
+                int e = (3 * (int)mainr[c] + (int)mainr[cp] + 2) >> 2;
+                int o = (3 * (int)mainr[c] + (int)mainr[cn] + 1) >> 2;
+                if (2 * c < width) dst[2 * c] = (uint8_t)e;
+                if (2 * c + 1 < width) dst[2 * c + 1] = (uint8_t)o;
+            }
+        } else if (vr == 2) {
+            for (int x = 0; x < width; x++)
+                dst[x] = (uint8_t)((3 * (int)mainr[x] + (int)othr[x] + rnd_v) >> 2);
+        } else {
+            memcpy(dst, mainr, width);
+        }
+    };
 
 #if defined(__AVX2__)
     // AVX2 color tail: per-row nearest chroma upsample into padded stack
@@ -4876,10 +4932,17 @@ EXPORT int64_t jpeg_decode_pixels(
         };
         for (int y = 0; y < height; y++) {
             const uint8_t* yrow = planes[0].data() + (size_t)y * pw[0];
-            upsample_row(planes[1].data() + (size_t)(y >> vs1) * pw[1], hs1,
-                         cbbuf.data());
-            upsample_row(planes[2].data() + (size_t)(y >> vs2) * pw[2], hs2,
-                         crbuf.data());
+            if (fancy) {
+                fancy_row(planes[1].data(), pw[1], ph[1], hr1, vr1, y,
+                          cbbuf.data());
+                fancy_row(planes[2].data(), pw[2], ph[2], hr2, vr2, y,
+                          crbuf.data());
+            } else {
+                upsample_row(planes[1].data() + (size_t)(y >> vs1) * pw[1],
+                             hs1, cbbuf.data());
+                upsample_row(planes[2].data() + (size_t)(y >> vs2) * pw[2],
+                             hs2, crbuf.data());
+            }
             uint8_t* orow = out + (size_t)y * width * 3;
             int x = 0;
             for (; x + 16 <= width; x += 16) {
@@ -4914,6 +4977,7 @@ EXPORT int64_t jpeg_decode_pixels(
     }
 #endif
 
+    if (fancy) return -3;  // scalar fallback build: jnp tier handles fancy
     for (int y = 0; y < height; y++) {
         const uint8_t* yrow = planes[0].data() + (size_t)y * pw[0];
         const uint8_t* cbrow = planes[1].data() + (size_t)(y >> vs1) * pw[1];

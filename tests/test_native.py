@@ -409,3 +409,29 @@ class TestJpegCoefficientsNative:
             monkeypatch.setenv("PIXO_TPU_COEFFS", "host")
             host = jpeg.encode(img, opts)
             assert bytes(dev) == bytes(host)
+
+
+@needs_native
+class TestNativeFancyUpsampling:
+    """Native triangle upsample in the pixel tail vs the jnp tier:
+    bit-equal across subsampling geometries and odd dims."""
+
+    @pytest.mark.parametrize("ss", [0, 1, 2], ids=["444", "422", "420"])
+    @pytest.mark.parametrize("hw", [(37, 51), (64, 64), (16, 9)])
+    def test_matches_jnp_tier(self, monkeypatch, ss, hw):
+        import io
+
+        from PIL import Image
+
+        from pixo_tpu.decode import decode_jpeg
+
+        rng = np.random.default_rng(ss * 10 + hw[0])
+        img = rng.integers(0, 256, (*hw, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", quality=90, subsampling=ss)
+        data = buf.getvalue()
+        monkeypatch.delenv("PIXO_TPU_DECODE_PIXELS", raising=False)
+        nat = decode_jpeg(data, fancy_upsampling=True).pixels
+        monkeypatch.setenv("PIXO_TPU_DECODE_PIXELS", "device")
+        ref = decode_jpeg(data, fancy_upsampling=True).pixels
+        np.testing.assert_array_equal(nat, ref)
