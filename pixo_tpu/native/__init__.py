@@ -37,6 +37,10 @@ def _try_build() -> Optional[str]:
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
         "-march=native", "-fno-exceptions", "-fvisibility=hidden", "-pthread",
+        # GCC contracts even explicit _mm256_mul_ps/_mm256_add_ps pairs
+        # into FMA at -O3; the f32 tiers (AAN DCT) are only bit-exact
+        # with the NumPy mirrors when contraction is off
+        "-ffp-contract=off",
         _SRC, "-o", _LIB_PATH,
     ]
     try:

@@ -4773,6 +4773,11 @@ EXPORT int64_t jpeg_decode_pixels(
     if ((int64_t)width > (int64_t)mcu_cols * max_h * 8 ||
         (int64_t)height > (int64_t)mcu_rows * max_v * 8)
         return -2;
+#if !defined(__AVX2__)
+    // scalar build has no fancy color tail: decline before paying for
+    // the IDCT/plane pass the jnp tier would redo anyway
+    if (fancy) return -3;
+#endif
 
     std::vector<std::vector<uint8_t>> planes(ncomp);
     std::vector<int> pw(ncomp), ph(ncomp);
@@ -5002,9 +5007,10 @@ EXPORT int64_t jpeg_decode_pixels(
 // Host tier of clamp-pad -> fixed-point YCbCr -> blockify (444/420/gray)
 // -> float AAN DCT -> round-half-away quantize -> zigzag, bit-exact with
 // the NumPy mirrors (ops/blockify.py, ops/dct.py, ops/quantize.py).
-// All f32 arithmetic uses explicit AVX intrinsics (separate mul/add —
-// never FMA-contracted), with per-element operation order identical to
-// the mirrors, so outputs are byte-identical.  One call replaces the
+// All f32 arithmetic uses explicit AVX intrinsics in the mirrors'
+// per-element operation order, and the build passes -ffp-contract=off
+// (GCC otherwise fuses even intrinsic mul/add pairs into FMA at -O3),
+// so outputs are byte-identical.  One call replaces the
 // ~35 ms NumPy path for one-shot CLI encodes.
 
 namespace jcoef {

@@ -382,6 +382,38 @@ class TestJpegCoefficientsNative:
             pytest.skip("no AVX2 native coefficients")
         np.testing.assert_array_equal(nat, ref)
 
+    @pytest.mark.parametrize("quality", [85, 100])
+    def test_structured_images_rounding_boundaries(self, quality):
+        """Structured content at quality 100 lands on rounding boundaries
+        that uniform noise never hits — this is the case that catches FMA
+        contraction in the native AAN butterfly (found live: GCC fuses
+        intrinsic mul/add pairs unless -ffp-contract=off)."""
+        from pixo_tpu.jpeg.tables import QuantizationTables
+        from pixo_tpu.native import native_jpeg_coefficients
+        from pixo_tpu.ops.blockify import blocks_gray_np
+        from pixo_tpu.ops.dct import dct8x8_aan_np
+        from pixo_tpu.ops.quantize import quantize_blocks_np, zigzag_blocks_np
+
+        qt = QuantizationTables(quality)
+        lum = qt.luminance_table.reshape(8, 8).astype(np.float32)
+        chrom = qt.chrominance_table.reshape(8, 8).astype(np.float32)
+        x = np.arange(128)
+        sin = ((np.sin(np.add.outer(x, x) / 7.0) * 0.5 + 0.5) * 255).astype(np.uint8)
+        binary = ((np.add.outer(x, x) % 2) * 255).astype(np.uint8)
+        flat = np.full((128, 128), 128, np.uint8)
+        flat[::9, ::9] = 129
+        for img in (sin, binary, flat):
+            nat = native_jpeg_coefficients(img, "gray", lum, chrom)
+            if nat is None:
+                pytest.skip("no AVX2 native coefficients")
+            blocks = blocks_gray_np(img)
+            ref = zigzag_blocks_np(
+                quantize_blocks_np(
+                    dct8x8_aan_np(blocks).reshape(-1, 1, 8, 8),
+                    lum[None, None])
+            ).reshape(-1, 64)
+            np.testing.assert_array_equal(nat, ref)
+
     def test_rgba_alpha_ignored(self):
         from pixo_tpu.native import native_jpeg_coefficients
 
