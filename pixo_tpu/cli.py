@@ -177,6 +177,7 @@ def main(argv=None) -> int:
         # contracts large fusions — see ops/dct.py note; the TPU backend
         # is exact) and no XLA compile latency in the one-shot path
         os.environ.setdefault("PIXO_TPU_COEFFS", "host")
+        os.environ.setdefault("PIXO_TPU_RESIZE", "host")
         try:
             import jax
 
@@ -193,8 +194,10 @@ def main(argv=None) -> int:
 
             if jax.default_backend() == "cpu":
                 os.environ.setdefault("PIXO_TPU_COEFFS", "host")
+                os.environ.setdefault("PIXO_TPU_RESIZE", "host")
         except Exception:  # noqa: BLE001
             os.environ.setdefault("PIXO_TPU_COEFFS", "host")
+            os.environ.setdefault("PIXO_TPU_RESIZE", "host")
 
     # persistent XLA compile cache: repeat one-shot runs on the same
     # shapes skip recompilation (utils/jaxcache.py)

@@ -678,6 +678,51 @@ def native_jpeg_coefficients(
     return out
 
 
+def native_resize_lanczos3(
+    arr: np.ndarray,          # [h, w, c] uint8
+    sx: np.ndarray, wx: np.ndarray,   # taps from lanczos_taps(w, dst_w)
+    sy: np.ndarray, wy: np.ndarray,   # taps from lanczos_taps(h, dst_h)
+) -> Optional[np.ndarray]:
+    """AVX2 separable Lanczos3, bit-identical to ops/resize_kernels
+    resize_lanczos3 (serial f32 accumulation per output element,
+    intermediate u8 round/clamp). None if unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "resize_lanczos3_host"):
+        return None
+    if not hasattr(lib.resize_lanczos3_host, "_configured"):
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.resize_lanczos3_host.restype = ctypes.c_int32
+        lib.resize_lanczos3_host.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            i32p, f32p, ctypes.c_int32, ctypes.c_int32,
+            i32p, f32p, ctypes.c_int32, ctypes.c_int32,
+            u8p,
+        ]
+        lib.resize_lanczos3_host._configured = True
+    h, w, c = arr.shape
+    dst_w, kx = wx.shape
+    dst_h, ky = wy.shape
+    arr = np.ascontiguousarray(arr)
+    sxc = np.ascontiguousarray(sx.astype(np.int32))
+    syc = np.ascontiguousarray(sy.astype(np.int32))
+    wxc = np.ascontiguousarray(wx.astype(np.float32))
+    wyc = np.ascontiguousarray(wy.astype(np.float32))
+    out = np.empty((dst_h, dst_w, c), np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    rc = lib.resize_lanczos3_host(
+        _u8(arr.reshape(-1)), h, w, c,
+        sxc.ctypes.data_as(i32p), wxc.ctypes.data_as(f32p), kx, dst_w,
+        syc.ctypes.data_as(i32p), wyc.ctypes.data_as(f32p), ky, dst_h,
+        _u8(out.reshape(-1)),
+    )
+    if rc != 0:
+        return None
+    return out
+
+
 def native_jpeg_decode_scan(
     segments,        # list of bytes (pre-split, unstuffed restart segments)
     restart_interval: int,

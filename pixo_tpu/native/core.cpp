@@ -5374,3 +5374,122 @@ EXPORT int64_t jpeg_coefficients(
     return nmy * nmx * 6;
 #endif
 }
+
+// =========================== Lanczos3 resize ================================
+// Host tier of the separable Lanczos pass pair.  Tap starts/weights are
+// computed by ops/resize_kernels.lanczos_taps (Python/NumPy — the f32
+// sinf semantics stay in one place); this runs the accumulation with
+// the exact serial order of the lax.scan tier: lanes are independent
+// output elements, each accumulating acc = acc + px*w per tap in f32
+// (-ffp-contract=off build), with the reference's intermediate u8
+// round/clamp between passes.  Bit-identical to resize_lanczos3.
+
+namespace jresize {
+#if defined(__AVX2__)
+// round-half-away == roundf: nearest for non-ties, away at exact .5
+static inline __m256 round_half_away_ps(__m256 d) {
+    __m256 nearest = _mm256_round_ps(
+        d, _MM_FROUND_TO_NEAREST_INT | _MM_FROUND_NO_EXC);
+    __m256 t = _mm256_round_ps(d, _MM_FROUND_TO_ZERO | _MM_FROUND_NO_EXC);
+    __m256 frac = _mm256_sub_ps(d, t);
+    __m256 absfrac = _mm256_andnot_ps(_mm256_set1_ps(-0.0f), frac);
+    __m256 tie = _mm256_cmp_ps(absfrac, _mm256_set1_ps(0.5f), _CMP_EQ_OQ);
+    __m256 ge0 = _mm256_cmp_ps(d, _mm256_setzero_ps(), _CMP_GE_OQ);
+    __m256 away = _mm256_add_ps(
+        t, _mm256_blendv_ps(_mm256_set1_ps(-1.0f), _mm256_set1_ps(1.0f), ge0));
+    return _mm256_blendv_ps(nearest, away, tie);
+}
+#endif
+static inline uint8_t round_clamp_scalar(float v) {
+    float t = truncf(v);
+    float frac = v - t;
+    float r;
+    if (frac == 0.5f || frac == -0.5f) r = v >= 0.0f ? t + 1.0f : t - 1.0f;
+    else r = nearbyintf(v);  // ties impossible here; nearest mode
+    if (r < 0.0f) r = 0.0f;
+    if (r > 255.0f) r = 255.0f;
+    return (uint8_t)r;
+}
+}  // namespace jresize
+
+EXPORT int32_t resize_lanczos3_host(
+    const uint8_t* img, int64_t h, int64_t w, int32_t c,
+    const int32_t* sx, const float* wx, int32_t kx, int32_t dst_w,
+    const int32_t* sy, const float* wy, int32_t ky, int32_t dst_h,
+    uint8_t* out) {
+#if !defined(__AVX2__)
+    (void)img; (void)h; (void)w; (void)c; (void)sx; (void)wx; (void)kx;
+    (void)dst_w; (void)sy; (void)wy; (void)ky; (void)dst_h; (void)out;
+    return -1;
+#else
+    using namespace jresize;
+    if (h <= 0 || w <= 0 || c <= 0 || c > 4) return -1;
+
+    // one vertical-style pass: src [S, N] u8 -> dst [dstn, N] u8, taps
+    // along axis 0, lanes = 8 contiguous elements of the N axis (weights
+    // shared across lanes, loads contiguous -> no gathers)
+    auto vpass = [](const uint8_t* sp, int64_t S, int64_t N,
+                    const int32_t* st, const float* wt, int kk,
+                    int64_t dstn, uint8_t* dp) {
+        for (int64_t d = 0; d < dstn; d++) {
+            const float* wrow = wt + (size_t)d * kk;
+            uint8_t* orow = dp + (size_t)d * N;
+            int64_t x0 = 0;
+            for (; x0 + 8 <= N; x0 += 8) {
+                __m256 acc = _mm256_setzero_ps();
+                for (int i = 0; i < kk; i++) {
+                    int64_t idx = (int64_t)st[d] + i;
+                    if (idx < 0) idx = 0;
+                    if (idx >= S) idx = S - 1;
+                    __m256i raw = _mm256_cvtepu8_epi32(_mm_loadl_epi64(
+                        (const __m128i*)(sp + (size_t)idx * N + x0)));
+                    acc = _mm256_add_ps(
+                        acc, _mm256_mul_ps(_mm256_cvtepi32_ps(raw),
+                                           _mm256_set1_ps(wrow[i])));
+                }
+                __m256 r = round_half_away_ps(acc);
+                r = _mm256_min_ps(_mm256_max_ps(r, _mm256_setzero_ps()),
+                                  _mm256_set1_ps(255.0f));
+                alignas(32) float rv[8];
+                _mm256_store_ps(rv, r);
+                for (int l = 0; l < 8; l++) orow[x0 + l] = (uint8_t)rv[l];
+            }
+            for (; x0 < N; x0++) {
+                float acc = 0.0f;
+                for (int i = 0; i < kk; i++) {
+                    int64_t idx = (int64_t)st[d] + i;
+                    if (idx < 0) idx = 0;
+                    if (idx >= S) idx = S - 1;
+                    acc = acc + (float)sp[(size_t)idx * N + x0] * wrow[i];
+                }
+                orow[x0] = round_clamp_scalar(acc);
+            }
+        }
+    };
+    // blocked u8 transpose [a, b, c] -> [b, a, c]
+    auto transpose_hw = [](const uint8_t* sp, int64_t a, int64_t b, int cc,
+                           uint8_t* dp) {
+        const int64_t T = 32;
+        for (int64_t y0 = 0; y0 < a; y0 += T)
+            for (int64_t x0 = 0; x0 < b; x0 += T) {
+                int64_t y1 = y0 + T < a ? y0 + T : a;
+                int64_t x1 = x0 + T < b ? x0 + T : b;
+                for (int64_t y = y0; y < y1; y++)
+                    for (int64_t x = x0; x < x1; x++)
+                        memcpy(dp + ((size_t)x * a + y) * cc,
+                               sp + ((size_t)y * b + x) * cc, cc);
+            }
+    };
+
+    // horizontal pass as a vertical pass over the transposed image
+    std::vector<uint8_t> tr((size_t)w * h * c);        // [w, h, c]
+    transpose_hw(img, h, w, c, tr.data());
+    std::vector<uint8_t> t1((size_t)dst_w * h * c);    // [dst_w, h, c]
+    vpass(tr.data(), w, (int64_t)h * c, sx, wx, kx, dst_w, t1.data());
+    std::vector<uint8_t> t2((size_t)h * dst_w * c);    // [h, dst_w, c]
+    transpose_hw(t1.data(), dst_w, h, c, t2.data());
+    // vertical pass
+    vpass(t2.data(), h, (int64_t)dst_w * c, sy, wy, ky, dst_h, out);
+    return 0;
+#endif
+}

@@ -89,8 +89,11 @@ def _lanczos_kernel_f32(x: np.float32, a: np.float32) -> np.float32:
     )
 
 
+@functools.lru_cache(maxsize=256)
 def lanczos_taps(src: int, dst: int, a: float = 3.0):
-    """Per-destination Lanczos windows in tap form.
+    """Per-destination Lanczos windows in tap form (cached: the f32
+    scalar-order weight computation is a Python loop that costs more
+    than the resize itself; the jit tier only pays it at trace time).
 
     Returns (starts [dst] int32, weights [dst, K] f32) with windows
     right-padded by zero weights — an EXACT no-op during the serial f32
@@ -186,3 +189,32 @@ def resize_lanczos3(img, *, dst_w: int, dst_h: int):
     # vertical: H is axis 0 after transposing back
     o = _lanczos_pass(t.transpose(1, 0, 2), sy, wy)  # [dst_h, dst_w, C]
     return o
+
+
+def resize_lanczos3_np(img: np.ndarray, *, dst_w: int, dst_h: int) -> np.ndarray:
+    """NumPy mirror of the serial-f32 Lanczos pass pair (kernel-equality
+    oracle for the native host tier).
+
+    NumPy never fuses, so a per-tap loop of (acc + px*w) reproduces the
+    reference's serial rounding exactly — this is the authoritative
+    order.  The jit tier matches it bit-for-bit on TPU; on XLA:CPU the
+    compiler FMA-contracts inside the scan and a ~1e-5 fraction of
+    pixels can differ by 1 (same drift class as the DCT note above).
+    """
+    from .quantize import round_half_away_np
+
+    def vpass(sp: np.ndarray, starts, weights):
+        s_dim = sp.shape[0]
+        dst, k = weights.shape
+        acc = np.zeros((dst,) + sp.shape[1:], np.float32)
+        f = sp.astype(np.float32)
+        for i in range(k):
+            idx = np.clip(starts + i, 0, s_dim - 1)
+            acc = acc + f[idx] * weights[:, i][:, None, None]
+        return np.clip(round_half_away_np(acc), 0.0, 255.0).astype(np.uint8)
+
+    h, w = img.shape[0], img.shape[1]
+    sx, wx = lanczos_taps(w, dst_w)
+    sy, wy = lanczos_taps(h, dst_h)
+    t = vpass(img.transpose(1, 0, 2), sx, wx)
+    return vpass(t.transpose(1, 0, 2), sy, wy)

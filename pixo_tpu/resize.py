@@ -52,9 +52,32 @@ def resize(data, options: ResizeOptions) -> np.ndarray:
     elif options.filter == ResizeFilter.BILINEAR:
         out = np.asarray(resize_bilinear(arr, dst_w=dw, dst_h=dh))
     else:
-        out = np.asarray(resize_lanczos3(arr, dst_w=dw, dst_h=dh))
+        out = None
+        if _resize_tier() == "host":
+            out = _lanczos_host(arr, dw, dh)
+        if out is None:
+            out = np.asarray(resize_lanczos3(arr, dst_w=dw, dst_h=dh))
 
     return out[..., 0] if squeeze else out
+
+
+def _resize_tier() -> str:
+    """"device" (jnp kernels, default) or "host" (native AVX2 Lanczos —
+    no XLA dispatch; the one-shot CLI latency tier).  PIXO_TPU_RESIZE
+    overrides.  Tiers are bit-identical (tests/test_resize.py)."""
+    import os
+
+    return os.environ.get("PIXO_TPU_RESIZE", "device")
+
+
+def _lanczos_host(arr: np.ndarray, dw: int, dh: int):
+    from .native import native_resize_lanczos3
+    from .ops.resize_kernels import lanczos_taps
+
+    h, w = arr.shape[:2]
+    sx, wx = lanczos_taps(w, dw)
+    sy, wy = lanczos_taps(h, dh)
+    return native_resize_lanczos3(arr, sx, wx, sy, wy)
 
 
 def resize_into(output: bytearray, data, options: ResizeOptions) -> None:

@@ -90,3 +90,43 @@ class TestResize:
         )
         re_encoded = jpeg.encode(thumb, JpegOptions.fast(16, 16, 85))
         assert re_encoded[:2] == b"\xff\xd8"
+
+
+class TestNativeLanczosTier:
+    """Native AVX2 Lanczos (PIXO_TPU_RESIZE=host) vs the NumPy serial
+    mirror — the authoritative order (the jit tier matches it on TPU;
+    XLA:CPU FMA-contracts a ~1e-5 pixel fraction by one)."""
+
+    @pytest.mark.parametrize("geom", [(48, 48, 96, 96), (37, 51, 100, 77),
+                                      (100, 7, 13, 29), (16, 16, 3, 5),
+                                      (128, 128, 32, 32)])
+    @pytest.mark.parametrize("c", [1, 3, 4])
+    def test_matches_serial_mirror(self, geom, c):
+        from pixo_tpu.native import native_resize_lanczos3
+        from pixo_tpu.ops.resize_kernels import (lanczos_taps,
+                                                 resize_lanczos3_np)
+
+        sh, sw, dh, dw = geom
+        rng = np.random.default_rng(sh * 7 + c)
+        img = rng.integers(0, 256, (sh, sw, c), dtype=np.uint8)
+        sx, wx = lanczos_taps(sw, dw)
+        sy, wy = lanczos_taps(sh, dh)
+        nat = native_resize_lanczos3(img, sx, wx, sy, wy)
+        if nat is None:
+            pytest.skip("native resize unavailable")
+        np.testing.assert_array_equal(
+            nat, resize_lanczos3_np(img, dst_w=dw, dst_h=dh))
+
+    def test_tier_dispatch(self, monkeypatch):
+        from pixo_tpu import resize as rz
+        from pixo_tpu.options import ColorType, ResizeOptions
+        from pixo_tpu.ops.resize_kernels import resize_lanczos3_np
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+        opts = ResizeOptions(src_width=56, src_height=40, dst_width=21,
+                             dst_height=15, color_type=ColorType.RGB)
+        monkeypatch.setenv("PIXO_TPU_RESIZE", "host")
+        out = rz.resize(img, opts)
+        np.testing.assert_array_equal(
+            out, resize_lanczos3_np(img, dst_w=21, dst_h=15))
