@@ -15,6 +15,7 @@
 
 from __future__ import annotations
 
+import os
 import concurrent.futures
 import functools
 from typing import List, Optional, Sequence
@@ -577,7 +578,21 @@ def thumbnail_pipeline(
             for k, (px, _w, _h, _ct) in enumerate(decoded):
                 rgb = _to_rgb(px)
                 groups.setdefault(rgb.shape[:2], []).append((k, rgb))
+            use_host_resize = os.environ.get("PIXO_TPU_RESIZE") == "host"
             for items in groups.values():
+                if use_host_resize:
+                    # host tier: per-image native Lanczos (serial-f32
+                    # authoritative order; same bytes as the device tier
+                    # on TPU — tests/test_resize.py)
+                    from ..resize import _lanczos_host
+
+                    for k, rgb in items:
+                        o = _lanczos_host(rgb, thumb_size, thumb_size)
+                        if o is None:
+                            break
+                        thumbs[k] = o
+                    else:
+                        continue
                 stacked = np.stack([rgb for _k, rgb in items])
                 out = np.asarray(
                     resize_lanczos3_batch(
