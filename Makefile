@@ -6,7 +6,7 @@ all: native test
 
 native:
 	g++ -O3 -std=c++17 -shared -fPIC -march=native -fno-exceptions \
-	    -fvisibility=hidden -Wall -pthread \
+	    -fvisibility=hidden -Wall -pthread -ffp-contract=off \
 	    pixo_tpu/native/core.cpp -o pixo_tpu/native/libpixo_core.so
 
 test: native

@@ -702,6 +702,20 @@ static inline float round_half_away(float x) {
     return x >= 0 ? __builtin_floorf(x + 0.5f) : __builtin_ceilf(x - 0.5f);
 }
 
+#if defined(__AVX2__)
+// est_len_lut transposed to [cat][run] rows so one candidate's 16
+// possible parent-run rates sit in two 8-float vectors.
+struct RateTabT {
+    alignas(32) float v[16][16];
+    RateTabT() {
+        for (int cat = 0; cat < 16; cat++)
+            for (int run = 0; run < 16; run++)
+                v[cat][run] = est_len_lut.v[(run << 4) | cat];
+    }
+};
+static const RateTabT rate_tab_t;
+#endif
+
 // Quantize one block of zigzag-ordered DCT coefficients.
 static void trellis_block(const float* dct_zz, const float* q_zz, float lambda,
                           int16_t* out_zz) {
@@ -731,35 +745,73 @@ static void trellis_block(const float* dct_zz, const float* q_zz, float lambda,
     int ncur = 1;
     cur[0] = {0.0f, 0, 0, 0};
 
-    // all_states[pos] holds the pruned states after processing zigzag pos
-    static thread_local State all_states[64][64];
+    // hist[pos] holds the backtracking slice (value << 16 | parent) of the
+    // pruned states after processing zigzag pos — cost/run are only needed
+    // for the *current* frontier, so the per-position history is 4 bytes
+    // per state, not the whole State.
+    static thread_local uint32_t hist[64][8];
     static thread_local int all_counts[64];
     all_counts[0] = 1;
-    all_states[0][0] = cur[0];
+    hist[0][0] = 0;
+
+#if defined(__AVX2__)
+    // SoA mirror of cur for the vectorized transition evaluation; lanes
+    // >= ncur hold +inf so vector min-reductions ignore them (scalar
+    // consumers index only [0, ncur)).
+    alignas(32) float cost_soa[8];
+    alignas(32) int32_t run_soa[8] = {0};
+    cost_soa[0] = 0.0f;
+    for (int i = 1; i < 8; i++) cost_soa[i] = __builtin_inff();
+#endif
+
+    // Per-block candidate precompute: fq = dct/q plus its floor/ceil as
+    // ints, 8 lanes per divide. vdivps/vroundps/cvttps match the scalar
+    // divss/floorf/ceilf/(int) results bit-for-bit.
+    alignas(32) float fqs[64];
+    alignas(32) int32_t fls[64], ces[64];
+#if defined(__AVX2__)
+    for (int i = 0; i < 64; i += 8) {
+        __m256 c = _mm256_loadu_ps(dct_zz + i);
+        __m256 qv = _mm256_loadu_ps(q_zz + i);
+        __m256 f = _mm256_div_ps(c, qv);
+        _mm256_store_ps(fqs + i, f);
+        __m256 flv =
+            _mm256_round_ps(f, _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC);
+        __m256 cev =
+            _mm256_round_ps(f, _MM_FROUND_TO_POS_INF | _MM_FROUND_NO_EXC);
+        _mm256_store_si256((__m256i*)(fls + i), _mm256_cvttps_epi32(flv));
+        _mm256_store_si256((__m256i*)(ces + i), _mm256_cvttps_epi32(cev));
+    }
+#else
+    for (int i = 0; i < 64; i++) {
+        float f = dct_zz[i] / q_zz[i];
+        fqs[i] = f;
+        fls[i] = (int32_t)__builtin_floorf(f);
+        ces[i] = (int32_t)__builtin_ceilf(f);
+    }
+#endif
 
     for (int zz = 1; zz < 64; zz++) {
         float coef = dct_zz[zz];
         float q = q_zz[zz];
-        float fq = coef / q;
+        float fq = fqs[zz];
 
-        // candidates: 0, floor, round, ceil (+extended), deduped in order
+        // candidates: 0, floor, round, ceil (+extended), deduped in order.
+        // round_half_away(fq) always lands on floor or ceil (|fq| < 2^12,
+        // so fq+-0.5 is exact in f32), and the extended candidate
+        // (|fq| > 1.5) lies strictly outside [floor, ceil] — the dedup
+        // therefore reduces to the two skip-zero checks below, preserving
+        // the original first-occurrence order [0, fl?, ce?, ext?].
         int16_t cands[6];
         int ncands = 0;
         cands[ncands++] = 0;
-        int16_t fl = (int16_t)__builtin_floorf(fq);
-        int16_t rd = (int16_t)round_half_away(fq);
-        int16_t ce = (int16_t)__builtin_ceilf(fq);
-        auto add = [&](int16_t v) {
-            if (v == 0) return;
-            for (int i = 0; i < ncands; i++)
-                if (cands[i] == v) return;
-            cands[ncands++] = v;
-        };
-        add(fl);
-        add(rd);
-        add(ce);
+        int16_t fl = (int16_t)fls[zz];
+        int16_t ce = (int16_t)ces[zz];
+        if (fl != 0) cands[ncands++] = fl;
+        if (ce != fl && ce != 0) cands[ncands++] = ce;
         float afq = fq < 0 ? -fq : fq;
-        if (afq > 1.5f) add(fq >= 0.0f ? (int16_t)(ce + 1) : (int16_t)(fl - 1));
+        if (afq > 1.5f)
+            cands[ncands++] = fq >= 0.0f ? (int16_t)(ce + 1) : (int16_t)(fl - 1);
 
         // Transition merge, written directly instead of via a hash map.
         // The merged (value, zero_run) keys have a fixed structure: every
@@ -781,6 +833,132 @@ static void trellis_block(const float* dct_zz, const float* q_zz, float lambda,
             lam_dists[ci] = lambda * (d * d);
             cats[ci] = category16(cands[ci]);
         }
+        State next[16];
+        int nnext = 0;
+#if defined(__AVX2__)
+        // Vector transition evaluation: each lane reproduces the scalar
+        // float op order exactly — rate = lut + cat, cost = (p.cost +
+        // rate) + ld — so results are bit-identical (-ffp-contract=off
+        // keeps GCC from fusing the adds).
+        __m256 vcost = _mm256_load_ps(cost_soa);
+        __m256i vrun = _mm256_load_si256((const __m256i*)run_soa);
+        // zero children for all parents at once
+        __m256i nr = _mm256_add_epi32(vrun, _mm256_set1_epi32(1));
+        __m256i zrl = _mm256_cmpgt_epi32(nr, _mm256_set1_epi32(15));
+        __m256 zrate =
+            _mm256_and_ps(_mm256_castsi256_ps(zrl), _mm256_set1_ps(10.0f));
+        __m256i newrun = _mm256_andnot_si256(zrl, nr);
+        float lam_dz = lambda * dist_zero;
+        __m256 zc = _mm256_add_ps(_mm256_add_ps(vcost, zrate),
+                                  _mm256_set1_ps(lam_dz));
+        alignas(32) float zc_cost[8];
+        alignas(32) int32_t zc_run[8];
+        _mm256_store_ps(zc_cost, zc);
+        _mm256_store_si256((__m256i*)zc_run, newrun);
+        // lanes whose parent sits at run 15 (took the ZRL +10)
+        int zrl_any = _mm256_movemask_ps(_mm256_castsi256_ps(zrl)) &
+                      ((1 << ncur) - 1);
+        if (ncands == 1 && !zrl_any) {
+            // Zero is the only candidate and no ZRL fired: every state
+            // gains the same (rate 0) + lam_dz, so the sorted order and
+            // tie order are preserved verbatim — pass the states through
+            // with no selection. Inactive lanes stay +inf through the adds.
+            for (int i = 0; i < ncur; i++) hist[zz][i] = (uint32_t)i;
+            all_counts[zz] = ncur;
+            _mm256_store_ps(cost_soa, zc);
+            _mm256_store_si256((__m256i*)run_soa, newrun);
+            continue;
+        }
+        next[nnext++] = {zc_cost[0], (uint8_t)zc_run[0], 0, 0};
+        uint64_t nzk[6];  // nonzero-candidate keys, insertion-sorted
+        int nnz = 0;
+#if !defined(__AVX512VL__)
+        __m256 run_hi =
+            _mm256_castsi256_ps(_mm256_cmpgt_epi32(vrun, _mm256_set1_epi32(7)));
+#endif
+        for (int ci = 1; ci < ncands; ci++) {
+            int cat = cats[ci];
+            __m256 lo = _mm256_load_ps(rate_tab_t.v[cat]);
+            __m256 hi = _mm256_load_ps(rate_tab_t.v[cat] + 8);
+#if defined(__AVX512VL__)
+            // one cross-register permute covers the 16-entry rate row
+            __m256 r = _mm256_permutex2var_ps(lo, vrun, hi);
+#else
+            // rate_tab_t[cat][run] via two in-lane permutes + blend
+            __m256 rlo = _mm256_permutevar8x32_ps(lo, vrun);
+            __m256 rhi = _mm256_permutevar8x32_ps(hi, vrun);  // idx mod 8
+            __m256 r = _mm256_blendv_ps(rlo, rhi, run_hi);
+#endif
+            __m256 ratev = _mm256_add_ps(r, _mm256_set1_ps((float)cat));
+            __m256 costv = _mm256_add_ps(_mm256_add_ps(vcost, ratev),
+                                         _mm256_set1_ps(lam_dists[ci]));
+            // branchless first-min: inactive lanes are +inf; on equal
+            // costs the lowest lane index (earliest parent) wins, same
+            // as the scalar strict-< scan
+            __m128 m4 = _mm_min_ps(_mm256_castps256_ps128(costv),
+                                   _mm256_extractf128_ps(costv, 1));
+            __m128 m2 = _mm_min_ps(m4, _mm_movehl_ps(m4, m4));
+            __m128 m1 = _mm_min_ss(m2, _mm_shuffle_ps(m2, m2, 1));
+            float best_cost = _mm_cvtss_f32(m1);
+            int best_pi = __builtin_ctz(_mm256_movemask_ps(_mm256_cmp_ps(
+                costv, _mm256_set1_ps(best_cost), _CMP_EQ_OQ)));
+            uint32_t cb;
+            memcpy(&cb, &best_cost, 4);
+            uint64_t k = ((uint64_t)cb << 4) | (uint64_t)nnext;
+            int ins = nnz;
+            while (ins > 0 && nzk[ins - 1] > k) ins--;
+            for (int m = nnz; m > ins; m--) nzk[m] = nzk[m - 1];
+            nzk[ins] = k;
+            nnz++;
+            next[nnext++] = {best_cost, 0, (uint16_t)best_pi, cands[ci]};
+        }
+        for (int pi = 1; pi < ncur; pi++)
+            next[nnext++] = {zc_cost[pi], (uint8_t)zc_run[pi], (uint16_t)pi, 0};
+        if (!zrl_any) {
+            // No ZRL reorder: the zero children are already key-sorted
+            // (parents sorted, same added constant, sequence numbers
+            // ascending), so the stable selection is a 2-way merge of the
+            // zero-child keys with the sorted nonzero keys — no insertion
+            // pass. Keys are unique (distinct sequence bits), so strict <
+            // reproduces the stable tie order exactly.
+            uint64_t zck[9];
+            {
+                uint32_t cb;
+                memcpy(&cb, &zc_cost[0], 4);
+                zck[0] = ((uint64_t)cb << 4);
+                int k0 = ncands - 1;
+                for (int pi = 1; pi < ncur; pi++) {
+                    memcpy(&cb, &zc_cost[pi], 4);
+                    zck[pi] = ((uint64_t)cb << 4) | (uint64_t)(k0 + pi);
+                }
+            }
+            // sentinel-bounded branchless merge: both lists end in
+            // UINT64_MAX so the take-side decision is one compare + cmov
+            zck[ncur] = UINT64_MAX;
+            nzk[nnz] = UINT64_MAX;
+            int kept = ncur + nnz;
+            if (kept > MAX_STATES) kept = MAX_STATES;
+            int a = 0, b = 0;
+            for (int i = 0; i < kept; i++) {
+                uint64_t ka = zck[a], kb = nzk[b];
+                int ta = ka < kb;
+                uint64_t k = ta ? ka : kb;
+                a += ta;
+                b += 1 - ta;
+                const State& s = next[k & 15];
+                hist[zz][i] = ((uint32_t)(uint16_t)s.value << 16) | s.parent;
+                cost_soa[i] = s.cost;
+                run_soa[i] = s.zero_run;
+            }
+            all_counts[zz] = kept;
+            ncur = kept;
+            for (int i = kept; i < 8; i++) {
+                cost_soa[i] = __builtin_inff();
+                run_soa[i] = 0;
+            }
+            continue;
+        }
+#else
         auto zero_child = [&](int pi) -> State {
             const State& p = cur[pi];
             float rate;
@@ -791,8 +969,6 @@ static void trellis_block(const float* dct_zz, const float* q_zz, float lambda,
             return {p.cost + rate + lambda * dist_zero, new_run,
                     (uint16_t)pi, 0};
         };
-        State next[16];
-        int nnext = 0;
         next[nnext++] = zero_child(0);
         for (int ci = 1; ci < ncands; ci++) {
             int cat = cats[ci];
@@ -812,30 +988,52 @@ static void trellis_block(const float* dct_zz, const float* q_zz, float lambda,
             next[nnext++] = {best_cost, 0, (uint16_t)best_pi, cands[ci]};
         }
         for (int pi = 1; pi < ncur; pi++) next[nnext++] = zero_child(pi);
+#endif
         // stable partial selection of the MAX_STATES cheapest states
-        // (identical result to stable_sort + truncate)
-        State* dst = all_states[zz];
+        // (identical result to stable_sort + truncate). Costs are
+        // non-negative f32, so their bit patterns order as uint32; packing
+        // (cost_bits << 4) | seq makes one uint64 compare reproduce the
+        // float compare with the original first-come tie-breaks.
         int kept = 0;
+        uint64_t sel[MAX_STATES];
         for (int si = 0; si < nnext; si++) {
-            const State& s = next[si];
-            if (kept == MAX_STATES && s.cost >= dst[kept - 1].cost) continue;
+            uint32_t cb;
+            memcpy(&cb, &next[si].cost, 4);
+            uint64_t k = ((uint64_t)cb << 4) | (uint64_t)si;
+            if (kept == MAX_STATES && k >= sel[kept - 1]) continue;
             int ins = kept;
-            while (ins > 0 && dst[ins - 1].cost > s.cost) ins--;
+            while (ins > 0 && sel[ins - 1] > k) ins--;
             int tail = (kept < MAX_STATES) ? kept : MAX_STATES - 1;
-            for (int m = tail; m > ins; m--) dst[m] = dst[m - 1];
-            dst[ins] = s;
+            for (int m = tail; m > ins; m--) sel[m] = sel[m - 1];
+            sel[ins] = k;
             if (kept < MAX_STATES) kept++;
         }
+        for (int i = 0; i < kept; i++) {
+            const State& s = next[sel[i] & 15];
+            hist[zz][i] = ((uint32_t)(uint16_t)s.value << 16) | s.parent;
+            cur[i] = s;
+        }
         all_counts[zz] = kept;
-        memcpy(cur, dst, kept * sizeof(State));
         ncur = kept;
+#if defined(__AVX2__)
+        for (int i = 0; i < 8; i++) {
+            cost_soa[i] = i < kept ? cur[i].cost : __builtin_inff();
+            run_soa[i] = i < kept ? cur[i].zero_run : 0;
+        }
+#endif
         if (ncur == 0) break;
     }
 
-    // EOB cost on trailing-zero states, then pick first minimum
+    // EOB cost on trailing-zero states, then pick first minimum. The
+    // frontier cost/run live in the SoA mirror on the AVX2 path (cur is
+    // not maintained there); values are identical either way.
     float final_costs[64];
     for (int i = 0; i < ncur; i++) {
+#if defined(__AVX2__)
+        final_costs[i] = cost_soa[i] + (run_soa[i] > 0 ? 4.0f : 0.0f);
+#else
         final_costs[i] = cur[i].cost + (cur[i].zero_run > 0 ? 4.0f : 0.0f);
+#endif
     }
     int16_t path[63] = {0};
     if (ncur > 0) {
@@ -845,8 +1043,9 @@ static void trellis_block(const float* dct_zz, const float* q_zz, float lambda,
         int state_idx = best;
         for (int zz = 63; zz >= 1; zz--) {
             if (state_idx < all_counts[zz]) {
-                path[zz - 1] = all_states[zz][state_idx].value;
-                state_idx = all_states[zz][state_idx].parent;
+                uint32_t h = hist[zz][state_idx];
+                path[zz - 1] = (int16_t)(uint16_t)(h >> 16);
+                state_idx = (int)(h & 0xffff);
             }
         }
     }
