@@ -268,13 +268,11 @@ def bench_png_presets(quick):
                 continue
             opts = PngOptions.from_preset(w, h, preset)
             opts.color_type = ct
-            t0 = time.perf_counter()
-            out = _our_png(img, opts)
-            t = time.perf_counter() - t0
+            out = _our_png(img, opts)  # warm (absorbs any one-off compile)
+            t = timeit(lambda: _our_png(img, opts), 0.3, 3)
             cells.append(f"{fmt_size(len(out))} / {fmt_time(t)}")
-        t0 = time.perf_counter()
         pil = _pillow_png(img, 9, optimize=True)
-        tp = time.perf_counter() - t0
+        tp = timeit(lambda: _pillow_png(img, 9, optimize=True), 0.3, 3)
         cells.append(f"{fmt_size(len(pil))} / {fmt_time(tp)}")
         row("png-presets", *cells)
 
@@ -310,9 +308,8 @@ def bench_png_lossy(quick):
                     dithering=dith,
                 ),
             )
-            t0 = time.perf_counter()
-            out = _our_png(img, opts)
-            t = time.perf_counter() - t0
+            out = _our_png(img, opts)  # warm (absorbs any one-off compile)
+            t = timeit(lambda: _our_png(img, opts), 0.3, 3)
             cells.append(f"{fmt_size(len(out))} / {fmt_time(t)}")
         mode = "RGB" if c == 3 else "RGBA"
         arr = img if c != 1 else img[..., 0]
@@ -349,13 +346,12 @@ def bench_jpeg_presets(quick):
         cells = [name, f"{w}x{h}"]
         for preset in (0, 1, 2):
             opts = JpegOptions.from_preset(w, h, 85, preset)
-            t0 = time.perf_counter()
-            out = jpeg.encode(img, opts)
-            t = time.perf_counter() - t0
+            out = jpeg.encode(img, opts)  # warm (absorbs any one-off compile)
+            t = timeit(lambda: jpeg.encode(img, opts), 0.3, 3)
             cells.append(f"{fmt_size(len(out))} / {fmt_time(t)}")
-        t0 = time.perf_counter()
         pil = _pillow_jpeg(img, optimize=True, progressive=True)
-        tp = time.perf_counter() - t0
+        tp = timeit(lambda: _pillow_jpeg(img, optimize=True, progressive=True),
+                    0.3, 3)
         cells.append(f"{fmt_size(len(pil))} / {fmt_time(tp)}")
         cells.append(moz)
         row("jpeg-presets", *cells)
@@ -381,6 +377,12 @@ def main():
 
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+        # Match the CLI's single-image latency profile (cli.py:169-180):
+        # on the CPU backend the host tiers are the product path, and the
+        # reference/criterion numbers quoted in the tables are warm
+        # host-side runs of the same kind.
+        os.environ.setdefault("PIXO_TPU_COEFFS", "host")
+        os.environ.setdefault("PIXO_TPU_RESIZE", "host")
     print(f"# comparison bench — device={args.device} quick={args.quick}")
     print(f"# reference numbers quoted from "
           f"/root/reference/benches/BENCHMARKS.md")
