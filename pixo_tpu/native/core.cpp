@@ -3403,6 +3403,12 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
                         int next_chain = cfg.lazy >= 2
                             ? (cfg.chain / 2 > 1 ? cfg.chain / 2 : 1)
                             : cfg.chain;
+                        // zlib good_match analog: with a decent (>=8) match
+                        // already in hand, the lazy probe only needs to beat
+                        // it by 3 — quarter the walk (zlib deflate.c quarters
+                        // chain_length when prev_length >= good_match)
+                        if (best >= 8) next_chain = next_chain / 4 > 1
+                            ? next_chain / 4 : 1;
                         next_chain = std::min(next_chain, cfg.depth_cap);
                         int dist2 = 0;
                         int best2 = m.find(pos + 1, next_chain, cfg.nice, mml, &dist2);

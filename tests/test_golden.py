@@ -42,7 +42,7 @@ GOLDEN = {
     # reference's mapping (0-2 -> fast) — one header byte, verified
     # byte-identical to the pixo WASM oracle (test_oracle_parity.py).
     "png_fast": "43bd52511951a853cef1532545e58c6cd4ee2de5f0074ee92273f5b6055a7ffe",
-    "png_balanced": "ac7fe67069cb3aaf10890d94bfdba0ee53fa1cec7e84c9657196401ddff17049",
+    "png_balanced": "d0fdfc39a12ef6299e9827e185a396d344449d08482d105c2b1164210a68a04d",
     "png_adaptive_l9": "0c09fa7fa9d4a3dd62d1b318c92356344e5620e09b68689719841e6cfe4ce26d",
     "deflate_l6": "6fcb33821e5a9bbf64f10e8baea16e98c35323c07c348b043dd84146981ab1f1",
 }
