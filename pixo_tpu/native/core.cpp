@@ -5308,13 +5308,46 @@ static inline void aan_1d_avx(__m256 d[8]) {
     d[7] = _mm256_mul_ps(o7, _mm256_set1_ps(AAN_S[7]));
 }
 
-// dct block [8][8] f32 (rows) -> quantized+zigzagged int16[64].
+static const int ZZN[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+};
+
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+// zigzag as four 16-lane i16 permutes: output vector k picks ZZN[16k+i]
+// from the four natural-order row-pair vectors (vpermi2w indexes 32 lanes;
+// the blend mask selects the v2:v3 pair for source indices >= 32)
+struct ZZPerm {
+    __m256i idx[4];
+    __mmask16 hi[4];
+    ZZPerm() {
+        alignas(32) int16_t buf[16];
+        for (int k = 0; k < 4; k++) {
+            uint16_t m = 0;
+            for (int i = 0; i < 16; i++) {
+                int j = ZZN[16 * k + i];
+                buf[i] = (int16_t)(j & 31);
+                if (j >= 32) m |= (uint16_t)(1u << i);
+            }
+            idx[k] = _mm256_load_si256((const __m256i*)buf);
+            hi[k] = m;
+        }
+    }
+};
+static const ZZPerm zzperm;
+#endif
+
+// dct block [8][8] f32 (8 rows at `src`, consecutive rows `stride` floats
+// apart) -> quantized+zigzagged int16[64].
 // Mirrors dct8x8_aan_np (pass along last axis, then along row axis) and
 // round_half_away_np (nearest; exact .5 ties away from zero).
-static inline void dct_quant_zz_block(const float blk[64], const float* q,
-                                      const int* zz_src, int16_t* out) {
+static inline void dct_quant_zz_block(const float* src, int64_t stride,
+                                      const float* q, const int* zz_src,
+                                      int16_t* out) {
     __m256 r[8];
-    for (int i = 0; i < 8; i++) r[i] = _mm256_loadu_ps(blk + i * 8);
+    for (int i = 0; i < 8; i++) r[i] = _mm256_loadu_ps(src + i * stride);
     // rows pass: butterfly along the row elements -> transpose so lanes
     // index rows and vector index = element position
     transpose8x8_ps(r);
@@ -5327,7 +5360,9 @@ static inline void dct_quant_zz_block(const float blk[64], const float* q,
     // its outputs are coefficient ROWS-of-the-transform along the row
     // axis: r[k][c] = coefficient (k, c) — matching
     // np.stack(cols_done, axis=-2).
+#if !(defined(__AVX512BW__) && defined(__AVX512VL__))
     alignas(32) float coef[64];
+#endif
     const __m256 half = _mm256_set1_ps(0.5f);
     for (int i = 0; i < 8; i++) {
         __m256 d = _mm256_div_ps(r[i], _mm256_loadu_ps(q + i * 8));
@@ -5341,9 +5376,32 @@ static inline void dct_quant_zz_block(const float blk[64], const float* q,
         __m256 away = _mm256_add_ps(
             t, _mm256_blendv_ps(_mm256_set1_ps(-1.0f), _mm256_set1_ps(1.0f), ge0));
         __m256 res = _mm256_blendv_ps(nearest, away, tie);
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+        r[i] = res;  // kept in registers for the vector pack below
+#else
         _mm256_store_ps(coef + i * 8, res);
+#endif
     }
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+    // res values are exactly integral, so cvtps(nearest) == the scalar
+    // (int16_t) truncation, and packs saturation never fires (|coef| <=
+    // ~8160); zigzag runs as four 32-lane i16 permutes
+    (void)zz_src;
+    __m256i v[4];
+    for (int i = 0; i < 4; i++) {
+        __m256i a = _mm256_packs_epi32(_mm256_cvtps_epi32(r[2 * i]),
+                                       _mm256_cvtps_epi32(r[2 * i + 1]));
+        v[i] = _mm256_permute4x64_epi64(a, 0xD8);
+    }
+    for (int k = 0; k < 4; k++) {
+        __m256i lo = _mm256_permutex2var_epi16(v[0], zzperm.idx[k], v[1]);
+        __m256i hi = _mm256_permutex2var_epi16(v[2], zzperm.idx[k], v[3]);
+        _mm256_storeu_si256((__m256i*)(out + 16 * k),
+                            _mm256_mask_blend_epi16(zzperm.hi[k], lo, hi));
+    }
+#else
     for (int i = 0; i < 64; i++) out[i] = (int16_t)coef[zz_src[i]];
+#endif
 }
 
 // fixed-point BT.601 forward (color.py rgb_to_ycbcr_np semantics) for one
@@ -5431,12 +5489,6 @@ static inline void ycc_row(const uint8_t* rgb, int n, int c_in,
     }
 }
 
-static const int ZZN[64] = {
-    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
-    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
-    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
-    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
-};
 
 #endif  // __AVX2__
 
@@ -5461,7 +5513,6 @@ EXPORT int64_t jpeg_coefficients(
         int64_t ph = (h + 7) & ~7LL, pw = (w + 7) & ~7LL;
         int64_t bw = pw / 8, bh = ph / 8;
         std::vector<float> rows((size_t)8 * pw);
-        float blk[64];
         int16_t* o = out;
         for (int64_t by = 0; by < bh; by++) {
             for (int rr = 0; rr < 8; rr++) {
@@ -5473,10 +5524,7 @@ EXPORT int64_t jpeg_coefficients(
                 for (int64_t x = w; x < pw; x++) dst[x] = dst[w - 1];
             }
             for (int64_t bx = 0; bx < bw; bx++) {
-                for (int rr = 0; rr < 8; rr++)
-                    memcpy(blk + rr * 8, rows.data() + (size_t)rr * pw + bx * 8,
-                           32);
-                dct_quant_zz_block(blk, qlum, ZZN, o);
+                dct_quant_zz_block(rows.data() + bx * 8, pw, qlum, ZZN, o);
                 o += 64;
             }
         }
@@ -5488,7 +5536,6 @@ EXPORT int64_t jpeg_coefficients(
         int64_t bw = pw / 8, bh = ph / 8;
         std::vector<float> yb((size_t)8 * pw), cbb((size_t)8 * pw),
             crb((size_t)8 * pw);
-        float blk[64];
         int16_t* o = out;
         for (int64_t by = 0; by < bh; by++) {
             for (int rr = 0; rr < 8; rr++) {
@@ -5505,10 +5552,8 @@ EXPORT int64_t jpeg_coefficients(
             for (int64_t bx = 0; bx < bw; bx++) {
                 const float* planes[3] = {yb.data(), cbb.data(), crb.data()};
                 for (int comp = 0; comp < 3; comp++) {
-                    for (int rr = 0; rr < 8; rr++)
-                        memcpy(blk + rr * 8,
-                               planes[comp] + (size_t)rr * pw + bx * 8, 32);
-                    dct_quant_zz_block(blk, comp == 0 ? qlum : qchrom, ZZN, o);
+                    dct_quant_zz_block(planes[comp] + bx * 8, pw,
+                                       comp == 0 ? qlum : qchrom, ZZN, o);
                     o += 64;
                 }
             }
@@ -5522,7 +5567,6 @@ EXPORT int64_t jpeg_coefficients(
     std::vector<float> yb((size_t)16 * pw), cbr((size_t)16 * pw),
         crr((size_t)16 * pw), cbs((size_t)8 * (pw / 2)),
         crs((size_t)8 * (pw / 2));
-    float blk[64];
     int16_t* o = out;
     for (int64_t my = 0; my < nmy; my++) {
         for (int rr = 0; rr < 16; rr++) {
@@ -5545,8 +5589,36 @@ EXPORT int64_t jpeg_coefficients(
             const float* cr1 = crr.data() + (size_t)(2 * rr + 1) * pw;
             float* cbd = cbs.data() + (size_t)rr * (pw / 2);
             float* crd = crs.data() + (size_t)rr * (pw / 2);
-            for (int64_t x = 0; x < pw / 2; x++) {
-                // mirror order: q[:,0,:,0] + q[:,0,:,1] + q[:,1,:,0] + q[:,1,:,1]
+            // mirror order per element: ((q00 + q01) + q10) + q11, then
+            // * 0.25 - 128. Vector form deinterleaves even/odd columns
+            // with in-lane shuffles (a consistent scrambled lane order)
+            // and applies one order-fixing permute to the finished sum —
+            // the adds are elementwise, so the permute commutes and each
+            // lane's float op order matches the scalar exactly.
+            const __m256i fix = _mm256_setr_epi32(0, 1, 4, 5, 2, 3, 6, 7);
+            const __m256 quarter = _mm256_set1_ps(0.25f);
+            const __m256 c128f = _mm256_set1_ps(128.0f);
+            int64_t x = 0;
+            for (; x + 8 <= pw / 2; x += 8) {
+                const float* srcs[2][2] = {{cb0, cb1}, {cr0, cr1}};
+                float* dsts[2] = {cbd, crd};
+                for (int ch = 0; ch < 2; ch++) {
+                    __m256 a = _mm256_loadu_ps(srcs[ch][0] + 2 * x);
+                    __m256 b = _mm256_loadu_ps(srcs[ch][0] + 2 * x + 8);
+                    __m256 ev0 = _mm256_shuffle_ps(a, b, 0x88);
+                    __m256 od0 = _mm256_shuffle_ps(a, b, 0xDD);
+                    __m256 c = _mm256_loadu_ps(srcs[ch][1] + 2 * x);
+                    __m256 d = _mm256_loadu_ps(srcs[ch][1] + 2 * x + 8);
+                    __m256 ev1 = _mm256_shuffle_ps(c, d, 0x88);
+                    __m256 od1 = _mm256_shuffle_ps(c, d, 0xDD);
+                    __m256 s = _mm256_add_ps(
+                        _mm256_add_ps(_mm256_add_ps(ev0, od0), ev1), od1);
+                    __m256 r = _mm256_sub_ps(_mm256_mul_ps(s, quarter), c128f);
+                    _mm256_storeu_ps(dsts[ch] + x,
+                                     _mm256_permutevar8x32_ps(r, fix));
+                }
+            }
+            for (; x < pw / 2; x++) {
                 float sb = ((cb0[2 * x] + cb0[2 * x + 1]) + cb1[2 * x]) +
                            cb1[2 * x + 1];
                 float sr = ((cr0[2 * x] + cr0[2 * x + 1]) + cr1[2 * x]) +
@@ -5558,21 +5630,12 @@ EXPORT int64_t jpeg_coefficients(
         for (int64_t mx = 0; mx < nmx; mx++) {
             for (int sub = 0; sub < 4; sub++) {
                 int64_t y0 = (sub / 2) * 8, x0 = mx * 16 + (sub % 2) * 8;
-                for (int rr = 0; rr < 8; rr++)
-                    memcpy(blk + rr * 8,
-                           yb.data() + (size_t)(y0 + rr) * pw + x0, 32);
-                dct_quant_zz_block(blk, qlum, ZZN, o);
+                dct_quant_zz_block(yb.data() + y0 * pw + x0, pw, qlum, ZZN, o);
                 o += 64;
             }
-            for (int rr = 0; rr < 8; rr++)
-                memcpy(blk + rr * 8,
-                       cbs.data() + (size_t)rr * (pw / 2) + mx * 8, 32);
-            dct_quant_zz_block(blk, qchrom, ZZN, o);
+            dct_quant_zz_block(cbs.data() + mx * 8, pw / 2, qchrom, ZZN, o);
             o += 64;
-            for (int rr = 0; rr < 8; rr++)
-                memcpy(blk + rr * 8,
-                       crs.data() + (size_t)rr * (pw / 2) + mx * 8, 32);
-            dct_quant_zz_block(blk, qchrom, ZZN, o);
+            dct_quant_zz_block(crs.data() + mx * 8, pw / 2, qchrom, ZZN, o);
             o += 64;
         }
     }
