@@ -5412,6 +5412,72 @@ static inline void dct_quant_zz_block(const float* src, int64_t stride,
 static inline void ycc_row(const uint8_t* rgb, int n, int c_in,
                            float* y, float* cb, float* cr, int minus128_chroma) {
     int x = 0;
+#if defined(__AVX512F__)
+    // 512-bit variant: same integer ops, 16 pixels per gather
+    if (c_in >= 3) {
+        const __m512i step16 = _mm512_setr_epi32(
+            0, c_in, 2 * c_in, 3 * c_in, 4 * c_in, 5 * c_in, 6 * c_in,
+            7 * c_in, 8 * c_in, 9 * c_in, 10 * c_in, 11 * c_in, 12 * c_in,
+            13 * c_in, 14 * c_in, 15 * c_in);
+        const __m512i m255w = _mm512_set1_epi32(255);
+        const __m512i c128w = _mm512_set1_epi32(128);
+        const __m512 f128w = _mm512_set1_ps(128.0f);
+        int limit = n - 1;  // last pixel scalar (gather would overread)
+        for (; x + 16 <= limit; x += 16) {
+            __m512i idx = _mm512_add_epi32(step16, _mm512_set1_epi32(x * c_in));
+            __m512i v = _mm512_i32gather_epi32(idx, (const int*)rgb, 1);
+            __m512i r = _mm512_and_si512(v, m255w);
+            __m512i g = _mm512_and_si512(_mm512_srli_epi32(v, 8), m255w);
+            __m512i b = _mm512_and_si512(_mm512_srli_epi32(v, 16), m255w);
+            __m512i yv = _mm512_srai_epi32(
+                _mm512_add_epi32(
+                    _mm512_add_epi32(
+                        _mm512_mullo_epi32(r, _mm512_set1_epi32(77)),
+                        _mm512_mullo_epi32(g, _mm512_set1_epi32(150))),
+                    _mm512_add_epi32(
+                        _mm512_mullo_epi32(b, _mm512_set1_epi32(29)), c128w)),
+                8);
+            __m512i cbv = _mm512_add_epi32(
+                _mm512_srai_epi32(
+                    _mm512_add_epi32(
+                        _mm512_add_epi32(
+                            _mm512_mullo_epi32(r, _mm512_set1_epi32(-43)),
+                            _mm512_mullo_epi32(g, _mm512_set1_epi32(-85))),
+                        _mm512_add_epi32(
+                            _mm512_mullo_epi32(b, _mm512_set1_epi32(128)),
+                            c128w)),
+                    8),
+                c128w);
+            __m512i crv = _mm512_add_epi32(
+                _mm512_srai_epi32(
+                    _mm512_add_epi32(
+                        _mm512_add_epi32(
+                            _mm512_mullo_epi32(r, _mm512_set1_epi32(128)),
+                            _mm512_mullo_epi32(g, _mm512_set1_epi32(-107))),
+                        _mm512_add_epi32(
+                            _mm512_mullo_epi32(b, _mm512_set1_epi32(-21)),
+                            c128w)),
+                    8),
+                c128w);
+            yv = _mm512_min_epi32(_mm512_max_epi32(yv, _mm512_setzero_si512()),
+                                  m255w);
+            cbv = _mm512_min_epi32(
+                _mm512_max_epi32(cbv, _mm512_setzero_si512()), m255w);
+            crv = _mm512_min_epi32(
+                _mm512_max_epi32(crv, _mm512_setzero_si512()), m255w);
+            _mm512_storeu_ps(y + x,
+                             _mm512_sub_ps(_mm512_cvtepi32_ps(yv), f128w));
+            __m512 cbf = _mm512_cvtepi32_ps(cbv);
+            __m512 crf = _mm512_cvtepi32_ps(crv);
+            if (minus128_chroma) {
+                cbf = _mm512_sub_ps(cbf, f128w);
+                crf = _mm512_sub_ps(crf, f128w);
+            }
+            _mm512_storeu_ps(cb + x, cbf);
+            _mm512_storeu_ps(cr + x, crf);
+        }
+    }
+#endif
 #if defined(__AVX2__)
     if (c_in >= 3) {
         const __m256i step = _mm256_setr_epi32(0, c_in, 2 * c_in, 3 * c_in,
