@@ -306,6 +306,49 @@ class TestOptionsValidationEdges:
             jpeg.encode(b"", JpegOptions(width=65536, height=1))
 
 
+class TestTrellisNativeStressEquality:
+    """Randomized native-vs-Python-mirror equality over the regimes the
+    vectorized DP branches on: extreme magnitudes (max candidate fan-out
+    incl. the extended candidate), q=1 (every position nonzero), sparse
+    ZRL-heavy blocks (the zero-only pass-through + ZRL reorder fallback),
+    and plain photographic-range noise."""
+
+    def _check(self, dct, q):
+        py = trellis.trellis_quantize_block(dct, q)
+        nat = trellis.trellis_quantize(
+            dct[None], (0,), q, q, prefer_native=True
+        )[0]
+        np.testing.assert_array_equal(py, nat)
+
+    def test_random_regimes(self):
+        rng = np.random.default_rng(7)
+        for trial in range(40):
+            kind = trial % 4
+            q = rng.integers(1, 100, 64).astype(np.float32)
+            if kind == 0:  # extreme magnitudes near the DCT range limit
+                dct = rng.uniform(-8160, 8160, 64).astype(np.float32)
+            elif kind == 1:  # q=1: nonzero candidates at every position
+                q = np.ones(64, np.float32)
+                dct = rng.uniform(-50, 50, 64).astype(np.float32)
+            elif kind == 2:  # sparse: long zero runs, ZRL events
+                dct = np.zeros(64, np.float32)
+                hot = rng.choice(63, size=3, replace=False) + 1
+                dct[hot] = rng.uniform(-400, 400, 3).astype(np.float32)
+                dct[0] = rng.uniform(-1000, 1000)
+            else:  # photographic range
+                dct = (rng.standard_normal(64) * 60).astype(np.float32)
+            self._check(dct.astype(np.float32), q)
+
+    def test_exact_half_ties(self):
+        # fq landing exactly on n + 0.5 exercises round_half_away and the
+        # floor/ceil candidate pair on both sides of zero
+        q = np.full(64, 2.0, np.float32)
+        dct = np.full(64, 5.0, np.float32)   # fq = 2.5 everywhere
+        dct[1::2] = -5.0                     # fq = -2.5 on odd positions
+        dct[0] = 33.0
+        self._check(dct, q)
+
+
 class TestTrellisFastPathBoundary:
     """Locks the all-tiny-AC dominance proof: at the q/2 boundary the DP
     must still return all-zero AC (a +-1 that avoids a 10-bit ZRL costs
