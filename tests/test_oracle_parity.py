@@ -106,6 +106,84 @@ def test_jpeg_bytes_identical_to_pixo(name, img, ct, q, preset, sub420):
     assert bytes(ours) == bytes(ref)
 
 
+def _encode_preset2_bug_compatible(img, q=85):
+    """Re-encode preset 2 exactly as the REFERENCE does, emulating its two
+    non-parity behaviors so the output can be byte-compared to the oracle:
+
+      1. tables counted from the BASELINE symbols of the plain-quantized
+         (non-trellis) blocks (src/jpeg/mod.rs:684-860 quantize_block with
+         no trellis), so EOBn symbols are absent from the DHT;
+      2. any symbol missing from a table encodes as code 0, length 4 —
+         the reference's get_code_from_table fallback
+         (src/jpeg/progressive.rs:378-380).
+
+    Byte equality then PROVES the rest of the preset-2 pipeline is in
+    exact parity: the trellis DP (candidates, cost model, tie-breaks),
+    the 7-scan script, EOB-run accumulation/flush, refine bit order,
+    the depth+1 optimized-table quirk, and the progressive markers."""
+    from pixo_tpu.jpeg import markers as mk
+    from pixo_tpu.jpeg import progressive
+    from pixo_tpu.jpeg.encoder import (
+        _count,
+        _trellis_coefficients,
+        compute_coefficients,
+    )
+    from pixo_tpu.jpeg.tables import HuffmanTables, QuantizationTables
+    from pixo_tpu.ops.blockify import scan_layout
+
+    h, w = img.shape[:2]
+    opts = JpegOptions.from_preset(w, h, q, 2).replace(
+        subsampling=Subsampling.S444
+    )
+    quant = QuantizationTables(q)
+    _, _, pattern = scan_layout(w, h, "rgb", "444")
+
+    plain = compute_coefficients(
+        img, opts.replace(trellis_quant=False, progressive=False), quant
+    )
+    dc_l, dc_c, ac_l, ac_c = _count(plain, pattern, None)
+    tables = HuffmanTables.optimized_from_counts(
+        dc_l, dc_c, ac_l, ac_c, optimal=False
+    )
+    assert tables is not None
+
+    out = bytearray()
+    mk.write_soi(out)
+    mk.write_app0(out)
+    mk.write_dqt(out, quant)
+    mk.write_sof(out, mk.SOF2, w, h, opts.color_type, opts.subsampling)
+    mk.write_dht(out, tables)  # spec lists: the true (EOBn-less) tables
+
+    # patch the symbol->code lookups AFTER the DHT: missing -> (0, 4)
+    for pre in ("dc_lum", "dc_chrom", "ac_lum", "ac_chrom"):
+        codes = getattr(tables, f"{pre}_codes")
+        lengths = getattr(tables, f"{pre}_lengths")
+        miss = lengths == 0
+        codes[miss] = 0
+        lengths[miss] = 4
+
+    zz_scan = _trellis_coefficients(img, opts, quant, pattern)
+    progressive.encode_progressive(out, zz_scan, pattern, opts, tables)
+    mk.write_eoi(out)
+    return bytes(out)
+
+
+@pytest.mark.parametrize("name,img", [
+    ("grad16", _grad(16, 16)),
+    ("grad32", _grad(32, 32)),
+    ("sparse24x16", (_grad(16, 24) // 8) * 8),
+])
+def test_jpeg_preset2_bytes_identical_modulo_emulated_bug(name, img):
+    """Full preset-2 byte identity against the real pixo encoder with its
+    EOBn table bug EMULATED — positive proof that our trellis DP and
+    progressive scan machinery match the reference decision-for-decision
+    (the only divergence in shipping output is the deliberate bug fix)."""
+    h, w = img.shape[:2]
+    ref = bytes(cached_call("jpeg", img.tobytes(), w, h, 2, 85, 2, False))
+    ours = _encode_preset2_bug_compatible(img)
+    assert ours == ref
+
+
 def test_jpeg_preset2_divergence_is_the_reference_eobn_bug():
     """Preset 2 (progressive) bytes differ by design — and this test
     PROVES the reference bug our encoder fixes (progressive.py:11-21):
