@@ -106,7 +106,21 @@ def test_jpeg_bytes_identical_to_pixo(name, img, ct, q, preset, sub420):
     assert bytes(ours) == bytes(ref)
 
 
-def _encode_preset2_bug_compatible(img, q=85):
+def _bug_split_420(zz, pattern, width, height):
+    """The reference's 420 progressive block feed (third emulated bug):
+    Y blocks stay in MCU order and keep the MCU padding
+    (src/jpeg/mod.rs:1137-1230) instead of the spec's raster-cropped
+    non-interleaved order; chroma is unaffected (its grid equals the MCU
+    grid)."""
+    grouped = zz.reshape(-1, len(pattern), 64)
+    return [
+        np.ascontiguousarray(grouped[:, :4, :]).reshape(-1, 64),
+        np.ascontiguousarray(grouped[:, 4, :]).reshape(-1, 64),
+        np.ascontiguousarray(grouped[:, 5, :]).reshape(-1, 64),
+    ]
+
+
+def _encode_preset2_bug_compatible(img, q=85, sub420=False, monkeypatch=None):
     """Re-encode preset 2 exactly as the REFERENCE does, emulating its two
     non-parity behaviors so the output can be byte-compared to the oracle:
 
@@ -132,11 +146,15 @@ def _encode_preset2_bug_compatible(img, q=85):
     from pixo_tpu.ops.blockify import scan_layout
 
     h, w = img.shape[:2]
-    opts = JpegOptions.from_preset(w, h, q, 2).replace(
-        subsampling=Subsampling.S444
-    )
+    opts = JpegOptions.from_preset(w, h, q, 2)
+    if not sub420:
+        opts = opts.replace(subsampling=Subsampling.S444)
     quant = QuantizationTables(q)
-    _, _, pattern = scan_layout(w, h, "rgb", "444")
+    _, _, pattern = scan_layout(w, h, "rgb", "420" if sub420 else "444")
+    if sub420:
+        # third emulated bug: MCU-ordered, MCU-padded Y block feed
+        monkeypatch.setattr(progressive, "split_components",
+                            _bug_split_420)
 
     plain = compute_coefficients(
         img, opts.replace(trellis_quant=False, progressive=False), quant
@@ -168,19 +186,26 @@ def _encode_preset2_bug_compatible(img, q=85):
     return bytes(out)
 
 
-@pytest.mark.parametrize("name,img", [
-    ("grad16", _grad(16, 16)),
-    ("grad32", _grad(32, 32)),
-    ("sparse24x16", (_grad(16, 24) // 8) * 8),
+@pytest.mark.parametrize("name,img,sub420", [
+    ("grad16-444", _grad(16, 16), False),
+    ("grad32-444", _grad(32, 32), False),
+    ("sparse24x16-444", (_grad(16, 24) // 8) * 8, False),
+    ("grad32-420", _grad(32, 32), True),
+    ("noise24x24-420", _noise(24, 24, seed=5), True),
 ])
-def test_jpeg_preset2_bytes_identical_modulo_emulated_bug(name, img):
+def test_jpeg_preset2_bytes_identical_modulo_emulated_bug(
+    name, img, sub420, monkeypatch
+):
     """Full preset-2 byte identity against the real pixo encoder with its
-    EOBn table bug EMULATED — positive proof that our trellis DP and
-    progressive scan machinery match the reference decision-for-decision
-    (the only divergence in shipping output is the deliberate bug fix)."""
+    progressive bugs EMULATED (EOBn table fallback; 420 MCU-order block
+    feed) — positive proof that our trellis DP and progressive scan
+    machinery match the reference decision-for-decision (the only
+    divergences in shipping output are the deliberate bug fixes)."""
     h, w = img.shape[:2]
-    ref = bytes(cached_call("jpeg", img.tobytes(), w, h, 2, 85, 2, False))
-    ours = _encode_preset2_bug_compatible(img)
+    ref = bytes(cached_call("jpeg", img.tobytes(), w, h, 2, 85, 2, sub420))
+    ours = _encode_preset2_bug_compatible(
+        img, sub420=sub420, monkeypatch=monkeypatch
+    )
     assert ours == ref
 
 
