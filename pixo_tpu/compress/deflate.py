@@ -79,7 +79,16 @@ def deflate_optimal_zlib(data: bytes, iterations: int = 5) -> bytes:
     """
     import os
 
-    from ..native import native_deflate_optimal
+    from ..native import native_deflate_optimal, native_deflate_optimal_parity
+
+    if _parity_default():
+        # Parity mode: the reference's exact iterative-refinement path
+        # (deflate_optimal_zlib mirror — log2f cost model, cached sublen
+        # squeeze, stats blending, split search), byte-identical to the
+        # WASM oracle (tests/test_oracle_parity.py).
+        out = native_deflate_optimal_parity(data, iterations)
+        if out is not None:
+            return out
 
     out = None
     if os.environ.get("PIXO_TPU_LZ77") == "device" and data:

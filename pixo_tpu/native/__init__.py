@@ -228,6 +228,13 @@ def _configure(lib) -> None:
         u8p, ctypes.c_int64,
     ]
 
+    lib.deflate_optimal_parity.restype = ctypes.c_int64
+    lib.deflate_optimal_parity.argtypes = [
+        u8p, ctypes.c_int64,
+        ctypes.c_int32,                  # iterations
+        u8p, ctypes.c_int64,
+    ]
+
     lib.deflate_compress_parity.restype = ctypes.c_int64
     lib.deflate_compress_parity.argtypes = [
         u8p, ctypes.c_int64,
@@ -526,6 +533,26 @@ def native_deflate(
             _u8(src) if len(src) else _u8(np.zeros(1, dtype=np.uint8)),
             len(src), level, 1 if zlib_wrap else 0, _u8(out), cap,
         )
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def native_deflate_optimal_parity(
+    data: bytes, iterations: int = 5
+) -> Optional[bytes]:
+    """Mirror of the reference's deflate_optimal_zlib(data, iterations) —
+    the DEFLATE its PNG max preset uses (png/mod.rs:571-573)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "deflate_optimal_parity"):
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    cap = len(data) + (len(data) >> 3) + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.deflate_optimal_parity(
+        _u8(src) if len(src) else _u8(np.zeros(1, dtype=np.uint8)),
+        len(src), iterations, _u8(out), cap,
+    )
     if n < 0:
         return None
     return out[:n].tobytes()

@@ -4370,6 +4370,289 @@ static bool should_use_stored(int64_t data_len, int64_t deflated_len) {
     return deflated_total >= stored_total;
 }
 
+// ============ optimal (Zopfli-style) mirror: deflate.rs:270-900 =============
+// Exact mirror of the reference's iterative optimal path used by PNG max:
+// deflate_optimal_zlib(filtered, 5) (png/mod.rs:571-573). Split path for
+// inputs <= 512 KiB, plain path above; CostModel entropy costs in f32;
+// find_match_with_sublen + compress_optimal_cached (lz77.rs:886-1210);
+// statistics blending and f32 convergence (deflate.rs:762-860).
+
+struct RefCostModel {  // lz77.rs:1213-1310
+    float lit_len[286];
+    float dist[30];
+    void set_fixed() {
+        for (int i = 0; i < 144; i++) lit_len[i] = 8.0f;
+        for (int i = 144; i < 256; i++) lit_len[i] = 9.0f;
+        for (int i = 256; i < 280; i++) lit_len[i] = 7.0f;
+        for (int i = 280; i < 286; i++) lit_len[i] = 8.0f;
+        for (int i = 0; i < 30; i++) dist[i] = 5.0f;
+    }
+    // NOTE on log2: the reference (wasm build) uses Rust's libm log2f
+    // (musl-derived); host glibc log2f is a different implementation.
+    // Byte-identity against the oracle is the executable check that the
+    // two agree on the u32-count inputs this model ever sees.
+    void from_statistics(const uint32_t* lc, const uint32_t* dc) {
+        uint32_t lit_total = 0;
+        for (int i = 0; i < 286; i++) lit_total += lc[i];
+        if (lit_total == 0) { set_fixed(); return; }
+        float log_total = log2f((float)lit_total);
+        for (int i = 0; i < 286; i++)
+            lit_len[i] = lc[i] > 0 ? log_total - log2f((float)lc[i]) : 15.0f;
+        uint32_t dist_total = 0;
+        for (int i = 0; i < 30; i++) dist_total += dc[i];
+        if (dist_total > 0) {
+            float dlt = log2f((float)dist_total);
+            for (int i = 0; i < 30; i++)
+                dist[i] = dc[i] > 0 ? dlt - log2f((float)dc[i]) : 15.0f;
+        } else {
+            for (int i = 0; i < 30; i++) dist[i] = 5.0f;
+        }
+    }
+    float literal_cost(uint8_t b) const { return lit_len[b]; }
+    float match_cost(int len, int dv) const {
+        float lc = lit_len[257 + len_to_sym[len]] +
+                   (float)deflate::len_extra_bits[len];
+        int ds = dist_symbol(dv);
+        float dcst = dist[ds] + (float)DIST_EXTRA[ds];
+        return lc + dcst;
+    }
+};
+
+static void ref_count_symbols(const std::vector<Token>& tokens,
+                              uint32_t lit[286], uint32_t dist[30]) {
+    memset(lit, 0, 286 * sizeof(uint32_t));
+    memset(dist, 0, 30 * sizeof(uint32_t));
+    for (const Token& t : tokens) {
+        if (t.v & 0x80000000u) {
+            int len = (int)((t.v >> 16) & 0x7FFF);
+            int dv = (int)(t.v & 0xFFFF);
+            lit[257 + len_to_sym[len]]++;
+            dist[dist_symbol(dv)]++;
+        } else {
+            lit[t.v & 0xFF]++;
+        }
+    }
+    lit[256]++;  // end of block
+    bool any = false;
+    for (int i = 0; i < 30; i++) any |= dist[i] != 0;
+    if (!any) dist[0] = 1;
+}
+
+// Longest-match cache entry: sublen compressed as monotone steps.
+// sublen[len] = min distance over candidates with length >= len, which is
+// non-decreasing in len, so (up_to_len, dist) steps reproduce the full
+// [259] array the reference caches per position (lz77.rs:85-146).
+struct RefCacheEntry {
+    std::vector<std::pair<uint16_t, uint16_t>> steps;  // (last len, dist)
+    uint16_t max_len = 0;
+};
+
+struct RefOptimalParser {
+    const uint8_t* d;
+    int64_t n;
+    int chain_limit;  // min(max_chain_length, max_search_depth), level 9
+    std::vector<int32_t> head, head3, prev;
+    std::vector<RefCacheEntry> cache;
+    bool cache_ready = false;
+
+    RefOptimalParser(const uint8_t* data, int64_t len)
+        : d(data), n(len) {
+        RefConfig cfg = ref_config(9);
+        chain_limit = cfg.chain < cfg.depth ? cfg.chain : cfg.depth;
+        head.assign(RHASH_SIZE, -1);
+        head3.assign(RHASH3_SIZE, -1);
+        prev.assign(RWINDOW, -1);
+        cache.resize((size_t)len);
+    }
+
+    void update_hash(int64_t pos) {  // lz77.rs:864-876
+        if (pos + 3 >= n) return;
+        head3[rhash3(d, n, pos)] = (int32_t)pos;
+        uint32_t h = rhash4(d, n, pos);
+        prev[pos % RWINDOW] = head[h];
+        head[h] = (int32_t)pos;
+    }
+
+    // lz77.rs:886-982 — fills sublen[3..=max] (0 = none), returns max_len
+    int find_match_with_sublen(int64_t pos, uint16_t* sublen) {
+        memset(sublen, 0, 259 * sizeof(uint16_t));
+        int max_length = 0;
+        if (pos + RMIN > n) return 0;
+
+        int64_t run_len = ref_run(d, n, pos);
+        if (run_len >= RMIN && pos >= 1 && d[pos - 1] == d[pos]) {
+            for (int64_t l = RMIN; l <= run_len; l++) sublen[l] = 1;
+            max_length = (int)run_len;
+            if (run_len >= RMAX) return max_length;
+        }
+
+        int32_t c3 = head3[rhash3(d, n, pos)];
+        if (c3 >= 0) {
+            int64_t distv = pos - c3;
+            if (distv != 0 && distv <= RWINDOW && c3 + 3 <= n &&
+                d[pos] == d[c3] && d[pos + 1] == d[c3 + 1] &&
+                d[pos + 2] == d[c3 + 2]) {
+                if (sublen[3] == 0 || (uint16_t)distv < sublen[3])
+                    sublen[3] = (uint16_t)distv;
+                if (max_length < 3) max_length = 3;
+            }
+        }
+
+        int32_t chain_pos = head[rhash4(d, n, pos)];
+        int64_t max_distance = pos < RWINDOW ? pos : RWINDOW;
+        int remaining = chain_limit;
+        while (chain_pos >= 0 && remaining > 0) {
+            int64_t mp = chain_pos;
+            int64_t distv = pos - mp;
+            if (distv == 0) {
+                chain_pos = prev[mp % RWINDOW];
+                remaining--;
+                continue;
+            }
+            if (distv > max_distance) break;
+            int length = (int)ref_match_length(d, n, mp, pos);
+            if (length >= RMIN && !(length == 3 && distv > 8192)) {
+                for (int l = RMIN; l <= length; l++) {
+                    if (sublen[l] == 0 || (uint16_t)distv < sublen[l])
+                        sublen[l] = (uint16_t)distv;
+                }
+                if (length > max_length) {
+                    max_length = length;
+                    if (max_length >= RMAX) break;
+                }
+            }
+            chain_pos = prev[mp % RWINDOW];
+            remaining--;
+        }
+        return max_length;
+    }
+
+    void cache_set(int64_t pos, const uint16_t* sublen, int max_len) {
+        RefCacheEntry& e = cache[pos];
+        e.max_len = (uint16_t)max_len;
+        e.steps.clear();
+        int l = RMIN;
+        while (l <= max_len) {
+            uint16_t dv = sublen[l];
+            int hi = l;
+            while (hi + 1 <= max_len && sublen[hi + 1] == dv) hi++;
+            e.steps.push_back({(uint16_t)hi, dv});
+            l = hi + 1;
+        }
+    }
+
+    // compress_optimal_cached (lz77.rs:1066-1141): first call populates
+    // the cache + hash tables; later calls replay cached sublen tables.
+    void parse(const RefCostModel& model, std::vector<Token>& out) {
+        out.clear();
+        if (n == 0) return;
+        const float FMAX = 3.4028234663852886e38f;  // f32::MAX
+        std::vector<float> costs((size_t)n + 1, FMAX);
+        std::vector<uint16_t> len_arr((size_t)n + 1, 0);
+        std::vector<uint16_t> dist_arr((size_t)n + 1, 0);
+        costs[0] = 0.0f;
+        uint16_t sublen[259];
+
+        for (int64_t i = 0; i < n; i++) {
+            if (costs[i] >= FMAX) continue;
+            float lit_cost = costs[i] + model.literal_cost(d[i]);
+            if (lit_cost < costs[i + 1]) {
+                costs[i + 1] = lit_cost;
+                len_arr[i + 1] = 1;
+                dist_arr[i + 1] = 0;
+            }
+            if (!cache_ready) {
+                int ml = find_match_with_sublen(i, sublen);
+                cache_set(i, sublen, ml);
+                update_hash(i);
+            }
+            const RefCacheEntry& e = cache[i];
+            // walk the step-compressed sublen per length (cost varies per
+            // length even at equal distance)
+            int l = RMIN;
+            for (const auto& step : e.steps) {
+                uint16_t dv = step.second;
+                for (; l <= step.first; l++) {
+                    if (dv == 0) continue;
+                    float mc = costs[i] + model.match_cost(l, dv);
+                    int64_t end_pos = i + l;
+                    if (end_pos <= n && mc < costs[end_pos]) {
+                        costs[end_pos] = mc;
+                        len_arr[end_pos] = (uint16_t)l;
+                        dist_arr[end_pos] = dv;
+                    }
+                }
+            }
+        }
+        cache_ready = true;
+
+        // trace_backwards (lz77.rs:1144-1210)
+        std::vector<std::pair<int, uint16_t>> rev;
+        int64_t p = n;
+        while (p > 0) {
+            int len = len_arr[p];
+            if (len == 0) break;
+            rev.push_back({len, dist_arr[p]});
+            p -= len;
+        }
+        int64_t data_pos = 0;
+        for (auto it = rev.rbegin(); it != rev.rend(); ++it) {
+            int len = it->first;
+            uint16_t dv = it->second;
+            if (len == 1 && dv == 0) {
+                out.push_back(lit_token(d[data_pos]));
+            } else if (dv == 0) {
+                out.push_back(lit_token(d[data_pos]));  // defensive mirror
+            } else {
+                out.push_back(match_token(len, dv));
+            }
+            data_pos += len;
+        }
+    }
+};
+
+// deflate_optimal_split (deflate.rs:762-854) / deflate_optimal (:291-360)
+// iteration loop; returns the final token stream (split path keeps the
+// LAST iteration's tokens, the plain path keeps the smallest encoding).
+static void ref_optimal_tokens(const uint8_t* data, int64_t len,
+                               int iterations, std::vector<Token>& best) {
+    std::vector<Token> initial;
+    compress_tokens(data, len, 9, initial);
+    uint32_t lit_counts[286], dist_counts[30];
+    ref_count_symbols(initial, lit_counts, dist_counts);
+    best = initial;
+    float prev_cost = 3.4028234663852886e38f;  // f32::MAX
+    RefOptimalParser parser(data, len);
+    RefCostModel model;
+    std::vector<Token> tokens;
+    for (int iter = 0; iter < iterations; iter++) {
+        model.from_statistics(lit_counts, dist_counts);
+        parser.parse(model, tokens);
+        uint32_t new_lit[286], new_dist[30];
+        ref_count_symbols(tokens, new_lit, new_dist);
+        float cost = 0.0f;
+        for (const Token& t : tokens) {
+            if (t.v & 0x80000000u)
+                cost += model.match_cost((int)((t.v >> 16) & 0x7FFF),
+                                         (int)(t.v & 0xFFFF));
+            else
+                cost += model.literal_cost((uint8_t)(t.v & 0xFF));
+        }
+        if (iter > 2 && fabsf(prev_cost - cost) < cost * 0.001f) {
+            best = tokens;
+            break;
+        }
+        prev_cost = cost;
+        best = tokens;
+        for (int i = 0; i < 286; i++)
+            lit_counts[i] =
+                (uint32_t)((float)lit_counts[i] * 0.5f + (float)new_lit[i]);
+        for (int i = 0; i < 30; i++)
+            dist_counts[i] =
+                (uint32_t)((float)dist_counts[i] * 0.5f + (float)new_dist[i]);
+    }
+}
+
 }  // namespace refparity
 
 // deflate_zlib / deflate (reference parity): decision layer mirrored from
@@ -4467,6 +4750,126 @@ EXPORT int64_t deflate_compress_parity(const uint8_t* data, int64_t len,
                            (uint8_t)(a >> 8), (uint8_t)a};
         w.raw_bytes(tail, 4);
     }
+    return w.overflow ? -1 : w.pos;
+}
+
+// Mirror of the reference's deflate_optimal_zlib(data, iterations)
+// (deflate.rs:371-397): the DEFLATE the reference PNG max preset uses
+// (png/mod.rs:571-573 passes iterations=5). <= 512 KiB takes the
+// block-splitting variant (last iteration's tokens, coarse-to-fine
+// splits); larger inputs take the plain variant (smallest single
+// dynamic block across iterations). Heap-Huffman + HCLEN quirks ride
+// the same g_ref_huffman guard as deflate_compress_parity.
+EXPORT int64_t deflate_optimal_parity(const uint8_t* data, int64_t len,
+                                      int32_t iterations, uint8_t* out,
+                                      int64_t out_cap) {
+    using namespace deflate;
+    using namespace refparity;
+    if (iterations < 1) iterations = 1;
+    struct HuffGuard {
+        HuffGuard() { deflate::g_ref_huffman = true; }
+        ~HuffGuard() { deflate::g_ref_huffman = false; }
+    } huff_guard;
+    tables_init();
+    LsbWriter w(out, out_cap);
+    uint8_t cmf = 0x78;
+    uint8_t flg = (uint8_t)(3 << 6);  // zlib_header(9) -> FLEVEL 3
+    flg |= 31 - ((cmf << 8) | flg) % 31;
+    uint8_t hdr[2] = {cmf, flg};
+    w.raw_bytes(hdr, 2);
+    int64_t body_start = w.pos;
+
+    if (len == 0) {
+        fixed_init();
+        w.write(1, 1);
+        w.write(1, 2);
+        w.write(fixed_lit_code[256], fixed_lit_len[256]);
+        w.flush();
+        uint32_t a = adler32(data, len, 1);
+        uint8_t tail[4] = {(uint8_t)(a >> 24), (uint8_t)(a >> 16),
+                           (uint8_t)(a >> 8), (uint8_t)a};
+        w.raw_bytes(tail, 4);
+        return w.overflow ? -1 : w.pos;
+    }
+
+    if (len > 512 * 1024) {
+        // deflate_optimal (deflate.rs:291-360): smallest single dynamic
+        // block across the greedy baseline + every iteration's parse.
+        std::vector<Token> initial;
+        compress_tokens(data, len, 9, initial);
+        uint32_t lit_counts[286], dist_counts[30];
+        ref_count_symbols(initial, lit_counts, dist_counts);
+
+        std::vector<uint8_t> scratch((size_t)(len + len / 2 + 4096));
+        auto encode_one = [&](const std::vector<Token>& toks) -> int64_t {
+            LsbWriter sw(scratch.data(), (int64_t)scratch.size());
+            emit_block(sw, toks, data, 0, 0, true, /*force=*/1);
+            sw.flush();
+            return sw.overflow ? -1 : sw.pos;
+        };
+        int64_t best_size = encode_one(initial);
+        std::vector<uint8_t> best_bytes(scratch.begin(),
+                                        scratch.begin() + best_size);
+        float prev_cost = 3.4028234663852886e38f;
+        RefOptimalParser parser(data, len);
+        RefCostModel model;
+        std::vector<Token> tokens;
+        for (int iter = 0; iter < iterations; iter++) {
+            model.from_statistics(lit_counts, dist_counts);
+            parser.parse(model, tokens);
+            int64_t sz = encode_one(tokens);
+            if (sz >= 0 && sz < best_size) {
+                best_size = sz;
+                best_bytes.assign(scratch.begin(), scratch.begin() + sz);
+            }
+            uint32_t new_lit[286], new_dist[30];
+            ref_count_symbols(tokens, new_lit, new_dist);
+            float cost = 0.0f;
+            for (const Token& t : tokens) {
+                if (t.v & 0x80000000u)
+                    cost += model.match_cost((int)((t.v >> 16) & 0x7FFF),
+                                             (int)(t.v & 0xFFFF));
+                else
+                    cost += model.literal_cost((uint8_t)(t.v & 0xFF));
+            }
+            if (iter > 2 && fabsf(prev_cost - cost) < cost * 0.001f) break;
+            prev_cost = cost;
+            for (int i = 0; i < 286; i++)
+                lit_counts[i] = (uint32_t)((float)lit_counts[i] * 0.5f +
+                                           (float)new_lit[i]);
+            for (int i = 0; i < 30; i++)
+                dist_counts[i] = (uint32_t)((float)dist_counts[i] * 0.5f +
+                                            (float)new_dist[i]);
+        }
+        w.raw_bytes(best_bytes.data(), (int64_t)best_bytes.size());
+    } else {
+        // deflate_optimal_split_zlib(data, iterations, 15)
+        std::vector<Token> best;
+        ref_optimal_tokens(data, len, iterations, best);
+        std::vector<size_t> splits;
+        if (best.size() >= RMIN_BLOCK * 2) splits = find_block_splits(best, 15);
+        std::vector<size_t> bounds;
+        bounds.push_back(0);
+        for (size_t s : splits) bounds.push_back(s);
+        bounds.push_back(best.size());
+        for (size_t i = 0; i + 1 < bounds.size(); i++) {
+            std::vector<Token> part(best.begin() + bounds[i],
+                                    best.begin() + bounds[i + 1]);
+            emit_block(w, part, data, 0, 0, i + 2 == bounds.size(),
+                       /*force=*/1);
+        }
+        w.flush();
+    }
+
+    if (should_use_stored(len, w.pos - body_start)) {
+        w.pos = body_start;
+        emit_stored_all(w, data, len);
+        w.flush();
+    }
+    uint32_t a = adler32(data, len, 1);
+    uint8_t tail[4] = {(uint8_t)(a >> 24), (uint8_t)(a >> 16),
+                       (uint8_t)(a >> 8), (uint8_t)a};
+    w.raw_bytes(tail, 4);
     return w.overflow ? -1 : w.pos;
 }
 

@@ -330,19 +330,56 @@ def _idat(b):
     return out
 
 
-def test_png_max_preset_filtered_stream_matches(monkeypatch):
-    """Preset 2 routes through optimal DEFLATE, which out-compresses the
-    reference's zopfli (open divergence, NOTES.md); everything upstream
-    of DEFLATE — reductions, palette order, filters — must match, which
-    we assert via the inflated filtered stream."""
+def _mix24():
+    rng = np.random.default_rng(123)
+    return (
+        np.clip(np.arange(24)[None, :, None] * 4 + rng.normal(0, 30, (24, 24, 3)),
+                0, 255)
+    ).astype(np.uint8)
+
+
+def _text24():
+    raw = (b"the quick brown fox jumps over the lazy dog. " * 60)[: 24 * 24 * 3]
+    return np.frombuffer(raw, np.uint8).reshape(24, 24, 3).copy()
+
+
+@pytest.mark.parametrize("name,img", [
+    ("grad12", _grad(12, 12)),
+    ("grad20", _grad(20, 20)),          # block-split territory
+    ("pal16", _pal4(16, 16)),           # palette reduction upstream
+    ("text24", _text24()),              # match-heavy
+    ("mix24", _mix24()),                # mixed entropy, real cost model
+    ("noise24", _noise(24, 24, seed=2)),  # stored-fallback trigger
+    ("noise16", _noise(16, 16, seed=1)),
+])
+def test_png_max_preset_bytes_identical_to_pixo(name, img, monkeypatch):
+    """FULL preset-2 byte identity (round-3 third block): parity mode now
+    mirrors the reference's zopfli-style optimal DEFLATE exactly —
+    log2f entropy cost model, cached sublen squeeze DP, statistics
+    blending + f32 convergence, coarse-to-fine block splits, stored
+    fallback (deflate.rs:270-900, lz77.rs:886-1210) — so the whole PNG
+    max output is byte-identical to the reference, closing the last
+    open parity divergence. (The default perf path keeps our stronger
+    optimal parse, which is never larger.)"""
     monkeypatch.setenv("PIXO_TPU_DEFLATE_PARITY", "1")
+    h, w = img.shape[:2]
+    ref = bytes(cached_call("png", img.tobytes(), w, h, 2, 2, False))
+    opts = PngOptions.from_preset(w, h, 2)
+    opts.color_type = ColorType.RGB
+    ours = bytes(png.encode(img, opts))
+    assert ours == ref
+
+
+def test_png_max_preset_perf_path_never_larger(monkeypatch):
+    """The default (non-parity) optimal DEFLATE must never lose to the
+    reference's on the same filtered stream."""
+    monkeypatch.delenv("PIXO_TPU_DEFLATE_PARITY", raising=False)
     img = _grad(12, 12)
     ref = bytes(cached_call("png", img.tobytes(), 12, 12, 2, 2, False))
     opts = PngOptions.from_preset(12, 12, 2)
     opts.color_type = ColorType.RGB
     ours = bytes(png.encode(img, opts))
     assert zlib.decompress(_idat(ref)) == zlib.decompress(_idat(ours))
-    # ours must never be larger than the reference's optimal output
     assert len(ours) <= len(ref)
 
 
