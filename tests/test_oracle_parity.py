@@ -146,22 +146,38 @@ def _encode_preset2_bug_compatible(img, q=85, sub420=False, monkeypatch=None):
     from pixo_tpu.ops.blockify import scan_layout
 
     h, w = img.shape[:2]
+    is_gray = img.ndim == 2 or img.shape[2] == 1
+    if is_gray and img.ndim == 3:
+        img = img[..., 0]
     opts = JpegOptions.from_preset(w, h, q, 2)
     if not sub420:
         opts = opts.replace(subsampling=Subsampling.S444)
+    if is_gray:
+        opts = opts.replace(color_type=ColorType.GRAY)
     quant = QuantizationTables(q)
-    _, _, pattern = scan_layout(w, h, "rgb", "420" if sub420 else "444")
+    color = "gray" if is_gray else "rgb"
+    _, _, pattern = scan_layout(w, h, color, "420" if sub420 else "444")
     if sub420:
         # third emulated bug: MCU-ordered, MCU-padded Y block feed
         monkeypatch.setattr(progressive, "split_components",
                             _bug_split_420)
+    if is_gray:
+        # fourth emulated bug: the reference runs the 3-component scan
+        # script on grayscale, emitting SOS headers for components 2/3
+        # that the SOF never declared (spec violation; empty scan data).
+        # Our gray script drops them.
+        monkeypatch.setattr(
+            progressive, "get_script",
+            lambda o: progressive.simple_progressive_script(),
+        )
 
     plain = compute_coefficients(
         img, opts.replace(trellis_quant=False, progressive=False), quant
     )
     dc_l, dc_c, ac_l, ac_c = _count(plain, pattern, None)
     tables = HuffmanTables.optimized_from_counts(
-        dc_l, dc_c, ac_l, ac_c, optimal=False
+        dc_l, None if is_gray else dc_c, ac_l, None if is_gray else ac_c,
+        optimal=False,
     )
     assert tables is not None
 
@@ -192,6 +208,7 @@ def _encode_preset2_bug_compatible(img, q=85, sub420=False, monkeypatch=None):
     ("sparse24x16-444", (_grad(16, 24) // 8) * 8, False),
     ("grad32-420", _grad(32, 32), True),
     ("noise24x24-420", _noise(24, 24, seed=5), True),
+    ("gray24", _grad(24, 24, 1), False),
 ])
 def test_jpeg_preset2_bytes_identical_modulo_emulated_bug(
     name, img, sub420, monkeypatch
@@ -202,7 +219,9 @@ def test_jpeg_preset2_bytes_identical_modulo_emulated_bug(
     machinery match the reference decision-for-decision (the only
     divergences in shipping output are the deliberate bug fixes)."""
     h, w = img.shape[:2]
-    ref = bytes(cached_call("jpeg", img.tobytes(), w, h, 2, 85, 2, sub420))
+    is_gray = img.ndim == 2 or img.shape[2] == 1
+    ref = bytes(cached_call("jpeg", img.tobytes(), w, h,
+                            0 if is_gray else 2, 85, 2, sub420))
     ours = _encode_preset2_bug_compatible(
         img, sub420=sub420, monkeypatch=monkeypatch
     )
@@ -343,16 +362,19 @@ def _text24():
     return np.frombuffer(raw, np.uint8).reshape(24, 24, 3).copy()
 
 
-@pytest.mark.parametrize("name,img", [
-    ("grad12", _grad(12, 12)),
-    ("grad20", _grad(20, 20)),          # block-split territory
-    ("pal16", _pal4(16, 16)),           # palette reduction upstream
-    ("text24", _text24()),              # match-heavy
-    ("mix24", _mix24()),                # mixed entropy, real cost model
-    ("noise24", _noise(24, 24, seed=2)),  # stored-fallback trigger
-    ("noise16", _noise(16, 16, seed=1)),
+@pytest.mark.parametrize("name,img,code", [
+    ("grad12", _grad(12, 12), 2),
+    ("grad20", _grad(20, 20), 2),          # block-split territory
+    ("pal16", _pal4(16, 16), 2),           # palette reduction upstream
+    ("text24", _text24(), 2),              # match-heavy
+    ("mix24", _mix24(), 2),                # mixed entropy, real cost model
+    ("noise24", _noise(24, 24, seed=2), 2),  # stored-fallback trigger
+    ("noise16", _noise(16, 16, seed=1), 2),
+    ("rgba20", _grad(20, 20, 4), 3),       # RGBA path
+    ("gray20", _grad(20, 20, 1), 0),       # gray path
+    ("noisy_rgba20", _noise(20, 20, 4, seed=6), 3),
 ])
-def test_png_max_preset_bytes_identical_to_pixo(name, img, monkeypatch):
+def test_png_max_preset_bytes_identical_to_pixo(name, img, code, monkeypatch):
     """FULL preset-2 byte identity (round-3 third block): parity mode now
     mirrors the reference's zopfli-style optimal DEFLATE exactly —
     log2f entropy cost model, cached sublen squeeze DP, statistics
@@ -363,9 +385,9 @@ def test_png_max_preset_bytes_identical_to_pixo(name, img, monkeypatch):
     optimal parse, which is never larger.)"""
     monkeypatch.setenv("PIXO_TPU_DEFLATE_PARITY", "1")
     h, w = img.shape[:2]
-    ref = bytes(cached_call("png", img.tobytes(), w, h, 2, 2, False))
+    ref = bytes(cached_call("png", img.tobytes(), w, h, code, 2, False))
     opts = PngOptions.from_preset(w, h, 2)
-    opts.color_type = ColorType.RGB
+    opts.color_type = _PNG_CT[code]
     ours = bytes(png.encode(img, opts))
     assert ours == ref
 
