@@ -334,11 +334,38 @@ def _split_entropy(scan_data: bytes) -> Tuple[List[bytes], int]:
     """
     arr = np.frombuffer(scan_data, np.uint8)
     n = len(scan_data)
+    ff = np.nonzero(arr == 0xFF)[0]
+    if len(ff) == 0:
+        return [scan_data], n
+
+    # Fast path (no restart markers): classify every 0xFF site at once,
+    # truncate at the first real marker, and drop the stuffing zeros with
+    # one vectorized delete. The per-site Python loop below costs ~0.5 ms
+    # per photo-class 512x512 scan; this path is ~30 us.
+    valid = ff + 1 < n
+    nxt = np.full(len(ff), 0xFF, np.uint8)  # trailing 0xFF ends the scan
+    nxt[valid] = arr[np.minimum(ff + 1, n - 1)][valid]
+    is_stuff = (nxt == 0x00) & valid
+    is_rst = (nxt >= 0xD0) & (nxt <= 0xD7) & valid
+    is_end = ~(is_stuff | is_rst)
+    if is_end.any():
+        end_i = int(np.argmax(is_end))
+        limit = int(ff[end_i])
+        consumed_fast = limit
+    else:
+        end_i = len(ff)
+        limit = n
+        consumed_fast = n
+    if not is_rst[:end_i].any():
+        stuff_pos = ff[:end_i][is_stuff[:end_i]]
+        seg = np.delete(arr[:limit], stuff_pos + 1).tobytes()
+        return [seg], consumed_fast
+
     segments: List[bytes] = []
     parts: List[bytes] = []
     start = 0
     consumed = n
-    for pos in np.nonzero(arr == 0xFF)[0]:
+    for pos in ff:
         pos = int(pos)
         if pos < start:
             continue  # second byte of an already-consumed pair
