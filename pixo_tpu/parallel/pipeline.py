@@ -601,15 +601,29 @@ def thumbnail_pipeline(
                 )
                 for (k, _), o in zip(items, out):
                     thumbs[k] = o
-            zz = jpeg_coeffs_sharded(thumbs, jopts, mesh)  # async dispatch
-            compacted = sparsify_blocks_batch(zz) if sparse else None
+            if jenc._coeff_tier() == "host":
+                # host coefficient tier (PIXO_TPU_COEFFS=host, the CPU
+                # latency profile): per-image native AVX pipeline on the
+                # pool (ctypes releases the GIL), bit-identical to the
+                # device tier. Sparse compaction is a device op — the
+                # pack stage takes the dense path when compacted is None.
+                zz = np.stack(list(ex.map(
+                    lambda i: jenc.compute_coefficients_host(
+                        thumbs[i], jopts, quant
+                    ),
+                    range(hi - lo),
+                )))
+                compacted = None
+            else:
+                zz = jpeg_coeffs_sharded(thumbs, jopts, mesh)  # async
+                compacted = sparsify_blocks_batch(zz) if sparse else None
             timings["device_s"] += time.perf_counter() - t1
             return lo, hi, thumbs, zz, compacted
 
         def pack_stage(state) -> None:
             lo, hi, thumbs, zz, compacted = state
             t0 = time.perf_counter()
-            if sparse:
+            if sparse and compacted is not None:
                 scans = _pack_compacted_batch(
                     zz, compacted, hi - lo, jopts, pattern, ex
                 )
