@@ -19,6 +19,7 @@ the packing pass.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional, Sequence
 
 import jax
@@ -356,13 +357,24 @@ def encode_batch(imgs: np.ndarray, options: JpegOptions) -> List[bytes]:
     sub = "420" if options.subsampling == Subsampling.S420 else "444"
     _, _, pattern = scan_layout(options.width, options.height, color, sub)
 
-    if _coeff_tier() == "host":
+    tier = _coeff_tier()
+    if tier != "host" and os.environ.get("PIXO_TPU_COEFFS") is None:
+        # Backend-aware auto (same policy as png.encode_batch): on the
+        # CPU backend the per-image native pipeline on a thread pool
+        # beats the XLA-CPU batch dispatch ~2x; an explicit
+        # PIXO_TPU_COEFFS=device always wins.
+        try:
+            if jax.default_backend() == "cpu":
+                tier = "host"
+        except Exception:  # noqa: BLE001 — backend probe failed; keep device
+            pass
+    if tier == "host":
         # host tier: the native AVX2 pipeline per image on a thread pool
         # (ctypes releases the GIL) — no XLA dispatch at all
         import concurrent.futures
 
         def one(i: int) -> bytes:
-            zz = compute_coefficients(imgs[i], options, quant)
+            zz = compute_coefficients_host(imgs[i], options, quant)
             return _emit_jpeg(zz, imgs[i], options, quant, pattern)
 
         with concurrent.futures.ThreadPoolExecutor() as ex:

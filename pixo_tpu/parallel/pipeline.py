@@ -565,6 +565,24 @@ def thumbnail_pipeline(
     results: List[bytes] = [b""] * n
     timings = {"decode_wait_s": 0.0, "device_s": 0.0, "pack_s": 0.0}
 
+    # Backend-aware tier auto (same policy as the encode_batch entry
+    # points): on the CPU backend the native host tiers beat XLA-CPU
+    # dispatches ~2x with bit-identical output; explicit env wins.
+    host_coeffs = jenc._coeff_tier() == "host"
+    host_resize = os.environ.get("PIXO_TPU_RESIZE") == "host"
+    if os.environ.get("PIXO_TPU_COEFFS") is None or \
+            os.environ.get("PIXO_TPU_RESIZE") is None:
+        try:
+            import jax
+
+            on_cpu = jax.default_backend() == "cpu"
+        except Exception:  # noqa: BLE001
+            on_cpu = False
+        if os.environ.get("PIXO_TPU_COEFFS") is None and on_cpu:
+            host_coeffs = True
+        if os.environ.get("PIXO_TPU_RESIZE") is None and on_cpu:
+            host_resize = True
+
     with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:
         dec_futs = [ex.submit(load_image, data) for data in encoded]
 
@@ -578,7 +596,7 @@ def thumbnail_pipeline(
             for k, (px, _w, _h, _ct) in enumerate(decoded):
                 rgb = _to_rgb(px)
                 groups.setdefault(rgb.shape[:2], []).append((k, rgb))
-            use_host_resize = os.environ.get("PIXO_TPU_RESIZE") == "host"
+            use_host_resize = host_resize
             for items in groups.values():
                 if use_host_resize:
                     # host tier: per-image native Lanczos (serial-f32
@@ -601,7 +619,7 @@ def thumbnail_pipeline(
                 )
                 for (k, _), o in zip(items, out):
                     thumbs[k] = o
-            if jenc._coeff_tier() == "host":
+            if host_coeffs:
                 # host coefficient tier (PIXO_TPU_COEFFS=host, the CPU
                 # latency profile): per-image native AVX pipeline on the
                 # pool (ctypes releases the GIL), bit-identical to the
