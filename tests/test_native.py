@@ -260,6 +260,37 @@ class TestDeflateParityMode:
         assert a == b
         assert zlib.decompress(a) == payload
 
+    def test_optimal_parity_round_trips(self):
+        """deflate_optimal_parity (the reference's zopfli mirror; byte
+        identity is proven against the oracle in test_oracle_parity) must
+        also produce valid zlib on every payload class, including the
+        > 512 KiB plain (non-split) variant and the stored fallback."""
+        import zlib
+
+        from pixo_tpu.native import native_deflate_optimal_parity
+
+        for name, payload in self._cases().items():
+            out = native_deflate_optimal_parity(payload, 5)
+            assert out is not None, name
+            assert zlib.decompress(out) == payload, name
+
+    def test_optimal_parity_routes_in_parity_mode(self, monkeypatch):
+        import zlib
+
+        from pixo_tpu.compress.deflate import deflate_optimal_zlib
+        from pixo_tpu.native import native_deflate_optimal_parity
+
+        payload = (b"route route route " * 400)[:4096]
+        monkeypatch.setenv("PIXO_TPU_DEFLATE_PARITY", "1")
+        a = deflate_optimal_zlib(payload, 5)
+        monkeypatch.delenv("PIXO_TPU_DEFLATE_PARITY")
+        assert a == native_deflate_optimal_parity(payload, 5)
+        assert zlib.decompress(a) == payload
+        # default (perf) path diverges and is never larger
+        b = deflate_optimal_zlib(payload, 5)
+        assert len(b) <= len(a)
+        assert zlib.decompress(b) == payload
+
 
 class TestFirstCallDeterminism:
     """The first deflate call of a process must equal later calls.
