@@ -145,6 +145,18 @@ def make_handler():
     from http.server import BaseHTTPRequestHandler
     from urllib.parse import parse_qsl, urlparse
 
+    # One-shot latency profile (the CLI's policy, cli.py:169-180): on the
+    # CPU backend pin the native host tiers so a drag-and-drop job never
+    # pays a per-shape XLA first-compile. Explicit env settings win.
+    try:
+        import jax
+
+        if jax.default_backend() == "cpu":
+            os.environ.setdefault("PIXO_TPU_COEFFS", "host")
+            os.environ.setdefault("PIXO_TPU_RESIZE", "host")
+    except Exception:  # noqa: BLE001 — backend probe failed; keep defaults
+        pass
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
