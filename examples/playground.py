@@ -147,15 +147,15 @@ def make_handler():
 
     # One-shot latency profile (the CLI's policy, cli.py:169-180): on the
     # CPU backend pin the native host tiers so a drag-and-drop job never
-    # pays a per-shape XLA first-compile. Explicit env settings win.
-    try:
-        import jax
+    # pays a per-shape XLA first-compile. Explicit env settings win; the
+    # shared policy (incl. the native-availability gate) lives in
+    # jpeg.encoder.auto_host_tier.
+    from pixo_tpu.jpeg.encoder import auto_host_tier
 
-        if jax.default_backend() == "cpu":
-            os.environ.setdefault("PIXO_TPU_COEFFS", "host")
-            os.environ.setdefault("PIXO_TPU_RESIZE", "host")
-    except Exception:  # noqa: BLE001 — backend probe failed; keep defaults
-        pass
+    if auto_host_tier("PIXO_TPU_COEFFS"):
+        os.environ.setdefault("PIXO_TPU_COEFFS", "host")
+    if auto_host_tier("PIXO_TPU_RESIZE"):
+        os.environ.setdefault("PIXO_TPU_RESIZE", "host")
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
@@ -214,10 +214,10 @@ def main() -> None:
     args = ap.parse_args()
     if args.device == "cpu":
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
-        os.environ.setdefault("PIXO_TPU_COEFFS", "host")
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        # tier pinning happens in make_handler (one policy site)
     from pixo_tpu.utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()

@@ -89,6 +89,26 @@ def _coeff_tier() -> str:
     return os.environ.get("PIXO_TPU_COEFFS", "device")
 
 
+def auto_host_tier(env_var: str) -> bool:
+    """Backend-aware tier policy shared by the batch entry points, the
+    thumbnail pipeline, and the playground: prefer the native host tier
+    when (a) the user has not set ``env_var`` explicitly, (b) the default
+    jax backend is CPU, and (c) the native library actually loaded (the
+    pure-NumPy mirrors are far slower than the XLA-CPU dispatch, so
+    without the .so the device tier stays the right default). Explicit
+    env always wins; callers must treat env=="host" as host regardless."""
+    if os.environ.get(env_var) is not None:
+        return False
+    from ..native import native_available
+
+    if not native_available():
+        return False
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:  # noqa: BLE001 — backend probe failed; keep device
+        return False
+
+
 def compute_coefficients_host(
     img: np.ndarray, options: JpegOptions, quant: QuantizationTables
 ) -> np.ndarray:
@@ -357,18 +377,7 @@ def encode_batch(imgs: np.ndarray, options: JpegOptions) -> List[bytes]:
     sub = "420" if options.subsampling == Subsampling.S420 else "444"
     _, _, pattern = scan_layout(options.width, options.height, color, sub)
 
-    tier = _coeff_tier()
-    if tier != "host" and os.environ.get("PIXO_TPU_COEFFS") is None:
-        # Backend-aware auto (same policy as png.encode_batch): on the
-        # CPU backend the per-image native pipeline on a thread pool
-        # beats the XLA-CPU batch dispatch ~2x; an explicit
-        # PIXO_TPU_COEFFS=device always wins.
-        try:
-            if jax.default_backend() == "cpu":
-                tier = "host"
-        except Exception:  # noqa: BLE001 — backend probe failed; keep device
-            pass
-    if tier == "host":
+    if _coeff_tier() == "host" or auto_host_tier("PIXO_TPU_COEFFS"):
         # host tier: the native AVX2 pipeline per image on a thread pool
         # (ctypes releases the GIL) — no XLA dispatch at all
         import concurrent.futures

@@ -4611,16 +4611,21 @@ struct RefOptimalParser {
     }
 };
 
-// deflate_optimal_split (deflate.rs:762-854) / deflate_optimal (:291-360)
-// iteration loop; returns the final token stream (split path keeps the
-// LAST iteration's tokens, the plain path keeps the smallest encoding).
-static void ref_optimal_tokens(const uint8_t* data, int64_t len,
-                               int iterations, std::vector<Token>& best) {
+// Shared zopfli iteration driver (deflate_optimal_split deflate.rs:762-854
+// and deflate_optimal :291-360 differ ONLY in what they keep per
+// iteration). `on_tokens` fires for the greedy baseline and after every
+// parse — including the converging iteration, which both reference
+// variants consume before breaking. The convergence arithmetic (f32 cost
+// sum in token order, |prev-cost| < cost*0.001, the 0.5f stats blend)
+// must stay bit-exact with the oracle and lives only here.
+template <typename F>
+static void ref_optimal_iterate(const uint8_t* data, int64_t len,
+                                int iterations, F&& on_tokens) {
     std::vector<Token> initial;
     compress_tokens(data, len, 9, initial);
     uint32_t lit_counts[286], dist_counts[30];
     ref_count_symbols(initial, lit_counts, dist_counts);
-    best = initial;
+    on_tokens(initial);
     float prev_cost = 3.4028234663852886e38f;  // f32::MAX
     RefOptimalParser parser(data, len);
     RefCostModel model;
@@ -4628,6 +4633,7 @@ static void ref_optimal_tokens(const uint8_t* data, int64_t len,
     for (int iter = 0; iter < iterations; iter++) {
         model.from_statistics(lit_counts, dist_counts);
         parser.parse(model, tokens);
+        on_tokens(tokens);
         uint32_t new_lit[286], new_dist[30];
         ref_count_symbols(tokens, new_lit, new_dist);
         float cost = 0.0f;
@@ -4638,12 +4644,8 @@ static void ref_optimal_tokens(const uint8_t* data, int64_t len,
             else
                 cost += model.literal_cost((uint8_t)(t.v & 0xFF));
         }
-        if (iter > 2 && fabsf(prev_cost - cost) < cost * 0.001f) {
-            best = tokens;
-            break;
-        }
+        if (iter > 2 && fabsf(prev_cost - cost) < cost * 0.001f) break;
         prev_cost = cost;
-        best = tokens;
         for (int i = 0; i < 286; i++)
             lit_counts[i] =
                 (uint32_t)((float)lit_counts[i] * 0.5f + (float)new_lit[i]);
@@ -4795,57 +4797,30 @@ EXPORT int64_t deflate_optimal_parity(const uint8_t* data, int64_t len,
     if (len > 512 * 1024) {
         // deflate_optimal (deflate.rs:291-360): smallest single dynamic
         // block across the greedy baseline + every iteration's parse.
-        std::vector<Token> initial;
-        compress_tokens(data, len, 9, initial);
-        uint32_t lit_counts[286], dist_counts[30];
-        ref_count_symbols(initial, lit_counts, dist_counts);
-
         std::vector<uint8_t> scratch((size_t)(len + len / 2 + 4096));
-        auto encode_one = [&](const std::vector<Token>& toks) -> int64_t {
-            LsbWriter sw(scratch.data(), (int64_t)scratch.size());
-            emit_block(sw, toks, data, 0, 0, true, /*force=*/1);
-            sw.flush();
-            return sw.overflow ? -1 : sw.pos;
-        };
-        int64_t best_size = encode_one(initial);
-        std::vector<uint8_t> best_bytes(scratch.begin(),
-                                        scratch.begin() + best_size);
-        float prev_cost = 3.4028234663852886e38f;
-        RefOptimalParser parser(data, len);
-        RefCostModel model;
-        std::vector<Token> tokens;
-        for (int iter = 0; iter < iterations; iter++) {
-            model.from_statistics(lit_counts, dist_counts);
-            parser.parse(model, tokens);
-            int64_t sz = encode_one(tokens);
-            if (sz >= 0 && sz < best_size) {
-                best_size = sz;
-                best_bytes.assign(scratch.begin(), scratch.begin() + sz);
-            }
-            uint32_t new_lit[286], new_dist[30];
-            ref_count_symbols(tokens, new_lit, new_dist);
-            float cost = 0.0f;
-            for (const Token& t : tokens) {
-                if (t.v & 0x80000000u)
-                    cost += model.match_cost((int)((t.v >> 16) & 0x7FFF),
-                                             (int)(t.v & 0xFFFF));
-                else
-                    cost += model.literal_cost((uint8_t)(t.v & 0xFF));
-            }
-            if (iter > 2 && fabsf(prev_cost - cost) < cost * 0.001f) break;
-            prev_cost = cost;
-            for (int i = 0; i < 286; i++)
-                lit_counts[i] = (uint32_t)((float)lit_counts[i] * 0.5f +
-                                           (float)new_lit[i]);
-            for (int i = 0; i < 30; i++)
-                dist_counts[i] = (uint32_t)((float)dist_counts[i] * 0.5f +
-                                            (float)new_dist[i]);
-        }
+        std::vector<uint8_t> best_bytes;
+        int64_t best_size = -1;
+        ref_optimal_iterate(
+            data, len, iterations, [&](const std::vector<Token>& toks) {
+                LsbWriter sw(scratch.data(), (int64_t)scratch.size());
+                emit_block(sw, toks, data, 0, 0, true, /*force=*/1);
+                sw.flush();
+                if (sw.overflow) return;  // can't happen for dynamic blocks
+                if (best_size < 0 || sw.pos < best_size) {
+                    best_size = sw.pos;
+                    best_bytes.assign(scratch.begin(),
+                                      scratch.begin() + sw.pos);
+                }
+            });
+        if (best_size < 0) return -1;
         w.raw_bytes(best_bytes.data(), (int64_t)best_bytes.size());
     } else {
-        // deflate_optimal_split_zlib(data, iterations, 15)
+        // deflate_optimal_split_zlib(data, iterations, 15): keep the LAST
+        // iteration's tokens, then the coarse-to-fine split search
         std::vector<Token> best;
-        ref_optimal_tokens(data, len, iterations, best);
+        ref_optimal_iterate(
+            data, len, iterations,
+            [&](const std::vector<Token>& toks) { best = toks; });
         std::vector<size_t> splits;
         if (best.size() >= RMIN_BLOCK * 2) splits = find_block_splits(best, 15);
         std::vector<size_t> bounds;

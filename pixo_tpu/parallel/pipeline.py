@@ -565,26 +565,22 @@ def thumbnail_pipeline(
     results: List[bytes] = [b""] * n
     timings = {"decode_wait_s": 0.0, "device_s": 0.0, "pack_s": 0.0}
 
-    # Backend-aware tier auto (same policy as the encode_batch entry
-    # points): on the CPU backend the native host tiers beat XLA-CPU
+    # Backend-aware tier auto (jenc.auto_host_tier: CPU backend + native
+    # library loaded + no explicit env): the host tiers beat the XLA-CPU
     # dispatches ~2x with bit-identical output; explicit env wins.
-    host_coeffs = jenc._coeff_tier() == "host"
-    host_resize = os.environ.get("PIXO_TPU_RESIZE") == "host"
-    if os.environ.get("PIXO_TPU_COEFFS") is None or \
-            os.environ.get("PIXO_TPU_RESIZE") is None:
-        try:
-            import jax
+    host_coeffs = (jenc._coeff_tier() == "host"
+                   or jenc.auto_host_tier("PIXO_TPU_COEFFS"))
+    host_resize = (os.environ.get("PIXO_TPU_RESIZE") == "host"
+                   or jenc.auto_host_tier("PIXO_TPU_RESIZE"))
 
-            on_cpu = jax.default_backend() == "cpu"
-        except Exception:  # noqa: BLE001
-            on_cpu = False
-        if os.environ.get("PIXO_TPU_COEFFS") is None and on_cpu:
-            host_coeffs = True
-        if os.environ.get("PIXO_TPU_RESIZE") is None and on_cpu:
-            host_resize = True
-
-    with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:
-        dec_futs = [ex.submit(load_image, data) for data in encoded]
+    # Two pools: decode tasks for the WHOLE batch are queued up front on
+    # `dec_ex` (later chunks decode while earlier chunks compute/pack);
+    # the per-chunk compute/pack maps run on `work_ex` so they never
+    # queue behind the remaining decode backlog (FIFO executors would
+    # otherwise serialize time-to-first-output on full-batch decode).
+    with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as dec_ex, \
+            concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as work_ex:
+        dec_futs = [dec_ex.submit(load_image, data) for data in encoded]
 
         def device_stage(lo: int, hi: int):
             t0 = time.perf_counter()
@@ -625,7 +621,7 @@ def thumbnail_pipeline(
                 # pool (ctypes releases the GIL), bit-identical to the
                 # device tier. Sparse compaction is a device op — the
                 # pack stage takes the dense path when compacted is None.
-                zz = np.stack(list(ex.map(
+                zz = np.stack(list(work_ex.map(
                     lambda i: jenc.compute_coefficients_host(
                         thumbs[i], jopts, quant
                     ),
@@ -643,12 +639,12 @@ def thumbnail_pipeline(
             t0 = time.perf_counter()
             if sparse and compacted is not None:
                 scans = _pack_compacted_batch(
-                    zz, compacted, hi - lo, jopts, pattern, ex
+                    zz, compacted, hi - lo, jopts, pattern, work_ex
                 )
                 outs = [_assemble_jpeg(s, jopts, quant) for s in scans]
             else:
                 zz_h = np.asarray(zz)
-                outs = list(ex.map(
+                outs = list(work_ex.map(
                     lambda i: jenc._emit_jpeg(
                         zz_h[i], thumbs[i], jopts, quant, pattern
                     ),
