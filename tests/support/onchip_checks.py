@@ -127,10 +127,69 @@ def main() -> int:
             "pallas jidctint != NumPy mirror on chip"
         )
 
+    def jpeg_pipeline():
+        """The headline path itself, on chip: fused device coefficients
+        (pad/blockify -> AAN DCT -> quantize -> zigzag) + device sparse
+        compaction, packed on host, vs the host-tier bytes (VERDICT r3
+        weak #6 / next #8)."""
+        import jax.numpy as jnp
+
+        from pixo_tpu.jpeg.encoder import (_device_coeffs,
+                                           compute_coefficients_host)
+        from pixo_tpu.jpeg.tables import HuffmanTables, QuantizationTables
+        from pixo_tpu.native import (native_available, native_pack_scan,
+                                     native_pack_scan_sparse)
+        from pixo_tpu.ops.sparse_pack import sparsify_blocks
+        from pixo_tpu.options import ColorType, JpegOptions, Subsampling
+
+        h, w = 80, 96
+        # smooth gradient + mild noise: photographic-class sparsity so the
+        # device compaction stays under its 8-nonzeros/block cap (pure
+        # noise would overflow it, which the real pipeline handles by a
+        # dense fallback — not what this check targets)
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        img = np.clip(
+            np.stack([xx * 2, yy * 3, xx + yy], axis=-1)
+            + rng.integers(-6, 7, (h, w, 3)),
+            0, 255,
+        ).astype(np.uint8)
+        q = QuantizationTables(85)
+        lum = jnp.asarray(q.luminance_table.reshape(8, 8))
+        chrom = jnp.asarray(q.chrominance_table.reshape(8, 8))
+        for sub, subs in (("444", Subsampling.S444), ("420", Subsampling.S420)):
+            opts = JpegOptions(width=w, height=h, quality=85,
+                               color_type=ColorType.RGB, subsampling=subs)
+            dev = np.asarray(
+                _device_coeffs(jnp.asarray(img), lum, chrom,
+                               color="rgb", subsampling=sub)
+            )
+            host = compute_coefficients_host(img, opts, q)
+            assert np.array_equal(dev, host), (
+                f"device coefficients != host tier on chip ({sub})"
+            )
+            if native_available():
+                # device sparse compaction -> host sparse packer must emit
+                # the same scan bytes as the dense host pack
+                pattern = ([0, 1, 1] if sub == "444"
+                           else [0, 0, 0, 0, 1, 1])
+                tables = HuffmanTables()
+                dc, counts, poss, vals, total = (
+                    np.asarray(a) for a in sparsify_blocks(jnp.asarray(dev))
+                )
+                assert int(total) <= len(poss), "sparse cap overflow"
+                sparse = native_pack_scan_sparse(
+                    dc, counts, poss, vals, pattern, tables, None
+                )
+                dense = native_pack_scan(host, pattern, tables, None)
+                assert sparse == dense, (
+                    f"sparse-compacted scan bytes != dense ({sub})"
+                )
+
     check("pallas-filter", pallas_filter)
     check("trellis", trellis)
     check("quantize", quantize_kernels)
     check("pallas-dct", pallas_dct)
+    check("jpeg-pipeline", jpeg_pipeline)
     return 1 if failures else 0
 
 

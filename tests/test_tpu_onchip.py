@@ -43,5 +43,7 @@ def test_onchip_kernel_equality():
     if proc.returncode == 3:
         pytest.skip(f"no TPU device available: {out.strip().splitlines()[-1]}")
     assert proc.returncode == 0, f"on-chip checks failed:\n{out}"
-    for name in ("pallas-filter", "trellis", "quantize"):
+    for name in (
+        "pallas-filter", "trellis", "quantize", "pallas-dct", "jpeg-pipeline",
+    ):
         assert f"OK {name}" in out, f"missing OK for {name}:\n{out}"
