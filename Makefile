@@ -1,8 +1,19 @@
-# CI-style entry points (the .github/workflows/ci.yml analog)
+# CI-style entry points (mirrors .github/workflows/ci.yml)
 
-.PHONY: all native test bench components demo clean
+.PHONY: all native test bench components demo clean ci install
 
 all: native test
+
+# the full local CI pipeline: native build -> install check -> tests ->
+# bench smoke (CPU backend, reduced size — same stages as the workflow)
+ci: native
+	pip install -e . --no-deps --no-build-isolation -q
+	pixo-tpu --version
+	python -m pytest tests/ -x -q
+	PIXO_TPU_BENCH_CPU=1 BENCH_SIZE=256 BENCH_BATCH=4 python bench.py
+
+install:
+	pip install -e . --no-deps --no-build-isolation
 
 native:
 	g++ -O3 -std=c++17 -shared -fPIC -march=native -fno-exceptions \
