@@ -299,23 +299,31 @@ def _emit_jpeg(
             if options.trellis_quant
             else zz
         )
-        # Progressive tables are counted over the actual scan symbols so
-        # EOBn codes exist (see progressive.py's divergence note).
-        script = progressive.get_script(options)
-        comp_blocks = progressive.split_components(
-            zz_scan, pattern, options.width, options.height
-        )
-        is_gray = options.color_type == ColorType.GRAY
-        huff = progressive.build_progressive_tables(
-            comp_blocks, script, is_gray, optimal=options.optimal_huffman
-        )
-        if huff is None:
-            huff = HuffmanTables()
+        sa = getattr(options, "progressive_sa", True)
+        huff = None
+        if not sa:
+            # Single-table mode (parity script): tables counted over the
+            # actual scan symbols so EOBn codes exist (progressive.py's
+            # divergence note), one DHT up front.
+            script = progressive.get_script(options)
+            comp_blocks = progressive.split_components(
+                zz_scan, pattern, options.width, options.height
+            )
+            is_gray = options.color_type == ColorType.GRAY
+            huff = progressive.build_progressive_tables(
+                comp_blocks, script, is_gray, optimal=options.optimal_huffman
+            )
+            if huff is None:
+                huff = HuffmanTables()
         markers.write_sof(
             out, markers.SOF2, options.width, options.height,
             options.color_type, options.subsampling,
         )
-        markers.write_dht(out, huff)
+        if huff is not None:
+            markers.write_dht(out, huff)
+        # SA mode: per-scan optimized tables, each DHT emitted by
+        # encode_progressive right before its scan (libjpeg/mozjpeg
+        # optimize_coding scheme).
         # restart_interval is ignored in progressive mode: the progressive
         # scan coders emit no RSTn markers, so advertising a DRI interval
         # desyncs decoders (the reference has this bug — it writes DRI at
@@ -350,7 +358,22 @@ def encode(data, options: JpegOptions) -> bytes:
     color = "gray" if options.color_type == ColorType.GRAY else "rgb"
     sub = "420" if options.subsampling == Subsampling.S420 else "444"
     _, _, pattern = scan_layout(options.width, options.height, color, sub)
-    return _emit_jpeg(zz, img, options, quant, pattern)
+    out = _emit_jpeg(zz, img, options, quant, pattern)
+    if (
+        options.progressive
+        and getattr(options, "progressive_sa", True)
+        and zz.shape[0] <= 2048
+    ):
+        # Small images: the SA script's 18 per-scan DHT+SOS headers can
+        # outweigh its entropy win (measured crossover is well under
+        # 2048 blocks); emit the 7-scan single-table variant too and
+        # keep the smaller file. Cheap here — blocks are few.
+        alt = _emit_jpeg(
+            zz, img, options.replace(progressive_sa=False), quant, pattern
+        )
+        if len(alt) < len(out):
+            return alt
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("color", "subsampling"))

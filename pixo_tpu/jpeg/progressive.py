@@ -98,6 +98,23 @@ def gray_progressive_script() -> List[ScanSpec]:
     ]
 
 
+def gray_sa_progressive_script() -> List[ScanSpec]:
+    """Luma-only successive-approximation script (the component-0 scans
+    of :func:`default_progressive_script`)."""
+    return [
+        ScanSpec((0,), 0, 0, 0, 1),
+        ScanSpec((0,), 1, 5, 0, 2),
+        ScanSpec((0,), 6, 14, 0, 2),
+        ScanSpec((0,), 15, 63, 0, 1),
+        ScanSpec((0,), 0, 0, 1, 0),
+        ScanSpec((0,), 1, 5, 2, 1),
+        ScanSpec((0,), 1, 5, 1, 0),
+        ScanSpec((0,), 6, 14, 2, 1),
+        ScanSpec((0,), 6, 14, 1, 0),
+        ScanSpec((0,), 15, 63, 1, 0),
+    ]
+
+
 def _category(value: int) -> int:
     return int(abs(value)).bit_length()
 
@@ -107,11 +124,20 @@ class WriterSink:
 
     __slots__ = ("writer", "codes", "lengths", "fallback_single_eob")
 
-    def __init__(self, writer: BitWriterMsb, codes, lengths):
+    def __init__(self, writer: BitWriterMsb, codes, lengths, eobn_ok=None):
         self.writer = writer
         self.codes = codes
         self.lengths = lengths
-        self.fallback_single_eob = lengths[0x10] == 0 if len(lengths) > 0x10 else True
+        if eobn_ok is not None:
+            # per-scan counted tables contain every symbol the scan emits
+            # BY CONSTRUCTION (incl. the exact EOBn codes); sniffing
+            # lengths[0x10] would misread a table whose runs never hit
+            # the 2-3 range
+            self.fallback_single_eob = not eobn_ok
+        else:
+            self.fallback_single_eob = (
+                lengths[0x10] == 0 if len(lengths) > 0x10 else True
+            )
 
     def sym(self, s: int) -> None:
         self.writer.write_bits(int(self.codes[s]), int(self.lengths[s]))
@@ -120,28 +146,17 @@ class WriterSink:
         if nbits:
             self.writer.write_bits(value, nbits)
 
-    def flush_eob_run(self, eob_run: int) -> int:
-        if eob_run == 0:
-            return 0
-        if self.fallback_single_eob:
-            # std-table fallback: N single EOBs (one per all-zero band)
-            for _ in range(eob_run):
-                self.sym(0x00)
-            return 0
-        nbits = max(eob_run.bit_length() - 1, 0)
-        self.sym(nbits << 4)
-        if nbits > 0:
-            self.bits(eob_run - (1 << nbits), nbits)
-        return 0
-
 
 class CountSink:
     """Counts symbol frequencies; ignores raw bits."""
 
-    __slots__ = ("counts",)
+    __slots__ = ("counts", "fallback_single_eob")
 
     def __init__(self, counts: np.ndarray):
         self.counts = counts
+        # counting always assumes EOBn codes (they end up in the table
+        # precisely because we count them here)
+        self.fallback_single_eob = False
 
     def sym(self, s: int) -> None:
         self.counts[s] += 1
@@ -149,51 +164,105 @@ class CountSink:
     def bits(self, value: int, nbits: int) -> None:
         pass
 
-    def flush_eob_run(self, eob_run: int) -> int:
-        if eob_run == 0:
-            return 0
-        nbits = max(eob_run.bit_length() - 1, 0)
-        self.counts[nbits << 4] += 1
-        return 0
+
+# libjpeg's MAX_CORR_BITS: cap on buffered refinement correction bits
+# before the EOB run is force-flushed (bounds encoder memory; any flush
+# point is spec-valid).
+MAX_CORR_BITS = 1000 - 63
+
+
+class EobRunState:
+    """EOB-run accumulator shared by the AC scan coders.
+
+    Refinement scans buffer each run-member block's correction bits
+    (T.81 G.1.2.3 / libjpeg jcphuff emit_eobrun): the decoder reads the
+    EOBn symbol FIRST, then one correction bit per already-nonzero
+    coefficient of each block in the run — so the bits must trail the
+    symbol in the stream.
+    """
+
+    __slots__ = ("eob_run", "pending", "total_pending")
+
+    def __init__(self):
+        self.eob_run = 0
+        self.pending: List[List[int]] = []  # per-block correction bits
+        self.total_pending = 0
+
+    def add_block(self, bits: List[int]) -> None:
+        self.eob_run += 1
+        self.pending.append(bits)
+        self.total_pending += len(bits)
+
+    def flush(self, sink) -> None:
+        if self.eob_run == 0:
+            return
+        if sink.fallback_single_eob:
+            # std-table fallback (no EOBn codes): one single EOB per
+            # block, each followed by that block's own correction bits
+            for blk in self.pending:
+                sink.sym(0x00)
+                for bit in blk:
+                    sink.bits(bit, 1)
+        else:
+            nbits = max(self.eob_run.bit_length() - 1, 0)
+            sink.sym(nbits << 4)
+            if nbits > 0:
+                sink.bits(self.eob_run - (1 << nbits), nbits)
+            for blk in self.pending:
+                for bit in blk:
+                    sink.bits(bit, 1)
+        self.eob_run = 0
+        self.pending = []
+        self.total_pending = 0
 
 
 def encode_dc_scan_component(
     sink, blocks: np.ndarray, al: int, refinement: bool, raw_writer=None
 ) -> None:
-    prev_dc = 0
+    """DC scan per T.81 G.1.2.1: the point transform (arithmetic shift
+    by Al) applies to the DC VALUE, and the diff chain runs over the
+    shifted values (libjpeg jcphuff encode_mcu_DC_first/refine)."""
+    prev = 0
     for dc in blocks[:, 0].tolist():
+        t = dc >> al  # Python >> is arithmetic, matching C on signed ints
         if refinement:
-            sink.bits((abs(dc) >> al) & 1, 1)
+            sink.bits(t & 1, 1)
         else:
-            shifted = (dc - prev_dc) >> al
+            shifted = t - prev
             cat = _category(shifted)
             sink.sym(cat)
             if cat > 0:
                 bits = (shifted - 1) if shifted < 0 else shifted
                 sink.bits(bits & ((1 << cat) - 1), cat)
-        prev_dc = dc
+            prev = t
+
+
+def _pt_ac(coef: int, al: int) -> int:
+    """AC point transform: magnitude shift, truncation toward zero
+    (T.81 G.1.2.2; libjpeg jcphuff). Arithmetic shift would round
+    negatives away from zero and desync the later refinement scans."""
+    return -((-coef) >> al) if coef < 0 else (coef >> al)
 
 
 def encode_ac_first_block(sink, zz: Sequence[int], ss: int, se: int, al: int,
-                          eob_run: int) -> int:
+                          run: EobRunState) -> None:
     k = se
-    while k >= ss and (zz[k] >> al) == 0:
+    while k >= ss and _pt_ac(zz[k], al) == 0:
         if k == ss:
             break
         k -= 1
     last_nonzero = k
-    if last_nonzero == ss and (zz[ss] >> al) == 0:
-        eob_run += 1
-        if eob_run == 0x7FFF:
-            eob_run = sink.flush_eob_run(eob_run)
-        return eob_run
+    if last_nonzero == ss and _pt_ac(zz[ss], al) == 0:
+        run.add_block([])
+        if run.eob_run == 0x7FFF:
+            run.flush(sink)
+        return
 
-    if eob_run > 0:
-        eob_run = sink.flush_eob_run(eob_run)
+    run.flush(sink)
 
     zero_run = 0
     for k in range(ss, last_nonzero + 1):
-        coef = zz[k] >> al
+        coef = _pt_ac(zz[k], al)
         if coef == 0:
             zero_run += 1
             continue
@@ -207,44 +276,54 @@ def encode_ac_first_block(sink, zz: Sequence[int], ss: int, se: int, al: int,
         zero_run = 0
 
     if last_nonzero < se:
-        eob_run = 1
-    return eob_run
+        run.add_block([])
 
 
 def encode_ac_refine_block(sink, zz: Sequence[int], ss: int, se: int, al: int,
-                           eob_run: int) -> int:
-    correction_bits: List[int] = []
-    zero_run = 0
+                           run: EobRunState) -> None:
+    """AC refinement per libjpeg jcphuff encode_mcu_AC_refine: a
+    coefficient is already-nonzero iff |coef|>>Al > 1 (i.e. it was sent
+    by a previous coarser scan); ZRL is only emitted while a later
+    newly-nonzero coefficient exists in this block; block-final
+    correction bits are buffered into the EOB run."""
+    absv: List[int] = []
+    eob_idx = ss - 1  # position of the last newly-nonzero coefficient
     for k in range(ss, se + 1):
-        coef = zz[k]
-        abs_coef = abs(coef)
-        if abs_coef > (1 << al):
-            correction_bits.append((abs_coef >> al) & 1)
-        elif (abs_coef >> al) & 1:
-            if eob_run > 0:
-                eob_run = sink.flush_eob_run(eob_run)
-            while zero_run >= 16:
-                sink.sym(0xF0)
-                for bit in correction_bits:
-                    sink.bits(bit, 1)
-                correction_bits.clear()
-                zero_run -= 16
-            sink.sym((zero_run << 4) | 1)
-            sink.bits(0 if coef < 0 else 1, 1)
-            for bit in correction_bits:
-                sink.bits(bit, 1)
-            correction_bits.clear()
-            zero_run = 0
-        else:
-            zero_run += 1
+        t = abs(zz[k]) >> al
+        absv.append(t)
+        if t == 1:
+            eob_idx = k
 
-    if zero_run > 0 or correction_bits:
-        eob_run += 1
-        if eob_run == 0x7FFF:
-            eob_run = sink.flush_eob_run(eob_run)
-    for bit in correction_bits:
-        sink.bits(bit, 1)
-    return eob_run
+    zero_run = 0
+    br: List[int] = []  # correction bits since the last emitted symbol
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            zero_run += 1
+            continue
+        while zero_run > 15 and k <= eob_idx:
+            run.flush(sink)
+            sink.sym(0xF0)
+            for bit in br:
+                sink.bits(bit, 1)
+            br = []
+            zero_run -= 16
+        if t > 1:
+            br.append(t & 1)
+            continue
+        # newly nonzero (scaled magnitude exactly 1)
+        run.flush(sink)
+        sink.sym((zero_run << 4) | 1)
+        sink.bits(0 if zz[k] < 0 else 1, 1)
+        for bit in br:
+            sink.bits(bit, 1)
+        br = []
+        zero_run = 0
+
+    if zero_run > 0 or br:
+        run.add_block(br)
+        if run.eob_run == 0x7FFF or run.total_pending > MAX_CORR_BITS:
+            run.flush(sink)
 
 
 def split_components(
@@ -302,20 +381,19 @@ def _run_scan(scan: ScanSpec, comp_blocks, dc_sinks, ac_sinks) -> None:
         if len(blocks) == 0:
             continue
         sink = ac_sinks[comp]
-        eob_run = 0
+        run = EobRunState()
         block_list = blocks.tolist()
         if scan.ah == 0:
             for block in block_list:
-                eob_run = encode_ac_first_block(
-                    sink, block, scan.ss, scan.se, scan.al, eob_run
+                encode_ac_first_block(
+                    sink, block, scan.ss, scan.se, scan.al, run
                 )
         else:
             for block in block_list:
-                eob_run = encode_ac_refine_block(
-                    sink, block, scan.ss, scan.se, scan.al, eob_run
+                encode_ac_refine_block(
+                    sink, block, scan.ss, scan.se, scan.al, run
                 )
-        if eob_run > 0:
-            sink.flush_eob_run(eob_run)
+        run.flush(sink)
 
 
 def build_progressive_tables(
@@ -364,9 +442,52 @@ def build_progressive_tables(
 
 
 def get_script(options: JpegOptions) -> List[ScanSpec]:
+    sa = getattr(options, "progressive_sa", True)
     if options.color_type == ColorType.GRAY:
-        return gray_progressive_script()
-    return simple_progressive_script()
+        return gray_sa_progressive_script() if sa else gray_progressive_script()
+    return default_progressive_script() if sa else simple_progressive_script()
+
+
+def _build_scan_table(comp_blocks, scan: ScanSpec):
+    """Count THIS scan's symbols and build a dedicated optimal table.
+
+    Per-scan tables are the libjpeg/mozjpeg optimize_coding strategy:
+    AC-first, AC-refine and DC scans have very different symbol
+    distributions, so sharing one table across all scans (the single-
+    table mode below) costs several percent. Returns
+    (bits_spec, vals_spec, codes, lengths) or None (empty scan /
+    overflow -> caller uses std tables)."""
+    from ..native import native_count_progressive_scan
+    from .tables import build_bits_vals_optimal, build_code_table
+
+    is_dc = scan.is_dc_scan
+    dc_counts = np.zeros(12, np.int64)
+    ac_counts = np.zeros(256, np.int64)
+    done = True
+    for comp in scan.components:
+        blocks = comp_blocks[comp]
+        if len(blocks) == 0:
+            continue
+        if not native_count_progressive_scan(
+            blocks, scan.ss, scan.se, scan.ah, scan.al, dc_counts, ac_counts
+        ):
+            done = False
+            break
+    if not done:
+        dc_counts[:] = 0
+        ac_counts[:] = 0
+        sinks_dc = [CountSink(dc_counts)] * 3
+        sinks_ac = [CountSink(ac_counts)] * 3
+        _run_scan(scan, comp_blocks, sinks_dc, sinks_ac)
+    counts = dc_counts if is_dc else ac_counts
+    built = build_bits_vals_optimal(counts)
+    if built is None:
+        return None
+    bits_spec, vals_spec = built
+    table = build_code_table(bits_spec, vals_spec, 12 if is_dc else 256)
+    if table is None:
+        return None
+    return bits_spec, vals_spec, table[0], table[1]
 
 
 def encode_progressive(
@@ -374,30 +495,68 @@ def encode_progressive(
     zz: np.ndarray,
     pattern: Sequence[int],
     options: JpegOptions,
-    tables: HuffmanTables,
+    tables: Optional[HuffmanTables],
 ) -> None:
+    """Emit every scan of the script.
+
+    ``tables`` given: single-table mode — all scans share the caller's
+    tables (one DHT, written by the caller; the reference's scheme).
+    ``tables`` None: per-scan mode — each symbol-carrying scan gets its
+    own counted optimal table, emitted as a DHT right before its SOS
+    (what libjpeg/mozjpeg do with optimize_coding; DC-refinement scans
+    carry raw bits only and need no table).
+    """
     comp_blocks = split_components(zz, pattern, options.width, options.height)
     script = get_script(options)
+    per_scan = tables is None
+    std = HuffmanTables() if per_scan else tables
 
     from ..native import native_encode_progressive_scan
 
     for scan in script:
+        comp = scan.components[0]
+        if comp == 0:
+            dcc, dcl = std.dc_lum_codes, std.dc_lum_lengths
+            acc, acl = std.ac_lum_codes, std.ac_lum_lengths
+        else:
+            dcc, dcl = std.dc_chrom_codes, std.dc_chrom_lengths
+            acc, acl = std.ac_chrom_codes, std.ac_chrom_lengths
+        eobn_ok = None  # single-table mode: writer sniffs lengths[0x10]
+        if per_scan and not (scan.is_dc_scan and scan.is_refinement):
+            tid = (0x00 if scan.is_dc_scan else 0x10) | (
+                0x00 if comp == 0 else 0x01
+            )
+            built = _build_scan_table(comp_blocks, scan)
+            if built is not None:
+                bits_spec, vals_spec, codes, lengths = built
+                markers.write_huffman_table(out, tid, bits_spec, vals_spec)
+                if scan.is_dc_scan:
+                    dcc, dcl = codes, lengths
+                else:
+                    acc, acl = codes, lengths
+                # counted tables carry every symbol the scan emits
+                eobn_ok = True
+            else:
+                # std-table fallback: redefine the stream's table slot (an
+                # earlier scan's DHT may occupy it) to the spec we encode
+                # with; std tables lack EOBn codes -> single-EOB flushes
+                if scan.is_dc_scan:
+                    spec = ((std.dc_lum_bits, std.dc_lum_vals) if comp == 0
+                            else (std.dc_chrom_bits, std.dc_chrom_vals))
+                else:
+                    spec = ((std.ac_lum_bits, std.ac_lum_vals) if comp == 0
+                            else (std.ac_chrom_bits, std.ac_chrom_vals))
+                markers.write_huffman_table(out, tid, *spec)
+                eobn_ok = False
         markers.write_sos_progressive(
             out, scan.components, scan.ss, scan.se, scan.ah, scan.al
         )
         # Native fast path: every script scan is single-component, so one
         # C++ call produces the whole scan's entropy bytes.
-        if len(scan.components) == 1 and len(comp_blocks[scan.components[0]]):
-            comp = scan.components[0]
-            if comp == 0:
-                dcc, dcl = tables.dc_lum_codes, tables.dc_lum_lengths
-                acc, acl = tables.ac_lum_codes, tables.ac_lum_lengths
-            else:
-                dcc, dcl = tables.dc_chrom_codes, tables.dc_chrom_lengths
-                acc, acl = tables.ac_chrom_codes, tables.ac_chrom_lengths
+        if len(scan.components) == 1 and len(comp_blocks[comp]):
             scan_bytes = native_encode_progressive_scan(
                 comp_blocks[comp], scan.ss, scan.se, scan.ah, scan.al,
-                dcc, dcl, acc, acl,
+                dcc, dcl, acc, acl, eobn_ok=eobn_ok,
             )
             if scan_bytes is not None:
                 out += scan_bytes
@@ -406,11 +565,14 @@ def encode_progressive(
         dc_sinks = []
         ac_sinks = []
         for c in range(3):
-            if c == 0:
-                dc_sinks.append(WriterSink(writer, tables.dc_lum_codes, tables.dc_lum_lengths))
-                ac_sinks.append(WriterSink(writer, tables.ac_lum_codes, tables.ac_lum_lengths))
+            if per_scan or c == comp:
+                dc_sinks.append(WriterSink(writer, dcc, dcl, eobn_ok))
+                ac_sinks.append(WriterSink(writer, acc, acl, eobn_ok))
+            elif c == 0:
+                dc_sinks.append(WriterSink(writer, std.dc_lum_codes, std.dc_lum_lengths))
+                ac_sinks.append(WriterSink(writer, std.ac_lum_codes, std.ac_lum_lengths))
             else:
-                dc_sinks.append(WriterSink(writer, tables.dc_chrom_codes, tables.dc_chrom_lengths))
-                ac_sinks.append(WriterSink(writer, tables.ac_chrom_codes, tables.ac_chrom_lengths))
+                dc_sinks.append(WriterSink(writer, std.dc_chrom_codes, std.dc_chrom_lengths))
+                ac_sinks.append(WriterSink(writer, std.ac_chrom_codes, std.ac_chrom_lengths))
         _run_scan(scan, comp_blocks, dc_sinks, ac_sinks)
         out += writer.finish()

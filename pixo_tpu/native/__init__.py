@@ -125,6 +125,7 @@ def _configure(lib) -> None:
         i16p, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         u16p, u8p, u16p, u8p,
+        ctypes.c_int32,  # eobn_ok: -1 sniff lens[0x10], 0/1 explicit
         u8p, ctypes.c_int64,
     ]
 
@@ -620,9 +621,13 @@ def native_inflate(data: bytes, expected_size: int, zlib_wrap: bool) -> Optional
 
 def native_encode_progressive_scan(
     blocks: np.ndarray, ss: int, se: int, ah: int, al: int,
-    dc_codes, dc_lens, ac_codes, ac_lens,
+    dc_codes, dc_lens, ac_codes, ac_lens, eobn_ok: Optional[bool] = None,
 ) -> Optional[bytes]:
-    """Entropy bytes for one single-component progressive scan, or None."""
+    """Entropy bytes for one single-component progressive scan, or None.
+
+    ``eobn_ok``: True/False forces the EOBn-vs-single-EOB flush mode
+    (per-scan counted tables, progressive.py); None keeps the
+    single-table sniff (lens[0x10] != 0)."""
     lib = _load()
     if lib is None or not hasattr(lib, "jpeg_encode_progressive_scan"):
         return None
@@ -642,6 +647,7 @@ def native_encode_progressive_scan(
         blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), blocks.shape[0],
         ss, se, ah, al,
         u16(dc_codes), u8a(dc_lens), u16(ac_codes), u8a(ac_lens),
+        -1 if eobn_ok is None else int(bool(eobn_ok)),
         _u8(out), cap,
     )
     if n < 0:

@@ -436,6 +436,10 @@ EXPORT int32_t jpeg_count_symbols(
 
 namespace jprog {
 
+// libjpeg's MAX_CORR_BITS: cap on buffered refinement correction bits
+// before the EOB run is force-flushed.
+constexpr int kMaxCorrBits = 1000 - 63;
+
 struct Ctx {
     jpeg::MsbWriter* w;
     const uint16_t* codes;
@@ -444,25 +448,44 @@ struct Ctx {
 
     inline void sym(int s) { w->write(codes[s], lens[s]); }
     inline void bits(uint32_t v, int n) { if (n) w->write(v, n); }
+};
 
-    inline int flush_eob_run(int eob_run) {
-        if (eob_run == 0) return 0;
-        if (!eobn_ok) {
-            for (int i = 0; i < eob_run; i++) sym(0x00);
-            return 0;
+// EOB-run accumulator (T.81 G.1.2.3 / libjpeg jcphuff emit_eobrun): the
+// EOBn symbol goes FIRST, then the run's buffered refinement correction
+// bits in block order. In the no-EOBn std-table fallback, refinement
+// blocks are flushed eagerly per block (see the call sites), so pending
+// is empty here and first-scan runs become N single EOBs.
+struct RunState {
+    int eob_run = 0;
+    uint8_t pending[kMaxCorrBits + 64];
+    int npending = 0;
+
+    inline void flush(Ctx& c) {
+        if (!eob_run) return;
+        if (!c.eobn_ok) {
+            for (int i = 0; i < eob_run; i++) c.sym(0x00);
+        } else {
+            int nbits = 0, t = eob_run;
+            while (t > 1) { t >>= 1; nbits++; }
+            c.sym(nbits << 4);
+            if (nbits > 0) c.bits((uint32_t)(eob_run - (1 << nbits)), nbits);
+            for (int i = 0; i < npending; i++) c.bits(pending[i], 1);
         }
-        int nbits = 0;
-        int t = eob_run;
-        while (t > 1) { t >>= 1; nbits++; }
-        sym(nbits << 4);
-        if (nbits > 0) bits((uint32_t)(eob_run - (1 << nbits)), nbits);
-        return 0;
+        eob_run = 0;
+        npending = 0;
     }
 };
 
 static inline int cat16(int v) {
     unsigned a = v < 0 ? (unsigned)(-v) : (unsigned)v;
     return a == 0 ? 0 : 32 - __builtin_clz(a);
+}
+
+// AC point transform: magnitude shift with truncation toward zero
+// (T.81 G.1.2.2); an arithmetic shift would round negatives away from
+// zero and desync the later refinement scans.
+static inline int pt_ac(int v, int al) {
+    return v < 0 ? -((-v) >> al) : (v >> al);
 }
 
 }  // namespace jprog
@@ -472,47 +495,51 @@ EXPORT int64_t jpeg_encode_progressive_scan(
     int32_t ss, int32_t se, int32_t ah, int32_t al,
     const uint16_t* dc_codes, const uint8_t* dc_lens,
     const uint16_t* ac_codes, const uint8_t* ac_lens,
+    int32_t eobn_ok /* -1: sniff ac_lens[0x10]; 0/1: explicit */,
     uint8_t* out, int64_t cap) {
     using namespace jprog;
     jpeg::MsbWriter w(out, cap);
 
     if (ss == 0 && se == 0) {  // DC scan
         Ctx dc{&w, dc_codes, dc_lens, false};
-        int prev_dc = 0;
+        // T.81 G.1.2.1: the point transform (arithmetic >> al) applies
+        // to the DC VALUE; the diff chain runs over shifted values.
+        int prev = 0;
         for (int64_t b = 0; b < nblocks; b++) {
-            int v = blocks[b * 64];
+            int t = blocks[b * 64] >> al;
             if (ah > 0) {
-                dc.bits((uint32_t)((v < 0 ? -v : v) >> al) & 1, 1);
+                dc.bits((uint32_t)t & 1, 1);
             } else {
-                int shifted = (v - prev_dc) >> al;
+                int shifted = t - prev;
                 int cat = cat16(shifted);
                 int bitsv = shifted < 0 ? shifted - 1 : shifted;
                 uint32_t val = (uint32_t)bitsv & ((cat == 0) ? 0 : ((1u << cat) - 1));
                 w.write(((uint32_t)dc_codes[cat] << cat) | val, dc_lens[cat] + cat);
+                prev = t;
             }
-            prev_dc = v;
         }
     } else {
-        Ctx ac{&w, ac_codes, ac_lens, ac_lens[0x10] != 0};
-        int eob_run = 0;
+        Ctx ac{&w, ac_codes, ac_lens,
+               eobn_ok < 0 ? ac_lens[0x10] != 0 : eobn_ok != 0};
+        RunState run;
         if (ah == 0) {  // AC first scan
             for (int64_t b = 0; b < nblocks; b++) {
                 const int16_t* zz = blocks + b * 64;
                 int k = se;
-                while (k >= ss && (zz[k] >> al) == 0) {
+                while (k >= ss && pt_ac(zz[k], al) == 0) {
                     if (k == ss) break;
                     k--;
                 }
                 int last_nonzero = k;
-                if (last_nonzero == ss && (zz[ss] >> al) == 0) {
-                    eob_run++;
-                    if (eob_run == 0x7FFF) eob_run = ac.flush_eob_run(eob_run);
+                if (last_nonzero == ss && pt_ac(zz[ss], al) == 0) {
+                    run.eob_run++;
+                    if (run.eob_run == 0x7FFF) run.flush(ac);
                     continue;
                 }
-                if (eob_run > 0) eob_run = ac.flush_eob_run(eob_run);
+                run.flush(ac);
                 int zero_run = 0;
                 for (int i = ss; i <= last_nonzero; i++) {
-                    int coef = zz[i] >> al;
+                    int coef = pt_ac(zz[i], al);
                     if (coef == 0) { zero_run++; continue; }
                     while (zero_run >= 16) { ac.sym(0xF0); zero_run -= 16; }
                     int cat = cat16(coef);
@@ -522,44 +549,62 @@ EXPORT int64_t jpeg_encode_progressive_scan(
                     w.write(((uint32_t)ac_codes[rs] << cat) | val, ac_lens[rs] + cat);
                     zero_run = 0;
                 }
-                if (last_nonzero < se) eob_run = 1;
+                if (last_nonzero < se) run.eob_run++;
             }
-        } else {  // AC refinement scan
+        } else {  // AC refinement scan (libjpeg jcphuff encode_mcu_AC_refine)
             for (int64_t b = 0; b < nblocks; b++) {
                 const int16_t* zz = blocks + b * 64;
-                uint8_t corr[64];
-                int ncorr = 0;
+                int absv[64];
+                int eob_idx = ss - 1;  // last newly-nonzero position
+                for (int i = ss; i <= se; i++) {
+                    int v = zz[i];
+                    int t = (v < 0 ? -v : v) >> al;
+                    absv[i] = t;
+                    if (t == 1) eob_idx = i;
+                }
+                uint8_t br[64];  // correction bits since last symbol
+                int nbr = 0;
                 int zero_run = 0;
                 for (int i = ss; i <= se; i++) {
-                    int coef = zz[i];
-                    int abs_coef = coef < 0 ? -coef : coef;
-                    if (abs_coef > (1 << al)) {
-                        corr[ncorr++] = (uint8_t)((abs_coef >> al) & 1);
-                    } else if ((abs_coef >> al) & 1) {
-                        if (eob_run > 0) eob_run = ac.flush_eob_run(eob_run);
-                        while (zero_run >= 16) {
-                            ac.sym(0xF0);
-                            for (int c = 0; c < ncorr; c++) ac.bits(corr[c], 1);
-                            ncorr = 0;
-                            zero_run -= 16;
-                        }
-                        ac.sym((zero_run << 4) | 1);
-                        ac.bits(coef < 0 ? 0u : 1u, 1);
-                        for (int c = 0; c < ncorr; c++) ac.bits(corr[c], 1);
-                        ncorr = 0;
-                        zero_run = 0;
+                    int t = absv[i];
+                    if (t == 0) { zero_run++; continue; }
+                    while (zero_run > 15 && i <= eob_idx) {
+                        run.flush(ac);
+                        ac.sym(0xF0);
+                        for (int c = 0; c < nbr; c++) ac.bits(br[c], 1);
+                        nbr = 0;
+                        zero_run -= 16;
+                    }
+                    if (t > 1) {  // already nonzero: buffer correction bit
+                        br[nbr++] = (uint8_t)(t & 1);
+                        continue;
+                    }
+                    // newly nonzero (scaled magnitude exactly 1)
+                    run.flush(ac);
+                    ac.sym((zero_run << 4) | 1);
+                    ac.bits(zz[i] < 0 ? 0u : 1u, 1);
+                    for (int c = 0; c < nbr; c++) ac.bits(br[c], 1);
+                    nbr = 0;
+                    zero_run = 0;
+                }
+                if (zero_run > 0 || nbr > 0) {
+                    if (!ac.eobn_ok) {
+                        // no EOBn codes: flush this block eagerly (byte-
+                        // identical to the deferred per-block emission)
+                        ac.sym(0x00);
+                        for (int c = 0; c < nbr; c++) ac.bits(br[c], 1);
                     } else {
-                        zero_run++;
+                        run.eob_run++;
+                        for (int c = 0; c < nbr; c++)
+                            run.pending[run.npending++] = br[c];
+                        if (run.eob_run == 0x7FFF ||
+                            run.npending > kMaxCorrBits)
+                            run.flush(ac);
                     }
                 }
-                if (zero_run > 0 || ncorr > 0) {
-                    eob_run++;
-                    if (eob_run == 0x7FFF) eob_run = ac.flush_eob_run(eob_run);
-                }
-                for (int c = 0; c < ncorr; c++) ac.bits(corr[c], 1);
             }
         }
-        if (eob_run > 0) ac.flush_eob_run(eob_run);
+        run.flush(ac);
     }
     w.flush_pad_ones();
     return w.overflow ? -1 : w.pos;
@@ -573,32 +618,36 @@ EXPORT int32_t jpeg_count_progressive_scan(
     using namespace jprog;
     if (ss == 0 && se == 0) {
         if (ah > 0) return 0;  // refine bits only
-        int prev_dc = 0;
+        int prev = 0;
         for (int64_t b = 0; b < nblocks; b++) {
-            int v = blocks[b * 64];
-            dc_counts[cat16((v - prev_dc) >> al)]++;
-            prev_dc = v;
+            int t = blocks[b * 64] >> al;  // shift-then-diff (G.1.2.1)
+            dc_counts[cat16(t - prev)]++;
+            prev = t;
         }
         return 0;
     }
+    // Counting assumes EOBn codes (they end up in the table precisely
+    // because they are counted here); flush points mirror the writer.
     int eob_run = 0;
+    int npending = 0;
     auto flush = [&]() {
         if (!eob_run) return;
         int nbits = 0, t = eob_run;
         while (t > 1) { t >>= 1; nbits++; }
         ac_counts[nbits << 4]++;
         eob_run = 0;
+        npending = 0;
     };
     if (ah == 0) {
         for (int64_t b = 0; b < nblocks; b++) {
             const int16_t* zz = blocks + b * 64;
             int k = se;
-            while (k >= ss && (zz[k] >> al) == 0) {
+            while (k >= ss && pt_ac(zz[k], al) == 0) {
                 if (k == ss) break;
                 k--;
             }
             int last_nonzero = k;
-            if (last_nonzero == ss && (zz[ss] >> al) == 0) {
+            if (last_nonzero == ss && pt_ac(zz[ss], al) == 0) {
                 eob_run++;
                 if (eob_run == 0x7FFF) flush();
                 continue;
@@ -606,34 +655,46 @@ EXPORT int32_t jpeg_count_progressive_scan(
             flush();
             int zero_run = 0;
             for (int i = ss; i <= last_nonzero; i++) {
-                int coef = zz[i] >> al;
+                int coef = pt_ac(zz[i], al);
                 if (coef == 0) { zero_run++; continue; }
                 while (zero_run >= 16) { ac_counts[0xF0]++; zero_run -= 16; }
                 ac_counts[(zero_run << 4) | cat16(coef)]++;
                 zero_run = 0;
             }
-            if (last_nonzero < se) eob_run = 1;
+            if (last_nonzero < se) eob_run++;
         }
     } else {
         for (int64_t b = 0; b < nblocks; b++) {
             const int16_t* zz = blocks + b * 64;
-            int ncorr = 0;
+            int absv[64];
+            int eob_idx = ss - 1;
+            for (int i = ss; i <= se; i++) {
+                int v = zz[i];
+                int t = (v < 0 ? -v : v) >> al;
+                absv[i] = t;
+                if (t == 1) eob_idx = i;
+            }
+            int nbr = 0;
             int zero_run = 0;
             for (int i = ss; i <= se; i++) {
-                int coef = zz[i];
-                int abs_coef = coef < 0 ? -coef : coef;
-                if (abs_coef > (1 << al)) ncorr++;
-                else if ((abs_coef >> al) & 1) {
+                int t = absv[i];
+                if (t == 0) { zero_run++; continue; }
+                while (zero_run > 15 && i <= eob_idx) {
                     flush();
-                    while (zero_run >= 16) { ac_counts[0xF0]++; zero_run -= 16; }
-                    ac_counts[(zero_run << 4) | 1]++;
-                    ncorr = 0;
-                    zero_run = 0;
-                } else zero_run++;
+                    ac_counts[0xF0]++;
+                    nbr = 0;
+                    zero_run -= 16;
+                }
+                if (t > 1) { nbr++; continue; }
+                flush();
+                ac_counts[(zero_run << 4) | 1]++;
+                nbr = 0;
+                zero_run = 0;
             }
-            if (zero_run > 0 || ncorr > 0) {
+            if (zero_run > 0 || nbr > 0) {
                 eob_run++;
-                if (eob_run == 0x7FFF) flush();
+                npending += nbr;
+                if (eob_run == 0x7FFF || npending > kMaxCorrBits) flush();
             }
         }
     }

@@ -146,6 +146,13 @@ class JpegOptions:
     # package-merge + the libjpeg dummy-symbol trick instead of the
     # reference's depth+1 scheme (never larger; implies the counting pass).
     optimal_huffman: bool = False
+    # Progressive scan script: successive approximation (the reference's
+    # fuller script, src/jpeg/progressive.rs:68-96 — which its encoder
+    # never uses) with per-scan optimized Huffman tables. This is what
+    # makes libjpeg/mozjpeg progressive output small; on by default for
+    # the shipping progressive path. False selects the reference's used
+    # 7-scan spectral-selection-only script (parity mode).
+    progressive_sa: bool = True
 
     @classmethod
     def fast(cls, width: int, height: int, quality: int = 75) -> "JpegOptions":

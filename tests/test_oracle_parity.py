@@ -150,6 +150,9 @@ def _encode_preset2_bug_compatible(img, q=85, sub420=False, monkeypatch=None):
     if is_gray and img.ndim == 3:
         img = img[..., 0]
     opts = JpegOptions.from_preset(w, h, q, 2)
+    # the reference's script is the 7-scan spectral-selection one; our
+    # shipping default is the SA script (beyond-parity, round 4)
+    opts = opts.replace(progressive_sa=False)
     if not sub420:
         opts = opts.replace(subsampling=Subsampling.S444)
     if is_gray:
@@ -608,3 +611,108 @@ def test_real_fixture_jpeg_bytes_identical_to_pixo():
     opts.subsampling = Subsampling.S420
     ours = jpeg.encode(px, opts)
     assert bytes(ours) == bytes(ref)
+
+
+def _stride_path_image():
+    """400x280 RGB (112k px): sampled-histogram stride=2, auto-sample
+    stride=5, 3,071 unique colors — auto-quantize fires, the 8192-color
+    cap does NOT (its survivor set depends on Rust's unstable-sort tie
+    order; see the avatar test below)."""
+    h, w = 280, 400
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img = np.stack(
+        [((xx // 8) * 4) % 256, ((yy // 8) * 6) % 256,
+         (((xx + yy) // 16) * 10) % 256], -1,
+    ).astype(np.uint8)
+    rng = np.random.default_rng(7)
+    mask = (xx % 16 == 3) & (yy % 16 == 5)
+    img[mask] = np.clip(
+        img[mask].astype(int) + rng.integers(-4, 5, (mask.sum(), 3)) * 3,
+        0, 255,
+    ).astype(np.uint8)
+    return img
+
+
+def test_png_lossy_stride_path_bytes_identical_to_pixo(monkeypatch):
+    """Full-scale lossy byte identity through the >=50k-pixel SAMPLED
+    histogram path (VERDICT r3 next #3): 400x280, histogram stride 2,
+    auto-heuristic sample stride 5. Proves the stride sampling, count
+    scaling, median-cut, k-means, LUT, FS dithering, mZeng and parity
+    DEFLATE are exact at scale (reference semantics
+    src/png/mod.rs:1505-1560; 37,134 bytes identical)."""
+    monkeypatch.setenv("PIXO_TPU_DEFLATE_PARITY", "1")
+    img = _stride_path_image()
+    h, w = img.shape[:2]
+    ref = cached_call("png", img.tobytes(), w, h, 2, 1, True)
+    opts = PngOptions.from_preset_with_lossless(w, h, 1, lossless=False)
+    opts.color_type = ColorType.RGB
+    ours = png.encode(img, opts)
+    assert bytes(ours) == bytes(ref)
+
+
+def test_png_lossy_avatar_fullsize_divergence_is_cap_tie_order(monkeypatch):
+    """avatar-color.png 740x740 lossy (Auto + dither, balanced): the one
+    DOCUMENTED lossy divergence at full scale, with its root cause
+    pinned by this test.
+
+    The 50k-sample histogram sees 17,854 unique colors, so the
+    8192-color cap fires (src/png/mod.rs:1577-1581) — and at the cut
+    boundary 14,606 colors tie at count 1 for 4,944 slots. The survivor
+    set is decided by Rust 1.88's `sort_unstable_by` (ipnsort) internal
+    tie order, which has no stable specification to mirror. Everything
+    around it is oracle-exact (the stride-path test above; the 32x32
+    lossy tests where the cap cannot fire; lossless avatar at this very
+    size). The result is a different-but-equivalent palette: structure
+    identical, size within 2.5%, decoded error statistically equal."""
+    import zlib as _zlib
+
+    from pathlib import Path
+
+    fixture = Path("/root/reference/tests/fixtures/avatar-color.png")
+    if not fixture.exists():
+        pytest.skip("reference fixtures not present")
+    monkeypatch.setenv("PIXO_TPU_DEFLATE_PARITY", "1")
+    from pixo_tpu.decode import decode_png
+    from pixo_tpu.png.quantize import _keys_rgba
+
+    r = decode_png(fixture.read_bytes())
+    px = np.asarray(r.pixels).reshape(740, 740, 4)
+
+    # pin the root-cause precondition: the cap fires with a huge tie set
+    sampled = px.reshape(-1, 4)[:: 547_600 // 50_000]
+    uniq, counts = np.unique(_keys_rgba(sampled), return_counts=True)
+    assert len(uniq) > 8192
+    order = np.sort(counts)[::-1]
+    assert order[8191] == order[-1]  # the cut lands inside the tie band
+
+    ref = bytes(cached_call("png", px.tobytes(), 740, 740, 3, 1, True))
+    opts = PngOptions.from_preset_with_lossless(740, 740, 1, lossless=False)
+    opts.color_type = ColorType.RGBA
+    ours = bytes(png.encode(px, opts))
+
+    # same structure: 256-color indexed, identical raw stream length
+    def parse(blob):
+        pos, chunks = 8, {}
+        while pos < len(blob):
+            ln = int.from_bytes(blob[pos:pos + 4], "big")
+            typ = blob[pos + 4:pos + 8].decode()
+            chunks.setdefault(typ, b"")
+            chunks[typ] += blob[pos + 8:pos + 8 + ln]
+            pos += 12 + ln
+        return chunks
+
+    cr, co = parse(ref), parse(ours)
+    assert cr["IHDR"] == co["IHDR"]  # same dims / bit depth / color type 3
+    assert len(cr["PLTE"]) == len(co["PLTE"]) == 768
+    raw_r = _zlib.decompress(cr["IDAT"])
+    raw_o = _zlib.decompress(co["IDAT"])
+    assert len(raw_r) == len(raw_o)
+    assert len(ours) <= len(ref) * 1.025  # 226,061 vs 222,752 (+1.5%)
+
+    # equivalent quality: decode both, compare MSE against the source
+    def mse(blob):
+        d = decode_png(blob)
+        q = np.asarray(d.pixels).reshape(740, 740, -1)[..., :3].astype(float)
+        return float(((q - px[..., :3].astype(float)) ** 2).mean())
+
+    assert mse(ours) <= mse(ref) * 1.10
