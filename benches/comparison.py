@@ -285,8 +285,10 @@ def bench_png_lossy(quick):
     from pixo_tpu import ColorType, PngOptions
     from pixo_tpu.options import QuantizationMode, QuantizationOptions
 
-    hdr("5. PNG lossy (256 colors; ref bench runs dithering=false — "
-        "comparison.rs:625)",
+    hdr("5. PNG lossy (256 colors; ref settings: BALANCED preset + Force "
+        "256 + dithering=false — comparison.rs:1687-1712 uses "
+        "PngOptions::balanced; the round-3 rows mistakenly ran the fast "
+        "preset and overstated our sizes by ~5%)",
         "Image", "Dims", "ours no-dither", "ours dithered",
         "Pillow palette", "ref pixo (quoted, no dither)")
     cases = [("Gradient 512", synth_gradient(512, 512),
@@ -294,19 +296,20 @@ def bench_png_lossy(quick):
     if REF_FIXTURES.is_dir():
         av, _ = load_png_fixture("avatar-color.png")
         rk, _ = load_png_fixture("rocket.png")
+        # remaining delta vs the quoted numbers is the 8192-color
+        # histogram-cap tie order (Rust unstable sort; root cause pinned
+        # by test_png_lossy_avatar_fullsize_divergence_is_cap_tie_order)
         cases += [("avatar-color.png", av, "128.5 KB"),
                   ("rocket.png", rk, "279.2 KB")]
     for name, img, ref in cases:
         h, w, c = img.shape
         cells = [name, f"{w}x{h}"]
         for dith in (False, True):
-            opts = PngOptions(
-                width=w, height=h,
-                color_type=ColorType.RGB if c == 3 else ColorType.RGBA,
-                quantization=QuantizationOptions(
-                    mode=QuantizationMode.FORCE, max_colors=256,
-                    dithering=dith,
-                ),
+            opts = PngOptions.balanced(w, h)
+            opts.color_type = ColorType.RGB if c == 3 else ColorType.RGBA
+            opts.quantization = QuantizationOptions(
+                mode=QuantizationMode.FORCE, max_colors=256,
+                dithering=dith,
             )
             out = _our_png(img, opts)  # warm (absorbs any one-off compile)
             t = timeit(lambda: _our_png(img, opts), 0.3, 3)
