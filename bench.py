@@ -85,10 +85,10 @@ def main() -> None:
     from pixo_tpu.native import (
         native_available,
         native_pack_scan,
-        native_pack_scan_sparse,
+        native_pack_scan_padded,
     )
     from pixo_tpu.ops.blockify import scan_layout
-    from pixo_tpu.ops.sparse_pack import sparsify_blocks_batch
+    from pixo_tpu.ops.sparse_pack import sparsify_blocks_padded_batch
 
     size = int(os.environ.get("BENCH_SIZE", "512"))
     batch = int(os.environ.get("BENCH_BATCH", "16"))
@@ -156,11 +156,15 @@ def main() -> None:
         zz_dev = run_device()
         zz_dev.block_until_ready()  # compile + first run
 
-    # --- device-side compaction (the production handoff: ~5x less PCIe
-    # traffic, host packer touches ~3 B per nonzero AC) ---
+    # --- device-side compaction (the production handoff: ~2.6x less PCIe
+    # traffic, host packer touches ~3 B per nonzero AC). Padded per-block
+    # top-k layout: ~1 ms/batch on the chip vs ~45 ms for the old global
+    # scatter (TPU scatters serialize) ---
     with Watchdog(WATCHDOG_S):
-        dc_d, counts_d, poss_d, vals_d, total_d = sparsify_blocks_batch(zz_dev)
-        jax.block_until_ready(total_d)
+        dc_d, counts_d, poss_d, vals_d, total_d, maxc_d = (
+            sparsify_blocks_padded_batch(zz_dev)
+        )
+        jax.block_until_ready(maxc_d)
 
     # --- incremental stream fetch for the host-stage measurement ---
     # A sick tunnel can stall a bulk d2h for minutes (it moves MB/s after
@@ -170,6 +174,7 @@ def main() -> None:
     t0 = time.perf_counter()
     with Watchdog(WATCHDOG_S):
         totals = np.asarray(total_d)
+        maxcounts = np.asarray(maxc_d)
     fetch_budget_s = max(WATCHDOG_S // 3, 60)
     fetched = []  # (dc, counts, poss, vals) per image
     nbytes = totals.nbytes
@@ -201,8 +206,8 @@ def main() -> None:
     # Compaction-overflow check happens HERE, while the tunnel is still
     # fresh: the dense fallback's bulk d2h must not run after the
     # steady-state loops (same wedge hazard as the stream fetch above).
-    cap = fetched[0][2].shape[0]
-    overflow = not (totals[:nf] <= cap).all()
+    cap = fetched[0][2].shape[1]  # per-block slots in the padded layout
+    overflow = not (maxcounts[:nf] <= cap).all()
     zz_host = None
     if overflow:  # dense fallback (not hit on this content)
         with Watchdog(WATCHDOG_S):
@@ -222,6 +227,68 @@ def main() -> None:
             dt_dev = min(dt_dev, (time.perf_counter() - t0) / rounds)
     device_mps = mp_per_batch / dt_dev
 
+    # --- Stage 1b: CLOSED-LOOP on-chip wall clock (VERDICT r3 task 1b).
+    # One jit dispatch runs >= 8 full batches through coefficients +
+    # per-block top-k compaction via lax.scan, reduces each batch's
+    # sparse stream to scalar digests ON DEVICE, and fetches only those
+    # scalars — zero bulk d2h, so the dev tunnel cannot color the number.
+    # This is a genuine wall-clock measurement of the sustained device
+    # pipeline rate (compaction included), not min-of-stages arithmetic.
+    closed_loop_mps = None
+    closed_loop_batches = int(os.environ.get("BENCH_CLOSED_LOOP_BATCHES", "16"))
+    try:
+        if cpu_fallback:
+            raise RuntimeError("skipped in CPU fallback (no device)")
+        import functools
+
+        from jax import lax
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def closed_loop(imgs_dev, n):
+            def body(carry, shift):
+                im = jnp.roll(imgs_dev, shift, axis=2)
+                zz = _device_coeffs_batch(
+                    im, lum, chrom, color="rgb", subsampling="420"
+                )
+                dcb, countsb, possb, valsb, totalb, maxcb = (
+                    sparsify_blocks_padded_batch(zz)
+                )
+                w = jnp.arange(valsb.shape[2], dtype=jnp.int32) % 251 + 1
+                dig = (
+                    jnp.sum(valsb.astype(jnp.int32) * w[None, None, :])
+                    + jnp.sum(possb.astype(jnp.int32))
+                    + jnp.sum(dcb.astype(jnp.int32))
+                )
+                return carry, (jnp.sum(totalb), jnp.max(maxcb), dig)
+
+            _, digs = lax.scan(
+                body, 0, jnp.arange(n, dtype=jnp.int32)
+            )
+            return digs
+
+        with Watchdog(WATCHDOG_S):
+            out = closed_loop(dev_imgs, closed_loop_batches)
+            jax.block_until_ready(out)  # compile + first run
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = closed_loop(dev_imgs, closed_loop_batches)
+                jax.block_until_ready(out)
+                best = min(best, time.perf_counter() - t0)
+            digs = jax.device_get(out)  # scalars only: 12 B/batch
+        closed_loop_mps = closed_loop_batches * mp_per_batch / best
+        cl_total = int(digs[0][0])
+        print(
+            f"bench: closed-loop on-chip {closed_loop_batches} batches "
+            f"({closed_loop_batches * batch} imgs) in {best*1e3:.1f} ms -> "
+            f"{closed_loop_mps:.0f} MP/s wall-clock (coeffs + top-k "
+            f"compaction, scalars-only d2h); {cl_total} nonzeros/batch, "
+            f"max/block {int(digs[1].max())}",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: closed-loop measurement failed: {exc}", file=sys.stderr)
+
     # --- Stage 2: host entropy packing over the real streams ---
     _, _, pattern = scan_layout(size, size, "rgb", "420")
     huff = HuffmanTables()
@@ -229,7 +296,7 @@ def main() -> None:
     if not overflow:
         def pack(i):
             dc_h, counts_h, poss_h, vals_h = fetched[i]
-            return native_pack_scan_sparse(
+            return native_pack_scan_padded(
                 dc_h, counts_h, poss_h, vals_h, pattern, huff, None
             )
     else:
@@ -274,14 +341,21 @@ def main() -> None:
             # warm (compile of the sharded path)
             for _ in encode_jpeg_stream([imgs], opts):
                 pass
-            t0 = time.perf_counter()
-            total_imgs = 0
-            for outs in encode_jpeg_stream(
-                (imgs for _ in range(n_stream)), opts
-            ):
-                total_imgs += len(outs)
-            dt_stream = time.perf_counter() - t0
-        measured_mps = total_imgs * size * size / 1e6 / dt_stream
+        # two attempts: a tunnel that wedged during the first window can
+        # recover for the second (VERDICT r3 task 1a: healthy-window retry)
+        for _attempt in (1, 2):
+            with Watchdog(WATCHDOG_S):
+                t0 = time.perf_counter()
+                total_imgs = 0
+                for outs in encode_jpeg_stream(
+                    (imgs for _ in range(n_stream)), opts
+                ):
+                    total_imgs += len(outs)
+                dt_stream = time.perf_counter() - t0
+            mps = total_imgs * size * size / 1e6 / dt_stream
+            measured_mps = max(measured_mps or 0.0, mps)
+            if measured_mps >= 250.0:
+                break
     except Exception as exc:  # noqa: BLE001 - tunnel stalls must not kill bench
         print(f"bench: stream measurement failed: {exc}", file=sys.stderr)
 
@@ -295,15 +369,21 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # Headline policy (VERDICT r2 task 4): when the MEASURED end-to-end
-    # stream — one wall clock over >=8 double-buffered batches, d2h
-    # included — clears the 250 MP/s/chip north star, IT is the headline.
-    # Only when the dev tunnel's MB/s-range d2h (a harness artifact; v5e
-    # PCIe is ~3 orders faster) drags it below the bar does the headline
-    # fall back to the steady-state min(stage) figure, with the measured
-    # number recorded alongside either way.
+    # Headline policy (VERDICT r2 task 4 + r3 task 1): when the MEASURED
+    # end-to-end stream — one wall clock over >=8 double-buffered batches,
+    # d2h included — clears the 250 MP/s/chip north star, IT is the
+    # headline. Otherwise the headline is min(closed-loop device wall
+    # clock, host pack stage): both terms are real wall-clock
+    # measurements (the closed loop runs >=8 batches through coefficients
+    # + compaction in one dispatch with scalars-only d2h, so the dev
+    # tunnel's MB/s-range d2h — a harness artifact; v5e PCIe is ~3 orders
+    # faster — cannot color it). Pure min-of-window-estimates only
+    # remains as the last fallback.
     headline = pipeline_mps
     mode = "min-stage"
+    if closed_loop_mps is not None:
+        headline = min(closed_loop_mps, host_mps)
+        mode = "closed-loop-min-host"
     if measured_mps is not None and measured_mps >= 250.0:
         headline = measured_mps
         mode = "measured-stream"
@@ -313,7 +393,19 @@ def main() -> None:
         "unit": "MP/s/chip",
         "vs_baseline": round(headline / BASELINE_MPS, 3),
         "mode": mode,
+        "device_stage_mps": round(device_mps, 1),
+        "host_pack_mps": round(host_mps, 1),
     }
+    if closed_loop_mps is not None:
+        record["closed_loop_mps"] = round(closed_loop_mps, 1)
+        record["closed_loop_batches"] = closed_loop_batches
+    if fetched:
+        # sparse-stream d2h volume per image (the PCIe handoff the host
+        # pack consumes) so the PCIe projection is auditable
+        record["sparse_stream_bytes_per_img"] = int(
+            sum(a.nbytes for a in fetched[0])
+        )
+        record["avg_jpeg_bytes_per_img"] = int(np.mean(sizes))
     if measured_mps is not None:
         record["measured_stream_mps"] = round(measured_mps, 1)
     if cpu_fallback:

@@ -100,6 +100,17 @@ def _configure(lib) -> None:
         u8p, ctypes.c_int64,             # out buffer, capacity
     ]
 
+    lib.jpeg_pack_scan_padded.restype = ctypes.c_int64
+    lib.jpeg_pack_scan_padded.argtypes = [
+        i16p, u8p, u8p, i16p,            # dc, counts, positions, values
+        ctypes.c_int64, ctypes.c_int32,  # nblocks, per-block row stride
+        u8p, ctypes.c_int32,             # pattern, blocks per mcu
+        u16p, u8p, u16p, u8p,            # dc lum/chrom codes+lens
+        u16p, u8p, u16p, u8p,            # ac lum/chrom codes+lens
+        ctypes.c_int32,                  # restart interval (0 = off)
+        u8p, ctypes.c_int64,             # out buffer, capacity
+    ]
+
     lib.jpeg_pack_scan_batch.restype = ctypes.c_int32
     lib.jpeg_pack_scan_batch.argtypes = [
         i16p, ctypes.c_int32, ctypes.c_int64,
@@ -375,6 +386,59 @@ def native_pack_scan_sparse(
     )
     if n < 0:
         raise RuntimeError("native jpeg_pack_scan_sparse failed")
+    return out[:n].tobytes()
+
+
+def native_pack_scan_padded(
+    dc: np.ndarray,
+    counts: np.ndarray,
+    poss: np.ndarray,
+    vals: np.ndarray,
+    pattern: Sequence[int],
+    tables,
+    restart_interval: Optional[int],
+) -> bytes:
+    """Pack one scan straight from the device's padded per-block top-k
+    layout (``ops/sparse_pack.sparsify_blocks_padded``): ``poss``/``vals``
+    are [nblocks, cap] rows, block i's ``counts[i]`` live entries at the
+    head of row i. No host-side flatten pass — the packer strides the
+    rows directly. Byte-identical to ``native_pack_scan`` on the dense
+    blocks the streams were compacted from.
+    """
+    lib = _load()
+    dc = np.ascontiguousarray(dc, dtype=np.int16)
+    counts = np.ascontiguousarray(counts, dtype=np.uint8)
+    poss = np.ascontiguousarray(poss, dtype=np.uint8)
+    vals = np.ascontiguousarray(vals, dtype=np.int16)
+    pat = np.asarray(pattern, dtype=np.uint8)
+    nblocks = dc.shape[0]
+    row_cap = poss.shape[1]
+    cap = nblocks * 64 * 4 + 4096
+    out = np.empty(cap, dtype=np.uint8)
+
+    def u16(a):
+        return np.ascontiguousarray(a, dtype=np.uint16).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint16))
+
+    def u8a(a):
+        return np.ascontiguousarray(a, dtype=np.uint8).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8))
+
+    def i16(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+
+    n = lib.jpeg_pack_scan_padded(
+        i16(dc), _u8(counts), _u8(poss), i16(vals), nblocks, row_cap,
+        _u8(pat), len(pattern),
+        u16(tables.dc_lum_codes), u8a(tables.dc_lum_lengths),
+        u16(tables.dc_chrom_codes), u8a(tables.dc_chrom_lengths),
+        u16(tables.ac_lum_codes), u8a(tables.ac_lum_lengths),
+        u16(tables.ac_chrom_codes), u8a(tables.ac_chrom_lengths),
+        restart_interval or 0,
+        _u8(out), cap,
+    )
+    if n < 0:
+        raise RuntimeError("native jpeg_pack_scan_padded failed")
     return out[:n].tobytes()
 
 

@@ -272,10 +272,14 @@ EXPORT int64_t jpeg_pack_scan(
 // count per block, concatenated (position, value) pairs) instead of dense
 // [N,64] blocks. Byte-identical output to jpeg_pack_scan; the host touches
 // ~3 bytes per nonzero coefficient instead of 128 bytes per block.
-EXPORT int64_t jpeg_pack_scan_sparse(
+// Shared body for the two compacted-stream layouts: `cap == 0` walks
+// poss/vals sequentially (flat globally-compacted stream); `cap > 0`
+// reads block i's entries at row i*cap (padded per-block top-k layout
+// from the device — no host-side flatten pass needed).
+static int64_t jpeg_pack_scan_sparse_impl(
     const int16_t* dc_arr, const uint8_t* counts,
     const uint8_t* poss, const int16_t* vals,
-    int64_t nblocks,
+    int64_t nblocks, int32_t cap,
     const uint8_t* pattern, int32_t bpm,
     const uint16_t* dc_lum_c, const uint8_t* dc_lum_l,
     const uint16_t* dc_chrom_c, const uint8_t* dc_chrom_l,
@@ -315,10 +319,11 @@ EXPORT int64_t jpeg_pack_scan_sparse(
 
             int c = counts[blk];
             int prev_pos = 0;
+            int64_t base = (cap > 0) ? blk * (int64_t)cap : cursor;
+            if (cap <= 0) cursor += c;
             for (int j = 0; j < c; j++) {
-                int pos = poss[cursor];
-                int ac = vals[cursor];
-                cursor++;
+                int pos = poss[base + j];
+                int ac = vals[base + j];
                 int zero_run = pos - prev_pos - 1;
                 while (zero_run >= 16) {
                     w.write(acc[0xF0], acl[0xF0]);
@@ -346,6 +351,44 @@ EXPORT int64_t jpeg_pack_scan_sparse(
     }
     w.flush_pad_ones();
     return w.overflow ? -1 : w.pos;
+}
+
+EXPORT int64_t jpeg_pack_scan_sparse(
+    const int16_t* dc_arr, const uint8_t* counts,
+    const uint8_t* poss, const int16_t* vals,
+    int64_t nblocks,
+    const uint8_t* pattern, int32_t bpm,
+    const uint16_t* dc_lum_c, const uint8_t* dc_lum_l,
+    const uint16_t* dc_chrom_c, const uint8_t* dc_chrom_l,
+    const uint16_t* ac_lum_c, const uint8_t* ac_lum_l,
+    const uint16_t* ac_chrom_c, const uint8_t* ac_chrom_l,
+    int32_t restart_interval,
+    uint8_t* out, int64_t out_cap) {
+    return jpeg_pack_scan_sparse_impl(
+        dc_arr, counts, poss, vals, nblocks, 0, pattern, bpm,
+        dc_lum_c, dc_lum_l, dc_chrom_c, dc_chrom_l,
+        ac_lum_c, ac_lum_l, ac_chrom_c, ac_chrom_l,
+        restart_interval, out, out_cap);
+}
+
+// Padded per-block layout (ops/sparse_pack.py sparsify_blocks_padded):
+// block i's nonzero (pos, val) pairs live at poss/vals[i*cap .. i*cap+counts[i]).
+EXPORT int64_t jpeg_pack_scan_padded(
+    const int16_t* dc_arr, const uint8_t* counts,
+    const uint8_t* poss, const int16_t* vals,
+    int64_t nblocks, int32_t cap,
+    const uint8_t* pattern, int32_t bpm,
+    const uint16_t* dc_lum_c, const uint8_t* dc_lum_l,
+    const uint16_t* dc_chrom_c, const uint8_t* dc_chrom_l,
+    const uint16_t* ac_lum_c, const uint8_t* ac_lum_l,
+    const uint16_t* ac_chrom_c, const uint8_t* ac_chrom_l,
+    int32_t restart_interval,
+    uint8_t* out, int64_t out_cap) {
+    return jpeg_pack_scan_sparse_impl(
+        dc_arr, counts, poss, vals, nblocks, cap, pattern, bpm,
+        dc_lum_c, dc_lum_l, dc_chrom_c, dc_chrom_l,
+        ac_lum_c, ac_lum_l, ac_chrom_c, ac_chrom_l,
+        restart_interval, out, out_cap);
 }
 
 // Threaded batch variant: packs B independent images concurrently (the

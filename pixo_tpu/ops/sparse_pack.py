@@ -67,3 +67,73 @@ def sparsify_blocks_batch(zz, cap_per_block: int = DEFAULT_CAP_PER_BLOCK):
     return jax.vmap(
         lambda b: sparsify_blocks(b, cap_per_block=cap_per_block)
     )(zz)
+
+
+# Per-block capacity for the padded (top-k) layout. 16 slots cover every
+# block seen on photographic q85 content with 2x headroom (measured max 8
+# on the bench gradients); a block with more nonzeros trips the per-image
+# ``maxcount`` overflow and the caller falls back to the dense path.
+PADDED_CAP_PER_BLOCK = 16
+
+
+@functools.partial(jax.jit, static_argnames=("cap_per_block",))
+def sparsify_blocks_padded(zz, cap_per_block: int = PADDED_CAP_PER_BLOCK):
+    """[N, 64] int16 -> per-block padded streams via ``lax.top_k``.
+
+    The global compaction above is exact but its destination scatter
+    serializes on the TPU (~45 ms per 16x512x512 batch — 45x the cost of
+    the coefficient pipeline it follows). This variant keeps the nonzero
+    ACs *per block* instead: for every block, the first ``cap_per_block``
+    nonzero (position, value) pairs in zigzag order, found with one
+    ``top_k`` over a packed (64-pos)<<16 | value key — a vectorized
+    sorting network, ~1 ms for the same batch. Positions are unique per
+    block so the key order is total; absent lanes pack to 0 and sort
+    last.
+
+    Returns (dc [N] int16, counts [N] uint8, poss [N, cap] uint8,
+    vals [N, cap] int16, total int32, maxcount int32). ``maxcount`` >
+    ``cap_per_block`` means some block overflowed its slots and the
+    padded arrays are invalid — callers must use the dense path (same
+    contract as the flat layout's ``total > cap``). Flattening the padded
+    rows by ``counts`` reproduces the flat stream byte-for-byte
+    (``padded_to_flat``), so the host packer sees identical input.
+    """
+    ac = zz[:, 1:].astype(jnp.int32)  # [N, 63]
+    nz = ac != 0
+    pos = jnp.arange(1, 64, dtype=jnp.int32)
+    key = jnp.where(nz, 64 - pos, 0)
+    packed = (key << 16) | (ac & 0xFFFF)
+    top, _ = jax.lax.top_k(packed, cap_per_block)  # desc by key
+    keyk = top >> 16
+    vals = (top & 0xFFFF).astype(jnp.uint16).astype(jnp.int16)
+    poss = jnp.where(keyk > 0, 64 - keyk, 0).astype(jnp.uint8)
+    counts32 = nz.sum(axis=-1, dtype=jnp.int32)
+    return (
+        zz[:, 0],
+        counts32.astype(jnp.uint8),
+        poss,
+        vals,
+        counts32.sum(dtype=jnp.int32),
+        counts32.max(),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cap_per_block",))
+def sparsify_blocks_padded_batch(zz, cap_per_block: int = PADDED_CAP_PER_BLOCK):
+    """[B, N, 64] -> per-image padded streams (vmapped top-k)."""
+    return jax.vmap(
+        lambda b: sparsify_blocks_padded(b, cap_per_block=cap_per_block)
+    )(zz)
+
+
+def padded_to_flat(counts, poss, vals):
+    """Host-side flatten: padded [N, cap] rows -> the flat streams the
+    native sparse packer consumes (identical to ``sparsify_blocks``
+    output for the same coefficients). NumPy boolean indexing — a
+    memcpy-class pass over ~cap bytes per block."""
+    import numpy as np
+
+    mask = np.arange(poss.shape[1], dtype=np.int64)[None, :] < (
+        counts.astype(np.int64)[:, None]
+    )
+    return poss[mask], vals[mask]

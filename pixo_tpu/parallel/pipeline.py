@@ -86,24 +86,44 @@ def _pack_compacted_batch(
     from ..native import (
         native_pack_scan,
         native_pack_scan_batch,
+        native_pack_scan_padded,
         native_pack_scan_sparse,
     )
 
     huff = HuffmanTables()
-    dc_d, counts_d, poss_d, vals_d, total_d = compacted
-    totals = np.asarray(total_d)
-    cap = poss_d.shape[1]
-    if (totals <= cap).all():
-        dc_h, counts_h = np.asarray(dc_d), np.asarray(counts_d)
-        poss_h, vals_h = np.asarray(poss_d), np.asarray(vals_d)
+    if len(compacted) == 6:
+        # padded per-block top-k layout (ops/sparse_pack.py
+        # sparsify_blocks_padded_batch): overflow when any block exceeds
+        # its per-block slots; the native packer strides the rows
+        # directly, no host flatten pass
+        dc_d, counts_d, poss_d, vals_d, _total_d, maxcount_d = compacted
+        cap = poss_d.shape[2]
+        if (np.asarray(maxcount_d) <= cap).all():
+            dc_h, counts_h = np.asarray(dc_d), np.asarray(counts_d)
+            poss_h, vals_h = np.asarray(poss_d), np.asarray(vals_d)
 
-        def pack_sparse(i: int) -> bytes:
-            return native_pack_scan_sparse(
-                dc_h[i], counts_h[i], poss_h[i], vals_h[i],
-                pattern, huff, options.restart_interval,
-            )
+            def pack_padded(i: int) -> bytes:
+                return native_pack_scan_padded(
+                    dc_h[i], counts_h[i], poss_h[i], vals_h[i],
+                    pattern, huff, options.restart_interval,
+                )
 
-        return list(ex.map(pack_sparse, range(n)))
+            return list(ex.map(pack_padded, range(n)))
+    else:
+        dc_d, counts_d, poss_d, vals_d, total_d = compacted
+        totals = np.asarray(total_d)
+        cap = poss_d.shape[1]
+        if (totals <= cap).all():
+            dc_h, counts_h = np.asarray(dc_d), np.asarray(counts_d)
+            poss_h, vals_h = np.asarray(poss_d), np.asarray(vals_d)
+
+            def pack_sparse(i: int) -> bytes:
+                return native_pack_scan_sparse(
+                    dc_h[i], counts_h[i], poss_h[i], vals_h[i],
+                    pattern, huff, options.restart_interval,
+                )
+
+            return list(ex.map(pack_sparse, range(n)))
     zz_all = np.asarray(zz_dev)
     return native_pack_scan_batch(
         zz_all, pattern, huff, options.restart_interval,
@@ -152,10 +172,10 @@ def encode_jpeg_batch_sharded(
     _, _, pattern = scan_layout(options.width, options.height, color, sub)
 
     if _use_sparse_fast_path(options):
-        from ..ops.sparse_pack import sparsify_blocks_batch
+        from ..ops.sparse_pack import sparsify_blocks_padded_batch
 
         zz_dev = jpeg_coeffs_sharded(imgs, options, mesh)
-        compacted = sparsify_blocks_batch(zz_dev)
+        compacted = sparsify_blocks_padded_batch(zz_dev)
         with concurrent.futures.ThreadPoolExecutor(
             max_workers=host_workers
         ) as ex:
@@ -450,11 +470,11 @@ def encode_jpeg_stream(
 
     sparse = _use_sparse_fast_path(options)
     if sparse:
-        from ..ops.sparse_pack import sparsify_blocks_batch
+        from ..ops.sparse_pack import sparsify_blocks_padded_batch
 
     def dispatch(imgs):
         zz_dev = jpeg_coeffs_sharded(imgs, options, mesh)  # async dispatch
-        compacted = sparsify_blocks_batch(zz_dev) if sparse else None
+        compacted = sparsify_blocks_padded_batch(zz_dev) if sparse else None
         return imgs, zz_dev, compacted
 
     def finish(prev, ex) -> List[bytes]:
@@ -559,7 +579,7 @@ def thumbnail_pipeline(
     _, _, pattern = scan_layout(thumb_size, thumb_size, color, sub)
     sparse = _use_sparse_fast_path(jopts)
     if sparse:
-        from ..ops.sparse_pack import sparsify_blocks_batch
+        from ..ops.sparse_pack import sparsify_blocks_padded_batch
 
     n = len(encoded)
     results: List[bytes] = [b""] * n
@@ -630,7 +650,7 @@ def thumbnail_pipeline(
                 compacted = None
             else:
                 zz = jpeg_coeffs_sharded(thumbs, jopts, mesh)  # async
-                compacted = sparsify_blocks_batch(zz) if sparse else None
+                compacted = sparsify_blocks_padded_batch(zz) if sparse else None
             timings["device_s"] += time.perf_counter() - t1
             return lo, hi, thumbs, zz, compacted
 

@@ -173,6 +173,85 @@ class TestSparsePack:
 
 
 @needs_native
+class TestPaddedSparsePack:
+    """Per-block top-k compaction (the scatter-free TPU layout) must
+    flatten to the exact flat streams and pack byte-identically."""
+
+    def _padded(self, zz):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from pixo_tpu.ops.sparse_pack import sparsify_blocks_padded
+
+        out = sparsify_blocks_padded(np.asarray(zz))
+        return [np.asarray(a) for a in out]
+
+    def test_flattens_to_flat_streams(self, rng):
+        from pixo_tpu.ops.sparse_pack import padded_to_flat, sparsify_blocks
+
+        zz = np.zeros((96, 64), np.int16)
+        nz = rng.random((96, 64)) < 0.08
+        zz[nz] = rng.integers(-80, 80, nz.sum())
+        zz[:, 0] = rng.integers(-300, 300, 96)
+        dc_p, counts_p, poss_p, vals_p, total_p, maxc = self._padded(zz)
+        assert maxc <= poss_p.shape[1]
+        pf, vf = padded_to_flat(counts_p, poss_p, vals_p)
+        dc_f, counts_f, poss_f, vals_f, total_f = [
+            np.asarray(a) for a in sparsify_blocks(zz)
+        ]
+        n = int(total_f)
+        assert total_p == n
+        assert (dc_p == dc_f).all() and (counts_p == counts_f).all()
+        assert (pf == poss_f[:n]).all() and (vf == vals_f[:n]).all()
+
+    def test_packs_byte_identically(self, rng):
+        from pixo_tpu.jpeg.tables import HuffmanTables
+        from pixo_tpu.ops.sparse_pack import padded_to_flat
+
+        huff = HuffmanTables()
+        zz = np.zeros((96, 64), np.int16)
+        nz = rng.random((96, 64)) < 0.08
+        zz[nz] = rng.integers(-1000, 1000, nz.sum())  # large magnitudes too
+        zz[:, 0] = rng.integers(-300, 300, 96)
+        dc, counts, poss, vals, _, maxc = self._padded(zz)
+        assert maxc <= poss.shape[1]
+        pf, vf = padded_to_flat(counts, poss, vals)
+        for ri in (None, 4):
+            dense = native.native_pack_scan(zz, (0, 1, 2), huff, ri)
+            assert dense == native.native_pack_scan_sparse(
+                dc, counts, pf, vf, (0, 1, 2), huff, ri)
+            # the strided native packer consumes the padded rows directly
+            assert dense == native.native_pack_scan_padded(
+                dc, counts, poss, vals, (0, 1, 2), huff, ri)
+
+    def test_per_block_overflow_detected(self, rng):
+        from pixo_tpu.ops.sparse_pack import PADDED_CAP_PER_BLOCK
+
+        zz = np.zeros((8, 64), np.int16)
+        zz[3, 1:PADDED_CAP_PER_BLOCK + 3] = 7  # one block over capacity
+        *_, maxc = self._padded(zz)
+        assert maxc > PADDED_CAP_PER_BLOCK  # caller must fall back
+
+    def test_pipeline_falls_back_on_overflow(self, rng):
+        """encode_jpeg_batch_sharded must produce identical bytes for
+        content that trips the per-block cap (dense fallback) and content
+        that does not (padded fast path)."""
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from pixo_tpu.jpeg.encoder import encode as jpeg_encode
+        from pixo_tpu.options import JpegOptions
+        from pixo_tpu.parallel.pipeline import encode_jpeg_batch_sharded
+
+        # high-frequency noise at high quality -> dense blocks -> overflow
+        imgs = rng.integers(0, 256, (2, 32, 32, 3)).astype(np.uint8)
+        opts = JpegOptions(width=32, height=32, quality=98)
+        outs = encode_jpeg_batch_sharded(imgs, opts)
+        for i, out in enumerate(outs):
+            assert out == jpeg_encode(imgs[i], opts)
+
+
+@needs_native
 class TestChecksumsNative:
     def test_crc_adler_match_zlib(self, rng):
         data = rng.integers(0, 256, 99999, dtype=np.uint8).tobytes()
