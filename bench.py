@@ -235,7 +235,7 @@ def main() -> None:
     # This is a genuine wall-clock measurement of the sustained device
     # pipeline rate (compaction included), not min-of-stages arithmetic.
     closed_loop_mps = None
-    closed_loop_batches = int(os.environ.get("BENCH_CLOSED_LOOP_BATCHES", "16"))
+    closed_loop_batches = int(os.environ.get("BENCH_CLOSED_LOOP_BATCHES", "32"))
     try:
         if cpu_fallback:
             raise RuntimeError("skipped in CPU fallback (no device)")
@@ -267,15 +267,17 @@ def main() -> None:
             return digs
 
         with Watchdog(WATCHDOG_S):
-            out = closed_loop(dev_imgs, closed_loop_batches)
-            jax.block_until_ready(out)  # compile + first run
+            digs = jax.device_get(closed_loop(dev_imgs, closed_loop_batches))
+            # each window times dispatch -> scalar fetch: on this tunnel
+            # block_until_ready can return before the work completes
+            # (observed), so the 12 B/batch device_get IS the honest
+            # completion barrier (it adds one tunnel RTT, amortized over
+            # the batches)
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                out = closed_loop(dev_imgs, closed_loop_batches)
-                jax.block_until_ready(out)
+                digs = jax.device_get(closed_loop(dev_imgs, closed_loop_batches))
                 best = min(best, time.perf_counter() - t0)
-            digs = jax.device_get(out)  # scalars only: 12 B/batch
         closed_loop_mps = closed_loop_batches * mp_per_batch / best
         cl_total = int(digs[0][0])
         print(

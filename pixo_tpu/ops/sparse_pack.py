@@ -72,8 +72,11 @@ def sparsify_blocks_batch(zz, cap_per_block: int = DEFAULT_CAP_PER_BLOCK):
 # Per-block capacity for the padded (top-k) layout. 16 slots cover every
 # block seen on photographic q85 content with 2x headroom (measured max 8
 # on the bench gradients); a block with more nonzeros trips the per-image
-# ``maxcount`` overflow and the caller falls back to the dense path.
+# ``maxcount`` overflow. Callers escalate to PADDED_CAP_MAX (noisy/dense
+# content; re-compaction from the on-device coefficients costs ~1 ms) and
+# only beyond that fall back to the dense path.
 PADDED_CAP_PER_BLOCK = 16
+PADDED_CAP_MAX = 32
 
 
 @functools.partial(jax.jit, static_argnames=("cap_per_block",))

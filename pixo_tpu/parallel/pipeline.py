@@ -48,6 +48,33 @@ def _coeffs_jitted(color: str, sub: str, sharding):
     return jax.jit(fn, out_shardings=sharding)
 
 
+@functools.lru_cache(maxsize=16)
+def _quant_dev(quality: int):
+    quant = QuantizationTables(quality)
+    return (
+        jnp.asarray(quant.luminance_table.reshape(8, 8)),
+        jnp.asarray(quant.chrominance_table.reshape(8, 8)),
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _fused_thumb_jit(dst: int, color: str, sub: str):
+    """Fused thumbnail chunk: Lanczos3 resize -> JPEG coefficients ->
+    padded compaction in ONE device dispatch. The intermediate pixels
+    never cross PCIe; only the compacted entropy streams do."""
+    from ..ops.resize_kernels import resize_lanczos3_batch
+    from ..ops.sparse_pack import sparsify_blocks_padded_batch
+
+    def step(imgs, lum, chrom):
+        th = resize_lanczos3_batch(imgs, dst_w=dst, dst_h=dst)
+        zz = jenc._device_coeffs_batch(
+            th, lum, chrom, color=color, subsampling=sub
+        )
+        return th, zz, sparsify_blocks_padded_batch(zz)
+
+    return jax.jit(step)
+
+
 def jpeg_coeffs_sharded(imgs, options: JpegOptions, mesh=None):
     """[B, H, W, C] uint8 -> [B, nblocks, 64] int16 coefficients, with the
     batch axis sharded across the mesh. Returns a sharded jax array."""
@@ -98,7 +125,25 @@ def _pack_compacted_batch(
         # directly, no host flatten pass
         dc_d, counts_d, poss_d, vals_d, _total_d, maxcount_d = compacted
         cap = poss_d.shape[2]
-        if (np.asarray(maxcount_d) <= cap).all():
+        maxc = int(np.asarray(maxcount_d).max())
+        if maxc > cap:
+            # escalate once: re-compact the still-on-device coefficients
+            # at the wide cap (noisy content; ~1 ms) before giving up the
+            # sparse handoff entirely
+            from ..ops.sparse_pack import (
+                PADDED_CAP_MAX,
+                sparsify_blocks_padded_batch,
+            )
+
+            if maxc <= PADDED_CAP_MAX and cap < PADDED_CAP_MAX:
+                dc_d, counts_d, poss_d, vals_d, _total_d, maxcount_d = (
+                    sparsify_blocks_padded_batch(
+                        zz_dev, cap_per_block=PADDED_CAP_MAX
+                    )
+                )
+                cap = PADDED_CAP_MAX
+                maxc = int(np.asarray(maxcount_d).max())
+        if maxc <= cap:
             dc_h, counts_h = np.asarray(dc_d), np.asarray(counts_d)
             poss_h, vals_h = np.asarray(poss_d), np.asarray(vals_d)
 
@@ -612,6 +657,22 @@ def thumbnail_pipeline(
             for k, (px, _w, _h, _ct) in enumerate(decoded):
                 rgb = _to_rgb(px)
                 groups.setdefault(rgb.shape[:2], []).append((k, rgb))
+            if (not host_resize and not host_coeffs and sparse
+                    and len(groups) == 1):
+                # FUSED device chunk: resize -> coefficients -> padded
+                # compaction in one dispatch, so the pixels never leave
+                # the chip — the host fetches only the compacted streams
+                # (~20 KB per 128px thumb vs ~100 KB of pixel round-trip).
+                # Single-shape chunks only (the common case); the group
+                # preserves input order so k is the identity.
+                (items,) = groups.values()
+                stacked = np.stack([rgb for _k, rgb in items])
+                lum_d, chrom_d = _quant_dev(quality)
+                thumbs_dev, zz, compacted = _fused_thumb_jit(
+                    thumb_size, color, sub
+                )(jnp.asarray(stacked), lum_d, chrom_d)
+                timings["device_s"] += time.perf_counter() - t1
+                return lo, hi, thumbs_dev, zz, compacted
             use_host_resize = host_resize
             for items in groups.values():
                 if use_host_resize:
@@ -664,9 +725,10 @@ def thumbnail_pipeline(
                 outs = [_assemble_jpeg(s, jopts, quant) for s in scans]
             else:
                 zz_h = np.asarray(zz)
+                thumbs_h = np.asarray(thumbs)  # device array on the fused path
                 outs = list(work_ex.map(
                     lambda i: jenc._emit_jpeg(
-                        zz_h[i], thumbs[i], jopts, quant, pattern
+                        zz_h[i], thumbs_h[i], jopts, quant, pattern
                     ),
                     range(hi - lo),
                 ))

@@ -232,6 +232,28 @@ class TestPaddedSparsePack:
         *_, maxc = self._padded(zz)
         assert maxc > PADDED_CAP_PER_BLOCK  # caller must fall back
 
+    def test_pipeline_escalates_cap_on_mid_density(self, rng):
+        """Content whose blocks hold 17-32 nonzeros must take the
+        escalated wide-cap padded path (not dense) and stay
+        byte-identical."""
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from pixo_tpu.jpeg.encoder import encode as jpeg_encode
+        from pixo_tpu.options import JpegOptions
+        from pixo_tpu.parallel.pipeline import encode_jpeg_batch_sharded
+
+        # moderate noise at q90: blocks exceed 16 nonzeros but stay
+        # under 32 on most blocks; either way bytes must match
+        base = np.add.outer(np.arange(32) * 4, np.arange(32) * 4)[..., None]
+        imgs = (base + rng.normal(0, 20, (2, 32, 32, 3))).clip(
+            0, 255
+        ).astype(np.uint8)
+        opts = JpegOptions(width=32, height=32, quality=90)
+        outs = encode_jpeg_batch_sharded(imgs, opts)
+        for i, out in enumerate(outs):
+            assert out == jpeg_encode(imgs[i], opts)
+
     def test_pipeline_falls_back_on_overflow(self, rng):
         """encode_jpeg_batch_sharded must produce identical bytes for
         content that trips the per-block cap (dense fallback) and content

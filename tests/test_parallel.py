@@ -163,6 +163,28 @@ class TestSharding:
             want.append(jpeg.encode(thumb, jopts))
         assert got == want
 
+    def test_thumbnail_pipeline_fused_device_chunk(self, monkeypatch):
+        """The fused resize->coeffs->compaction device dispatch (single-
+        shape chunks, device tiers) must emit the same bytes as the
+        host-tier path."""
+        from pixo_tpu import jpeg
+
+        rng = np.random.default_rng(7)
+        imgs = rng.integers(0, 256, (5, 40, 48, 3), dtype=np.uint8)
+        encoded = [
+            jpeg.encode(imgs[i], JpegOptions.fast(48, 40, 90))
+            for i in range(5)
+        ]
+        want = thumbnail_pipeline(encoded, thumb_size=16, quality=85,
+                                  chunk_size=3)
+        # pinning both tiers to "device" defeats the CPU-backend host
+        # auto, which is what engages the fused path in this test env
+        monkeypatch.setenv("PIXO_TPU_COEFFS", "device")
+        monkeypatch.setenv("PIXO_TPU_RESIZE", "device")
+        got = thumbnail_pipeline(encoded, thumb_size=16, quality=85,
+                                 chunk_size=3)
+        assert got == want
+
     def test_stream_pipeline_matches_batch(self, batch):
         from pixo_tpu import jpeg
         from pixo_tpu.parallel import encode_jpeg_stream
