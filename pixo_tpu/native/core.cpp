@@ -2843,6 +2843,78 @@ struct Matcher {
         st.head[h] = (int32_t)pos;
     }
 
+    // Chain every position of a consumed match span [start, end): the
+    // hot loop of match-heavy content (a 768 KiB filtered-gradient
+    // stream is ~3k tokens but ~768k inserts). Bounds are hoisted and
+    // the hash3 side table is refreshed only at the span's first and
+    // final two positions: a mid-span probe3 hit needs a future len-3
+    // match anchored strictly inside an already-matched span whose 4th
+    // byte differs everywhere (else the hash4 chains cover it) — rare
+    // enough that the bench battery (text/gradient-residual/
+    // photo-residual/random + the PNG corpus rows) is byte-identical
+    // with and without interior refreshes, while insert cost drops ~40%.
+    inline void insert_span(int64_t start, int64_t end) {
+        if (start >= end) return;
+        int64_t e4 = std::min(end, n - 3);
+        int32_t* prev = st.prev.data();
+        int32_t* head = st.head.data();
+        int32_t* head3p = st.head3.data();
+        if (end - start <= 128) {
+            // short span: full refresh (photo-class residuals are mostly
+            // short matches between literal runs; keeping head3 exact
+            // there costs little and keeps their bytes unchanged).
+            // One 8-byte load feeds 5 positions: hash4 reads the low 4
+            // bytes of the shifting register, hash3 the low 3.
+            int64_t p = start;
+            for (; p + 5 <= e4; ) {
+                uint64_t w8;
+                memcpy(&w8, data + p, 8);
+                for (int k = 0; k < 5; k++, p++, w8 >>= 8) {
+                    head3p[(((uint32_t)w8 & 0xFFFFFFu) * 2654435761u) >>
+                           (32 - HASH3_BITS)] = (int32_t)p;
+                    uint32_t h = ((uint32_t)w8 * 2654435761u) >>
+                                 (32 - HASH_BITS);
+                    prev[p] = head[h];
+                    head[h] = (int32_t)p;
+                }
+            }
+            for (; p < e4; p++) {
+                head3p[hash3(data + p)] = (int32_t)p;
+                uint32_t h = hash4(data + p);
+                prev[p] = head[h];
+                head[h] = (int32_t)p;
+            }
+        } else {
+            // long span: hash4/prev everywhere, head3 only at the
+            // endpoints — a mid-span probe3 hit needs a future len-3-only
+            // match anchored strictly inside an already-consumed long
+            // match (hash4 chains cover everything sharing 4 bytes);
+            // find() consults probe3 only when the chains found nothing,
+            // so interior staleness is byte-neutral on the bench battery
+            // while insert cost drops ~40% on match-heavy content.
+            head3p[hash3(data + start)] = (int32_t)start;
+            int64_t p = start;
+            for (; p + 5 <= e4; ) {
+                uint64_t w8;
+                memcpy(&w8, data + p, 8);
+                for (int k = 0; k < 5; k++, p++, w8 >>= 8) {
+                    uint32_t h = ((uint32_t)w8 * 2654435761u) >>
+                                 (32 - HASH_BITS);
+                    prev[p] = head[h];
+                    head[h] = (int32_t)p;
+                }
+            }
+            for (; p < e4; p++) {
+                uint32_t h = hash4(data + p);
+                prev[p] = head[h];
+                head[h] = (int32_t)p;
+            }
+            for (int64_t q = std::max(start + 1, end - 2); q < end; q++)
+                if (q + 3 <= n) head3p[hash3(data + q)] = (int32_t)q;
+        }
+        for (int64_t p = e4; p < end; p++) insert(p);
+    }
+
     // most recent position sharing 3 bytes with pos, or -1
     inline int32_t probe3(int64_t pos) const {
         if (pos + 3 > n) return -1;
@@ -2875,23 +2947,6 @@ struct Matcher {
                 best_dist = 1;
             }
         }
-        if (mml <= MIN_MATCH && best_dist == 0) {  // hash3: len-3 coverage
-            int32_t c3 = probe3(pos);
-            if (c3 >= 0) {
-                int64_t dist = pos - c3;
-                if (dist > 0 && dist <= WINDOW) {
-                    int len = match_length(cur, data + c3, max_len);
-                    if (len > best_len) {
-                        best_len = len;
-                        best_dist = (int)dist;
-                        if (best_len >= nice || best_len == max_len) {
-                            *dist_out = best_dist;
-                            return best_len;
-                        }
-                    }
-                }
-            }
-        }
         if (pos + 4 <= n) {  // 4-byte chain search (guard the 4-byte read)
             uint32_t cur32;
             memcpy(&cur32, cur, 4);
@@ -2917,6 +2972,28 @@ struct Matcher {
                     }
                 }
                 cand = st.prev[cand];
+            }
+        }
+        // hash3 fallback: len-3 coverage (a 4th byte that differs keeps
+        // the match out of every hash4 chain). Consulted only when the
+        // chain walk came up empty, which is exactly the literal-heavy
+        // regime where the side table is fresh — insert_span refreshes
+        // head3 only at consumed-match endpoints, and giving a possibly
+        // interior-stale probe3 hit the pre-walk early-return (the old
+        // order) returned needlessly FAR candidates once spans stopped
+        // refreshing it (text 1 MiB: 3.2 -> 5.8 KB). The hash4 head is
+        // always the nearest 4-byte candidate, so it probes first.
+        if (mml <= MIN_MATCH && best_dist == 0) {
+            int32_t c3 = probe3(pos);
+            if (c3 >= 0) {
+                int64_t dist = pos - c3;
+                if (dist > 0 && dist <= WINDOW) {
+                    int len = match_length(cur, data + c3, max_len);
+                    if (len > best_len) {
+                        best_len = len;
+                        best_dist = (int)dist;
+                    }
+                }
             }
         }
         if (best_dist == 0) return 0;
@@ -2960,7 +3037,10 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
 static int probe_min_match(const uint8_t* data, int64_t len, int level,
                            int adaptive_mml) {
     if (adaptive_mml <= MIN_MATCH || len < 8192) return adaptive_mml;
-    int64_t plen = std::min<int64_t>(len, 32768);
+    // 16 KiB is enough prefix for the rule decision (verified: no flip on
+    // the bench battery vs 32 KiB) and halves the probe's fixed cost —
+    // the probe was ~20% of whole-call time on match-heavy content.
+    int64_t plen = std::min<int64_t>(len, 16384);
     std::vector<uint8_t> buf((size_t)(plen + plen / 2 + 4096));
     int saved = g_force_mml;
     g_force_mml = adaptive_mml;
@@ -3469,7 +3549,7 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
                         tokens.push_back(match_token(best_i, dist_i));
                         literal_run = 0;
                         int64_t end = pos + best_i;
-                        for (int64_t p = pos; p < end && p < len; p++) m.insert(p);
+                        m.insert_span(pos, std::min(end, len));
                         pos = end;
                     } else {
                         tokens.push_back(lit_token(data[pos]));
@@ -3543,8 +3623,8 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
                         if (!cur_inserted) m.insert(pos);
                         if (end - 1 > pos && end - 1 < len) m.insert(end - 1);
                     } else {
-                        for (int64_t p = pos + (cur_inserted ? 1 : 0);
-                             p < end && p < len; p++) m.insert(p);
+                        m.insert_span(pos + (cur_inserted ? 1 : 0),
+                                      std::min(end, (int64_t)len));
                     }
                     pos = end;
                 } else {
