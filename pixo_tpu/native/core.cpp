@@ -2319,20 +2319,25 @@ struct LsbWriter {
     inline void write(uint32_t value, int bits) {
         acc |= (uint64_t)(value & ((1u << bits) - 1)) << nbits;
         nbits += bits;
-        while (nbits >= 8) {
+        if (nbits >= 32) {
+            if (pos + 4 > cap) { overflow = true; nbits = 0; return; }
+            uint32_t lo = (uint32_t)acc;
+            memcpy(out + pos, &lo, 4);
+            pos += 4;
+            acc >>= 32;
+            nbits -= 32;
+        }
+    }
+
+    inline void flush() {
+        while (nbits > 0) {
             if (pos >= cap) { overflow = true; nbits = 0; return; }
             out[pos++] = (uint8_t)acc;
             acc >>= 8;
             nbits -= 8;
         }
-    }
-
-    inline void flush() {
-        if (nbits > 0) {
-            if (pos >= cap) { overflow = true; return; }
-            out[pos++] = (uint8_t)acc;
-            acc = 0; nbits = 0;
-        }
+        acc = 0;
+        nbits = 0;
     }
 
     inline void raw_bytes(const uint8_t* b, int64_t n) {
@@ -3060,21 +3065,31 @@ static int probe_min_match(const uint8_t* data, int64_t len, int level,
 // deflate.rs:99-118 — no stored fallback at block level there).
 static void emit_block(LsbWriter& w, const std::vector<Token>& tokens,
                        const uint8_t* raw, int64_t raw_start, int64_t raw_len,
-                       bool last, int force = -1) {
+                       bool last, int force = -1,
+                       const uint64_t* pre_lit = nullptr,
+                       const uint64_t* pre_dist = nullptr) {
     fixed_init();
     tables_init();
 
-    // histogram
-    uint64_t lit_freq[286] = {0};
-    uint64_t dist_freq[30] = {0};
-    for (const Token& t : tokens) {
-        if (t.v & 0x80000000u) {
-            int len = (t.v >> 16) & 0x1FF;
-            int dist = t.v & 0xFFFF;
-            lit_freq[257 + len_to_sym[len]]++;
-            dist_freq[dist_symbol(dist)]++;
-        } else {
-            lit_freq[t.v & 0xFF]++;
+    // histogram — reused from the split search's chunk prefix sums when
+    // the caller already paid for them (pre_* exclude the EOB, added here)
+    uint64_t lit_freq[286];
+    uint64_t dist_freq[30];
+    if (pre_lit != nullptr) {
+        memcpy(lit_freq, pre_lit, sizeof(lit_freq));
+        memcpy(dist_freq, pre_dist, sizeof(dist_freq));
+    } else {
+        memset(lit_freq, 0, sizeof(lit_freq));
+        memset(dist_freq, 0, sizeof(dist_freq));
+        for (const Token& t : tokens) {
+            if (t.v & 0x80000000u) {
+                int len = (t.v >> 16) & 0x1FF;
+                int dist = t.v & 0xFFFF;
+                lit_freq[257 + len_to_sym[len]]++;
+                dist_freq[dist_symbol(dist)]++;
+            } else {
+                lit_freq[t.v & 0xFF]++;
+            }
         }
     }
     lit_freq[256]++;  // EOB
@@ -3219,14 +3234,20 @@ static void emit_block(LsbWriter& w, const std::vector<Token>& tokens,
 
     for (const Token& t : tokens) {
         if (t.v & 0x80000000u) {
+            // code and extra bits fused into one accumulator push each
+            // (code in the low bits, extra above — the same bit order the
+            // separate writes produced): <= 20 bits for length, <= 28 for
+            // distance, both within the writer's single-push limit
             int len = (t.v >> 16) & 0x1FF;
             int dist = t.v & 0xFFFF;
             int ls = 257 + len_to_sym[len];
-            w.write(lc[ls], ll[ls]);
-            if (len_extra_bits[len]) w.write(len_extra_val[len], len_extra_bits[len]);
+            w.write((uint32_t)lc[ls] |
+                        ((uint32_t)len_extra_val[len] << ll[ls]),
+                    ll[ls] + len_extra_bits[len]);
             int ds = dist_symbol(dist);
-            w.write(dc[ds], dl[ds]);
-            if (DIST_EXTRA[ds]) w.write(dist - DIST_BASE[ds], DIST_EXTRA[ds]);
+            w.write((uint32_t)dc[ds] |
+                        ((uint32_t)(dist - DIST_BASE[ds]) << dl[ds]),
+                    dl[ds] + DIST_EXTRA[ds]);
         } else {
             w.write(lc[t.v & 0xFF], ll[t.v & 0xFF]);
         }
@@ -3416,23 +3437,37 @@ static void emit_block_split(LsbWriter& w, const std::vector<Token>& tokens,
         for (size_t c : chunk_splits) fprintf(stderr, "%zu,", c);
         fprintf(stderr, "]\n");
     }
+    // split ranges land on chunk boundaries, so every emitted block's
+    // histogram is an exact prefix-sum difference — emit_block need not
+    // re-scan its tokens (that re-scan was a full extra pass per call)
+    uint64_t lit[286], dist[30];
+    auto range_hist = [&rc, &lit, &dist](size_t ca, size_t cb) {
+        const uint32_t* pa = rc.cum.data() + ca * TokenRangeCost::NSYM;
+        const uint32_t* pb = rc.cum.data() + cb * TokenRangeCost::NSYM;
+        for (int s = 0; s < 286; s++) lit[s] = pb[s] - pa[s];
+        for (int s = 0; s < 30; s++) dist[s] = pb[286 + s] - pa[286 + s];
+    };
     if (chunk_splits.empty()) {
-        emit_block(w, tokens, data, raw_start, raw_len, last);
+        range_hist(0, rc.nchunks);
+        emit_block(w, tokens, data, raw_start, raw_len, last, -1, lit, dist);
         return;
     }
     std::vector<size_t> splits;
     for (size_t c : chunk_splits) splits.push_back(rc.token_index(c));
     splits.push_back(tokens.size());
-    size_t a = 0;
+    chunk_splits.push_back(rc.nchunks);
+    size_t a = 0, ca = 0;
     int64_t roff = raw_start;
     for (size_t si = 0; si < splits.size(); si++) {
         size_t b = splits[si];
         std::vector<Token> part(tokens.begin() + a, tokens.begin() + b);
         int64_t rlen = tokens_raw_len(tokens, a, b);
         bool is_last = last && (si + 1 == splits.size());
-        emit_block(w, part, data, roff, rlen, is_last);
+        range_hist(ca, chunk_splits[si]);
+        emit_block(w, part, data, roff, rlen, is_last, -1, lit, dist);
         roff += rlen;
         a = b;
+        ca = chunk_splits[si];
     }
 }
 
@@ -3490,9 +3525,10 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
         // Block every ~256 KiB of input for histogram locality.
         const int64_t BLOCK_INPUT = 256 * 1024;
         int64_t pos = 0;
+        std::vector<Token> tokens;
         while (pos < len) {
             int64_t block_end = std::min(len, pos + BLOCK_INPUT);
-            std::vector<Token> tokens;
+            tokens.clear();
             tokens.reserve((size_t)(block_end - pos) / 2);
             int64_t block_start = pos;
 
