@@ -199,9 +199,24 @@ def _trellis_coefficients(
         mode = os.environ.get("PIXO_TPU_TRELLIS", "host")
     color = "gray" if options.color_type == ColorType.GRAY else "rgb"
     sub = "420" if options.subsampling == Subsampling.S420 else "444"
-    dct_dev = _device_dct_zz(jnp.asarray(img), color=color, subsampling=sub)
     lum_zz = quant.luminance_table[ZIGZAG]
     chrom_zz = quant.chrominance_table[ZIGZAG]
+    if mode != "device" and (
+        _coeff_tier() == "host" or auto_host_tier("PIXO_TPU_COEFFS")
+    ):
+        # host trellis fed by the native AVX2 DCT: same AAN op order as
+        # the device tier (bit-equal; contract-off), no XLA dispatch.
+        # On XLA:CPU the jit DCT additionally FMA-contracts inside large
+        # fusions (half-ULP drift on ~46% of values), so the native
+        # front-end is the MORE faithful one there — it matches the TPU
+        # backend and the WASM oracle bit-for-bit.
+        from ..native import native_jpeg_dct_zz
+
+        nat_mode = "gray" if color == "gray" else sub
+        dct_nat = native_jpeg_dct_zz(img, nat_mode)
+        if dct_nat is not None:
+            return trellis.trellis_quantize(dct_nat, pattern, lum_zz, chrom_zz)
+    dct_dev = _device_dct_zz(jnp.asarray(img), color=color, subsampling=sub)
     if mode == "device":
         # fused path: DCT output stays on device, only the quantized int16
         # stream comes back (half the round-trip traffic of host trellis)

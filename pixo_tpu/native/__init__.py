@@ -775,6 +775,38 @@ def native_jpeg_coefficients(
     return out
 
 
+def native_jpeg_dct_zz(
+    img: np.ndarray,       # [h, w] uint8 (gray) or [h, w, 3|4] uint8
+    mode: str,             # "gray" | "444" | "420"
+) -> Optional[np.ndarray]:
+    """Raw zigzagged f32 DCT (pre-quantization) through the same AVX2
+    clamp-pad -> YCbCr -> blockify -> AAN pipeline as
+    native_jpeg_coefficients — the trellis front-end; bit-exact with
+    the NumPy mirror / TPU device tier (same op order, contract-off).
+    Returns [nblocks, 64] float32 or None (library/ISA unavailable)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "jpeg_dct_zz"):
+        return None
+    m = {"gray": 0, "444": 1, "420": 2}[mode]
+    h, w = img.shape[:2]
+    c_in = 1 if img.ndim == 2 else img.shape[2]
+    if m == 0:
+        nblocks = ((h + 7) // 8) * ((w + 7) // 8)
+    elif m == 1:
+        nblocks = ((h + 7) // 8) * ((w + 7) // 8) * 3
+    else:
+        nblocks = ((h + 15) // 16) * ((w + 15) // 16) * 6
+    img = np.ascontiguousarray(img)
+    out = np.empty((nblocks, 64), np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    rc = lib.jpeg_dct_zz(
+        _u8(img.reshape(-1)), h, w, c_in, m, out.ctypes.data_as(f32p)
+    )
+    if rc != nblocks:
+        return None
+    return out
+
+
 def native_resize_lanczos3(
     arr: np.ndarray,          # [h, w, c] uint8
     sx: np.ndarray, wx: np.ndarray,   # taps from lanczos_taps(w, dst_w)

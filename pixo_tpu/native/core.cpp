@@ -6002,6 +6002,22 @@ static inline void dct_quant_zz_block(const float* src, int64_t stride,
 #endif
 }
 
+// Raw zigzagged f32 DCT (pre-quantization): the trellis front-end. Same
+// AAN op order as dct_quant_zz_block (bit-equal to the NumPy mirror and
+// the TPU device tier; built with -ffp-contract=off).
+static inline void dct_zz_block_f32(const float* src, int64_t stride,
+                                    const int* zz_src, float* out) {
+    __m256 r[8];
+    for (int i = 0; i < 8; i++) r[i] = _mm256_loadu_ps(src + i * stride);
+    transpose8x8_ps(r);
+    aan_1d_avx(r);
+    transpose8x8_ps(r);
+    aan_1d_avx(r);
+    alignas(32) float coef[64];
+    for (int i = 0; i < 8; i++) _mm256_store_ps(coef + i * 8, r[i]);
+    for (int i = 0; i < 64; i++) out[i] = coef[zz_src[i]];
+}
+
 // fixed-point BT.601 forward (color.py rgb_to_ycbcr_np semantics) for one
 // clamped row; emits f32 y-128 plus raw cb/cr (also f32) for 420, or
 // y/cb/cr-128 directly for 444.  SIMD: one 32-bit gather per 8 pixels
@@ -6162,14 +6178,29 @@ static inline void ycc_row(const uint8_t* rgb, int n, int c_in,
 // natural-order [64] f32.  mode: 0=gray, 1=444, 2=420.  out: int16
 // [nblocks, 64] zigzag, block order identical to the NumPy mirrors.
 // Returns nblocks or -1 (no AVX2 build / bad args).
-EXPORT int64_t jpeg_coefficients(
+#if defined(__AVX2__)
+namespace jcoef {
+struct QuantZZSink {  // fused quantize+zigzag int16 stream (encode path)
+    const float *qlum, *qchrom;
+    int16_t* o;
+    inline void block(const float* src, int64_t stride, bool chroma) {
+        dct_quant_zz_block(src, stride, chroma ? qchrom : qlum, ZZN, o);
+        o += 64;
+    }
+};
+struct RawZZSink {  // raw zigzagged f32 DCT (trellis front-end)
+    float* o;
+    inline void block(const float* src, int64_t stride, bool) {
+        dct_zz_block_f32(src, stride, ZZN, o);
+        o += 64;
+    }
+};
+}  // namespace jcoef
+
+template <class Sink>
+static int64_t jpeg_coefficients_impl(
     const uint8_t* img, int64_t h, int64_t w, int32_t c_in, int32_t mode,
-    const float* qlum, const float* qchrom, int16_t* out) {
-#if !defined(__AVX2__)
-    (void)img; (void)h; (void)w; (void)c_in; (void)mode; (void)qlum;
-    (void)qchrom; (void)out;
-    return -1;
-#else
+    Sink& sink) {
     using namespace jcoef;
     if (h <= 0 || w <= 0) return -1;
     if (mode == 0) {
@@ -6177,7 +6208,6 @@ EXPORT int64_t jpeg_coefficients(
         int64_t ph = (h + 7) & ~7LL, pw = (w + 7) & ~7LL;
         int64_t bw = pw / 8, bh = ph / 8;
         std::vector<float> rows((size_t)8 * pw);
-        int16_t* o = out;
         for (int64_t by = 0; by < bh; by++) {
             for (int rr = 0; rr < 8; rr++) {
                 int64_t sy = by * 8 + rr;
@@ -6188,8 +6218,7 @@ EXPORT int64_t jpeg_coefficients(
                 for (int64_t x = w; x < pw; x++) dst[x] = dst[w - 1];
             }
             for (int64_t bx = 0; bx < bw; bx++) {
-                dct_quant_zz_block(rows.data() + bx * 8, pw, qlum, ZZN, o);
-                o += 64;
+                sink.block(rows.data() + bx * 8, pw, false);
             }
         }
         return bh * bw;
@@ -6200,7 +6229,6 @@ EXPORT int64_t jpeg_coefficients(
         int64_t bw = pw / 8, bh = ph / 8;
         std::vector<float> yb((size_t)8 * pw), cbb((size_t)8 * pw),
             crb((size_t)8 * pw);
-        int16_t* o = out;
         for (int64_t by = 0; by < bh; by++) {
             for (int rr = 0; rr < 8; rr++) {
                 int64_t sy = by * 8 + rr;
@@ -6215,11 +6243,8 @@ EXPORT int64_t jpeg_coefficients(
             }
             for (int64_t bx = 0; bx < bw; bx++) {
                 const float* planes[3] = {yb.data(), cbb.data(), crb.data()};
-                for (int comp = 0; comp < 3; comp++) {
-                    dct_quant_zz_block(planes[comp] + bx * 8, pw,
-                                       comp == 0 ? qlum : qchrom, ZZN, o);
-                    o += 64;
-                }
+                for (int comp = 0; comp < 3; comp++)
+                    sink.block(planes[comp] + bx * 8, pw, comp != 0);
             }
         }
         return bh * bw * 3;
@@ -6231,7 +6256,6 @@ EXPORT int64_t jpeg_coefficients(
     std::vector<float> yb((size_t)16 * pw), cbr((size_t)16 * pw),
         crr((size_t)16 * pw), cbs((size_t)8 * (pw / 2)),
         crs((size_t)8 * (pw / 2));
-    int16_t* o = out;
     for (int64_t my = 0; my < nmy; my++) {
         for (int rr = 0; rr < 16; rr++) {
             int64_t sy = my * 16 + rr;
@@ -6294,16 +6318,40 @@ EXPORT int64_t jpeg_coefficients(
         for (int64_t mx = 0; mx < nmx; mx++) {
             for (int sub = 0; sub < 4; sub++) {
                 int64_t y0 = (sub / 2) * 8, x0 = mx * 16 + (sub % 2) * 8;
-                dct_quant_zz_block(yb.data() + y0 * pw + x0, pw, qlum, ZZN, o);
-                o += 64;
+                sink.block(yb.data() + y0 * pw + x0, pw, false);
             }
-            dct_quant_zz_block(cbs.data() + mx * 8, pw / 2, qchrom, ZZN, o);
-            o += 64;
-            dct_quant_zz_block(crs.data() + mx * 8, pw / 2, qchrom, ZZN, o);
-            o += 64;
+            sink.block(cbs.data() + mx * 8, pw / 2, true);
+            sink.block(crs.data() + mx * 8, pw / 2, true);
         }
     }
     return nmy * nmx * 6;
+}
+#endif  // __AVX2__
+
+EXPORT int64_t jpeg_coefficients(
+    const uint8_t* img, int64_t h, int64_t w, int32_t c_in, int32_t mode,
+    const float* qlum, const float* qchrom, int16_t* out) {
+#if !defined(__AVX2__)
+    (void)img; (void)h; (void)w; (void)c_in; (void)mode; (void)qlum;
+    (void)qchrom; (void)out;
+    return -1;
+#else
+    jcoef::QuantZZSink sink{qlum, qchrom, out};
+    return jpeg_coefficients_impl(img, h, w, c_in, mode, sink);
+#endif
+}
+
+// Raw zigzagged f32 DCT for the host trellis path: same blockify /
+// YCbCr / padding / MCU order as jpeg_coefficients, no quantization.
+EXPORT int64_t jpeg_dct_zz(
+    const uint8_t* img, int64_t h, int64_t w, int32_t c_in, int32_t mode,
+    float* out) {
+#if !defined(__AVX2__)
+    (void)img; (void)h; (void)w; (void)c_in; (void)mode; (void)out;
+    return -1;
+#else
+    jcoef::RawZZSink sink{out};
+    return jpeg_coefficients_impl(img, h, w, c_in, mode, sink);
 #endif
 }
 

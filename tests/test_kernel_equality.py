@@ -55,6 +55,38 @@ class TestDct:
         back = np.asarray(idct8x8(jnp.asarray(coeffs)))
         np.testing.assert_allclose(back, blocks, atol=1e-2)
 
+    @pytest.mark.parametrize(
+        "mode,shape",
+        [
+            ("gray", (41, 53)),
+            ("444", (41, 53, 3)),
+            ("444", (16, 16, 4)),
+            ("420", (37, 61, 3)),
+            ("420", (64, 64, 4)),
+        ],
+    )
+    def test_native_dct_zz_matches_numpy_bitexact(self, rng, mode, shape):
+        """The native raw-DCT trellis front-end (jpeg_dct_zz) is bit-equal
+        to the NumPy mirror chain blockify -> dct8x8_aan_np -> zigzag —
+        the same oracle the fused jpeg_coefficients pipeline is held to."""
+        from pixo_tpu.native import native_jpeg_dct_zz
+        from pixo_tpu.ops.blockify import (
+            blocks_420_np,
+            blocks_444_np,
+            blocks_gray_np,
+        )
+        from pixo_tpu.ops.quantize import zigzag_blocks_np
+
+        img = rng.integers(0, 256, shape, np.uint8)
+        nat = native_jpeg_dct_zz(img, mode)
+        if nat is None:
+            pytest.skip("native library / AVX2 unavailable")
+        fn = {"gray": blocks_gray_np, "444": blocks_444_np,
+              "420": blocks_420_np}[mode]
+        ref = zigzag_blocks_np(dct8x8_aan_np(fn(img)).reshape(-1, 64))
+        assert nat.dtype == np.float32
+        np.testing.assert_array_equal(nat, ref.astype(np.float32))
+
 
 class TestQuantize:
     def test_round_half_away_semantics(self):
