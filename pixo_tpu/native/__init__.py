@@ -807,6 +807,26 @@ def native_jpeg_dct_zz(
     return out
 
 
+def native_build_code_lengths(freqs, max_len: int):
+    """Length-limited optimal Huffman lengths (counting-form
+    package-merge, C++). Tie-for-tie identical to
+    compress.huffman.build_code_lengths; returns None when the library
+    is unavailable so the Python implementation stays the fallback."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "huffman_build_lengths"):
+        return None
+    f = np.ascontiguousarray(np.asarray(freqs, dtype=np.uint64).reshape(-1))
+    out = np.zeros(len(f), np.uint8)
+    rc = lib.huffman_build_lengths(
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(f), int(max_len),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        return None
+    return out
+
+
 def native_resize_lanczos3(
     arr: np.ndarray,          # [h, w, c] uint8
     sx: np.ndarray, wx: np.ndarray,   # taps from lanczos_taps(w, dst_w)

@@ -6473,3 +6473,13 @@ EXPORT int32_t resize_lanczos3_host(
     return 0;
 #endif
 }
+
+// Generic length-limited Huffman build (counting-form package-merge) for
+// the Python compress.huffman front-end: same single-symbol dummy rule
+// as the Python implementation (deflate::build_lengths handles it).
+EXPORT int32_t huffman_build_lengths(const uint64_t* freqs, int32_t n,
+                                     int32_t max_len, uint8_t* out) {
+    if (n <= 0 || max_len <= 0) return -1;
+    deflate::build_lengths(freqs, n, max_len, out);
+    return 0;
+}
