@@ -432,13 +432,19 @@ def build_progressive_tables(
             dc_counts[c][0] = 1
         if ac_counts[c].sum() == 0:
             ac_counts[c][0] = 1
-    return HuffmanTables.optimized_from_counts(
+    built = HuffmanTables.optimized_from_counts(
         dc_counts[0],
         None if is_gray else dc_counts[1],
         ac_counts[0],
         None if is_gray else ac_counts[1],
         optimal=optimal,
     )
+    if built is not None:
+        # every EOBn symbol the scans flush was counted above, so the
+        # writer may use EOBn flushes (encode_progressive keys off this;
+        # the std-table fallback path has no such guarantee)
+        built.counted_from_scans = True
+    return built
 
 
 def get_script(options: JpegOptions) -> List[ScanSpec]:
@@ -510,6 +516,21 @@ def encode_progressive(
     script = get_script(options)
     per_scan = tables is None
     std = HuffmanTables() if per_scan else tables
+    # Single-table mode ships tables COUNTED over these exact scans
+    # (encoder._emit_jpeg), so every EOBn symbol the stream flushes has a
+    # code by construction — but only if the count actually succeeded:
+    # a std-table fallback (build_progressive_tables -> None) lacks EOBn
+    # codes entirely and must flush runs as repeated single EOBs. The
+    # old behavior sniffed lengths[0x10] (EOB1), which misreads a
+    # counted table whose runs never hit length 2-3 — e.g. a smooth
+    # low-quality chroma scan that is ONE giant EOB run (only EOB11
+    # coded): the sniff chose single-EOB flushes whose 0x00 symbol has
+    # no code either, emitting a zero-length scan.
+    # Tables NOT counted from scans (e.g. the oracle-parity emulation
+    # feeds baseline-counted tables) keep the legacy sniff (None).
+    single_table_eobn = None
+    if not per_scan and getattr(tables, "counted_from_scans", False):
+        single_table_eobn = True
 
     from ..native import native_encode_progressive_scan
 
@@ -521,7 +542,7 @@ def encode_progressive(
         else:
             dcc, dcl = std.dc_chrom_codes, std.dc_chrom_lengths
             acc, acl = std.ac_chrom_codes, std.ac_chrom_lengths
-        eobn_ok = None  # single-table mode: writer sniffs lengths[0x10]
+        eobn_ok = single_table_eobn
         if per_scan and not (scan.is_dc_scan and scan.is_refinement):
             tid = (0x00 if scan.is_dc_scan else 0x10) | (
                 0x00 if comp == 0 else 0x01

@@ -28,8 +28,8 @@ GOLDEN = {
     "jpeg_fast_q85": "6504b7d88195ecc7820dfd221d8af77fadf55527e99013179bd661ca8a281b4c",
     "jpeg_420_q70": "4e3b4dd5dbb245eb133b9a2c006b0f3e26151e999d3cbfea5dd2e2977f36ec72",
     "jpeg_opt_checker": "91f9e03e196663b7d1159e1e70ef8eabce49b492f21744fa9b3af28d1640240e",
-    "jpeg_prog": "b70ed3ec2ea4ff79b4917f5c6d456151e04f5c9300dfb2ad52b50dbdd6203445",
-    "jpeg_max": "570eb96417cc414d1f187eb00736e73360914f8f90370e3f3381d9aeec5b7fa4",
+    "jpeg_prog": "118916f1b72fe90492a142e509d723363df3dff2d0938c89c53633ef8c5b956a",
+    "jpeg_max": "50fe9875d21114abea6828345b0172b64113309c784ce02f677d65477a273ef4",
     # PNG digests updated 2026-08 (round 2): the LZ77 matcher now mirrors
     # the reference's exact decision policy — its level ladder
     # (chain/depth/nice/lazy, lz77.rs:1415-1488), GOOD_MATCH_LENGTH=16 lazy
