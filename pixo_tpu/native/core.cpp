@@ -66,6 +66,46 @@ EXPORT uint32_t crc32(const uint8_t* data, int64_t len, uint32_t crc) {
 
 EXPORT uint32_t adler32(const uint8_t* data, int64_t len, uint32_t adler) {
     const uint32_t MOD = 65521, NMAX = 5552;
+#if defined(__AVX2__)
+    // 32 bytes/iteration: vs1 accumulates byte sums (SAD vs zero, u64
+    // lanes), vs2a the 32*a carry (u64 lanes), vs2b the positional
+    // weights (maddubs with [32..1], u32 lanes). Window of 128
+    // iterations (4 KiB) keeps every lane far from overflow; scalars
+    // fold and reduce mod 65521 once per window.
+    uint64_t a = adler & 0xFFFF, b = (adler >> 16) & 0xFFFF;
+    int64_t i = 0;
+    const __m256i vzero = _mm256_setzero_si256();
+    const __m256i vwts = _mm256_setr_epi8(
+        32, 31, 30, 29, 28, 27, 26, 25, 24, 23, 22, 21, 20, 19, 18, 17,
+        16, 15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1);
+    const __m256i vones16 = _mm256_set1_epi16(1);
+    while (i + 32 <= len) {
+        int64_t T = std::min<int64_t>((len - i) / 32, 128);
+        __m256i vs1 = vzero, vs2a = vzero, vs2b = vzero;
+        for (int64_t t = 0; t < T; t++, i += 32) {
+            __m256i d = _mm256_loadu_si256((const __m256i*)(data + i));
+            vs2a = _mm256_add_epi64(vs2a, _mm256_slli_epi64(vs1, 5));
+            vs1 = _mm256_add_epi64(vs1, _mm256_sad_epu8(d, vzero));
+            vs2b = _mm256_add_epi32(
+                vs2b, _mm256_madd_epi16(_mm256_maddubs_epi16(d, vwts),
+                                        vones16));
+        }
+        uint64_t l1[4], l2a[4];
+        uint32_t l2b[8];
+        _mm256_storeu_si256((__m256i*)l1, vs1);
+        _mm256_storeu_si256((__m256i*)l2a, vs2a);
+        _mm256_storeu_si256((__m256i*)l2b, vs2b);
+        uint64_t S = l1[0] + l1[1] + l1[2] + l1[3];
+        uint64_t W = l2a[0] + l2a[1] + l2a[2] + l2a[3];
+        for (int k = 0; k < 8; k++) W += l2b[k];
+        b = (b + (uint64_t)(32 * T) * a + W) % MOD;
+        a = (a + S) % MOD;
+    }
+    uint32_t a32 = (uint32_t)a, b32 = (uint32_t)b;
+    for (; i < len; i++) { a32 += data[i]; b32 += a32; }
+    a32 %= MOD; b32 %= MOD;
+    return (b32 << 16) | a32;
+#else
     uint32_t a = adler & 0xFFFF, b = (adler >> 16) & 0xFFFF;
     int64_t i = 0;
     while (i < len) {
@@ -75,6 +115,7 @@ EXPORT uint32_t adler32(const uint8_t* data, int64_t len, uint32_t adler) {
         i += n;
     }
     return (b << 16) | a;
+#endif
 }
 
 // ============================ JPEG packing ==================================
@@ -2358,6 +2399,11 @@ static const int DIST_EXTRA[30] = {0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,6,7,7,8,8,9,9,1
 static uint8_t len_to_sym[259];   // length 3..258 -> symbol 257..285 (stored as sym-257)
 static uint8_t len_extra_bits[259];
 static uint16_t len_extra_val[259];
+// zlib-style distance-symbol lookup: d in [1,256] indexes the low half
+// directly, larger distances index the high half by (d-1)>>7 (every
+// symbol >= 16 spans a multiple of 128). Replaces a 5-step binary
+// search on the emit/histogram hot paths (~3 lookups per match token).
+static uint8_t dist_sym_lut[512];
 static bool tables_init_done = false;
 
 static void tables_init() {
@@ -2371,16 +2417,25 @@ static void tables_init() {
             len_extra_val[l] = (uint16_t)(l - lo);
         }
     }
+    {
+        auto sym_of = [](int d) {
+            int lo = 0, hi = 29;
+            while (lo < hi) {
+                int mid = (lo + hi + 1) >> 1;
+                if (DIST_BASE[mid] <= d) lo = mid; else hi = mid - 1;
+            }
+            return lo;
+        };
+        for (int d = 1; d <= 256; d++) dist_sym_lut[d - 1] = (uint8_t)sym_of(d);
+        for (int k = 0; k < 256; k++)
+            dist_sym_lut[256 + k] = (uint8_t)sym_of((k << 7) + 1);
+    }
     tables_init_done = true;
 }
 
 static inline int dist_symbol(int d) {
-    int lo = 0, hi = 29;
-    while (lo < hi) {
-        int mid = (lo + hi + 1) >> 1;
-        if (DIST_BASE[mid] <= d) lo = mid; else hi = mid - 1;
-    }
-    return lo;
+    if (d < 1) return 0;  // defensive: matches the old search's d<=0 result
+    return d <= 256 ? dist_sym_lut[d - 1] : dist_sym_lut[256 + ((d - 1) >> 7)];
 }
 
 // ---- canonical huffman with length limit ----
@@ -2941,7 +2996,12 @@ struct Matcher {
         // lz77.rs:617-637): dist-1 is optimal for runs, and seeding it here
         // is what makes the sparse RLE hash inserts safe — without it a
         // deep chain walks far-away run candidates instead of breaking
-        if (pos >= 1 && cur[0] == data[pos - 1]) {
+        if (pos >= 1 && cur[0] == data[pos - 1] && max_len >= 2 &&
+            cur[1] == cur[0]) {
+            // the cur[1] pre-check is byte-neutral: a run of 1 can never
+            // reach mml (>= MIN_MATCH = 3), and it skips the word-at-a-
+            // time scan on the isolated byte-pairs literal-heavy content
+            // is full of
             int run = run_length_capped(data, pos, pos + max_len);
             if (run >= mml) {
                 if (run >= nice || run == max_len) {
@@ -2957,26 +3017,59 @@ struct Matcher {
             memcpy(&cur32, cur, 4);
             uint32_t h = hash4(cur);
             int32_t cand = head4_at(h);
-            while (cand >= 0 && chain-- > 0) {
-                int64_t dist = pos - cand;
-                if (dist > WINDOW) break;
-                if (dist > 0) {
-                    const uint8_t* cp = data + cand;
-                    // quick rejection: candidate must extend the current
-                    // best and share the 4-byte prefix (hash4 can collide)
+            // zlib longest_match-style rejection order: once a best >= 4
+            // exists, a candidate that cannot EXTEND it fails on a single
+            // byte load at offset best_len — cheaper than the 4-byte
+            // prefix load, and it is the common case deep in a chain
+            uint8_t scan_end = best_len >= 4 ? cur[best_len] : 0;
+            // window floor: every in-window candidate satisfies
+            // cand >= pos - WINDOW, chains are position-descending, and
+            // with the matcher constructed after probe_min_match every
+            // chain entry is < pos (find precedes insert), so the walk
+            // stops at the first candidate below the floor. Replaces the
+            // per-step dist compute + two branches of the old loop.
+            const int32_t floor_ =
+                (int32_t)(pos > WINDOW ? pos - WINDOW : 0);
+            const int32_t* prevp = st.prev.data();
+            while (cand >= floor_ && chain-- > 0) {
+                const uint8_t* cp = data + cand;
+                if (best_len >= 4) {
+                    // zlib longest_match-style rejection order: a candidate
+                    // that cannot EXTEND the current best fails on a single
+                    // byte load at offset best_len — cheaper than the
+                    // 4-byte prefix load, and the common case deep in a
+                    // chain
+                    if (cp[best_len] != scan_end) {
+                        cand = prevp[cand];
+                        continue;
+                    }
                     uint32_t c32;
                     memcpy(&c32, cp, 4);
-                    if (c32 == cur32 &&
-                        (best_len < 4 || cp[best_len] == cur[best_len])) {
+                    if (c32 == cur32) {
+                        // shared 4-byte prefix verified: extend from 4
+                        int len =
+                            4 + match_length(cur + 4, cp + 4, max_len - 4);
+                        if (len > best_len) {
+                            best_len = len;
+                            best_dist = (int)(pos - cand);
+                            if (len >= nice || len == max_len) break;
+                            scan_end = cur[best_len];
+                        }
+                    }
+                } else {
+                    uint32_t c32;
+                    memcpy(&c32, cp, 4);
+                    if (c32 == cur32) {
                         int len = match_length(cur, cp, max_len);
                         if (len > best_len) {
                             best_len = len;
-                            best_dist = (int)dist;
+                            best_dist = (int)(pos - cand);
                             if (len >= nice || len == max_len) break;
+                            if (best_len >= 4) scan_end = cur[best_len];
                         }
                     }
                 }
-                cand = st.prev[cand];
+                cand = prevp[cand];
             }
         }
         // hash3 fallback: len-3 coverage (a 4th byte that differs keeps
@@ -3063,7 +3156,7 @@ static int probe_min_match(const uint8_t* data, int64_t len, int level,
 // force: -1 = choose best of dynamic/fixed/stored (default path);
 // 0 = fixed-only, 1 = dynamic-only (reference-parity block-type rules,
 // deflate.rs:99-118 — no stored fallback at block level there).
-static void emit_block(LsbWriter& w, const std::vector<Token>& tokens,
+static void emit_block(LsbWriter& w, const Token* tok, size_t ntok,
                        const uint8_t* raw, int64_t raw_start, int64_t raw_len,
                        bool last, int force = -1,
                        const uint64_t* pre_lit = nullptr,
@@ -3081,7 +3174,8 @@ static void emit_block(LsbWriter& w, const std::vector<Token>& tokens,
     } else {
         memset(lit_freq, 0, sizeof(lit_freq));
         memset(dist_freq, 0, sizeof(dist_freq));
-        for (const Token& t : tokens) {
+        for (size_t i = 0; i < ntok; i++) {
+            const Token& t = tok[i];
             if (t.v & 0x80000000u) {
                 int len = (t.v >> 16) & 0x1FF;
                 int dist = t.v & 0xFFFF;
@@ -3232,7 +3326,8 @@ static void emit_block(LsbWriter& w, const std::vector<Token>& tokens,
         ll = lit_len; dl = dist_len; lc = lit_code; dc = dist_code;
     }
 
-    for (const Token& t : tokens) {
+    for (size_t ti = 0; ti < ntok; ti++) {
+        const Token& t = tok[ti];
         if (t.v & 0x80000000u) {
             // code and extra bits fused into one accumulator push each
             // (code in the low bits, extra above — the same bit order the
@@ -3253,6 +3348,15 @@ static void emit_block(LsbWriter& w, const std::vector<Token>& tokens,
         }
     }
     w.write(lc[256], ll[256]);  // EOB
+}
+
+static inline void emit_block(LsbWriter& w, const std::vector<Token>& tokens,
+                              const uint8_t* raw, int64_t raw_start,
+                              int64_t raw_len, bool last, int force = -1,
+                              const uint64_t* pre_lit = nullptr,
+                              const uint64_t* pre_dist = nullptr) {
+    emit_block(w, tokens.data(), tokens.size(), raw, raw_start, raw_len, last,
+               force, pre_lit, pre_dist);
 }
 
 }  // namespace deflate
@@ -3345,25 +3449,31 @@ struct TokenRangeCost {
     size_t ntokens;
     size_t nchunks;
     std::vector<uint32_t> cum;  // (nchunks+1) x NSYM prefix histograms
+    std::vector<int64_t> rawcum;  // (nchunks+1) raw-byte prefix lengths
 
     explicit TokenRangeCost(const std::vector<Token>& tokens)
         : ntokens(tokens.size()),
           nchunks((tokens.size() + CHUNK - 1) / CHUNK),
-          cum((nchunks + 1) * NSYM, 0) {
+          cum((nchunks + 1) * NSYM, 0), rawcum(nchunks + 1, 0) {
         for (size_t k = 0; k < nchunks; k++) {
             uint32_t* h = cum.data() + (k + 1) * NSYM;
             const uint32_t* prev = cum.data() + k * NSYM;
             memcpy(h, prev, NSYM * sizeof(uint32_t));
             size_t end = std::min(ntokens, (k + 1) * CHUNK);
+            int64_t raw = rawcum[k];
             for (size_t i = k * CHUNK; i < end; i++) {
                 const Token& t = tokens[i];
                 if (t.v & 0x80000000u) {
-                    h[257 + len_to_sym[(t.v >> 16) & 0x1FF]]++;
+                    int len = (t.v >> 16) & 0x1FF;
+                    h[257 + len_to_sym[len]]++;
                     h[286 + dist_symbol((int)(t.v & 0xFFFF))]++;
+                    raw += len;
                 } else {
                     h[t.v & 0xFF]++;
+                    raw += 1;
                 }
             }
+            rawcum[k + 1] = raw;
         }
     }
 
@@ -3425,11 +3535,20 @@ static void emit_block_split(LsbWriter& w, const std::vector<Token>& tokens,
         emit_block(w, tokens, data, raw_start, raw_len, last);
         return;
     }
+    bool dbg = getenv("PIXO_TPU_DEFLATE_DEBUG") != nullptr;
+    auto tick = [] {
+        struct timespec ts;
+        clock_gettime(CLOCK_MONOTONIC, &ts);
+        return ts.tv_sec + ts.tv_nsec * 1e-9;
+    };
+    double t0 = dbg ? tick() : 0.0;
     TokenRangeCost rc(tokens);
+    if (dbg) { fprintf(stderr, "  emit: rc build %.2f ms\n", (tick() - t0) * 1e3); t0 = tick(); }
     int blocks_left = 15;
     std::vector<size_t> chunk_splits;
     find_splits(rc, 0, rc.nchunks, &blocks_left, &chunk_splits);
-    if (getenv("PIXO_TPU_DEFLATE_DEBUG")) {
+    if (dbg) { fprintf(stderr, "  emit: find_splits %.2f ms\n", (tick() - t0) * 1e3); t0 = tick(); }
+    if (dbg) {
         uint64_t h = 1469598103934665603ull;
         for (const Token& t : tokens) { h ^= t.v; h *= 1099511628211ull; }
         fprintf(stderr, "emit_block_split: tokhash=%016llx splits=[",
@@ -3460,15 +3579,17 @@ static void emit_block_split(LsbWriter& w, const std::vector<Token>& tokens,
     int64_t roff = raw_start;
     for (size_t si = 0; si < splits.size(); si++) {
         size_t b = splits[si];
-        std::vector<Token> part(tokens.begin() + a, tokens.begin() + b);
-        int64_t rlen = tokens_raw_len(tokens, a, b);
+        size_t cb = chunk_splits[si];
+        int64_t rlen = rc.rawcum[cb] - rc.rawcum[ca];
         bool is_last = last && (si + 1 == splits.size());
-        range_hist(ca, chunk_splits[si]);
-        emit_block(w, part, data, roff, rlen, is_last, -1, lit, dist);
+        range_hist(ca, cb);
+        emit_block(w, tokens.data() + a, b - a, data, roff, rlen, is_last,
+                   -1, lit, dist);
         roff += rlen;
         a = b;
-        ca = chunk_splits[si];
+        ca = cb;
     }
+    if (dbg) fprintf(stderr, "  emit: blocks %.2f ms\n", (tick() - t0) * 1e3);
 }
 
 }  // namespace deflate
@@ -3511,12 +3632,19 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
         };
         double t0 = dbg ? tick() : 0.0;
         Lz77Config cfg = config_for_level(level);
-        Matcher m(data, len);
         const int mml =
             g_force_mml > 0
                 ? g_force_mml
                 : probe_min_match(data, len, level,
                                   calc_min_match(data, len, cfg.depth_cap));
+        // Construct AFTER probe_min_match: the probe's inner compress
+        // calls share the pooled MatcherState, and constructing first
+        // left their inserts (positions 0..16K of this very buffer) in
+        // the outer matcher's chains — every find in the first 16 KiB
+        // then walked future positions (dist <= 0), burning chain budget
+        // on candidates it could never take. A clean matcher also makes
+        // cand < pos an invariant the find loop can rely on.
+        Matcher m(data, len);
         if (const char* ov = getenv("PIXO_TPU_CHAIN")) {
             int c = atoi(ov);
             if (c > 0) cfg.chain = c;
