@@ -280,6 +280,20 @@ class TestChecksumsNative:
         assert native.native_crc32(data) == (zlib.crc32(data) & 0xFFFFFFFF)
         assert native.native_adler32(data) == (zlib.adler32(data) & 0xFFFFFFFF)
 
+    def test_adler_simd_window_edges(self, rng):
+        # the AVX2 adler32 processes 32-byte vectors in 4 KiB windows
+        # with a scalar tail; pin every boundary shape, worst-case bytes
+        # (all 0xFF stresses the lane-overflow margins), and a nonzero
+        # running prefix
+        lengths = [0, 1, 31, 32, 33, 63, 64, 4095, 4096, 4097,
+                   8191, 8192, 8193, 65536 + 17]
+        for ln in lengths:
+            data = rng.integers(0, 256, ln, dtype=np.uint8).tobytes()
+            assert native.native_adler32(data) == (
+                zlib.adler32(data) & 0xFFFFFFFF), ln
+        ones = b"\xff" * 8193
+        assert native.native_adler32(ones) == (zlib.adler32(ones) & 0xFFFFFFFF)
+
 
 class TestDeflateParityMode:
     """Reference-parity decision layer (VERDICT r1 #8): deflate_zlib/raw
