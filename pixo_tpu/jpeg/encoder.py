@@ -156,8 +156,12 @@ def compute_coefficients(
 ) -> np.ndarray:
     """Coefficient pipeline for one image; returns host [nblocks, 64] i16.
     Tier per :func:`_coeff_tier` (device kernels / NumPy host mirrors,
-    bit-identical)."""
-    if _coeff_tier() == "host":
+    bit-identical).  On a CPU default backend the native host tier is
+    both ~13x faster at 3 MP and the bit-faithful one (XLA:CPU
+    FMA-contracts inside the fused DCT; see benches/BENCHMARKS.md
+    f32-exactness note), so the backend-aware auto policy applies here
+    exactly as in :func:`_trellis_coefficients`."""
+    if _coeff_tier() == "host" or auto_host_tier("PIXO_TPU_COEFFS"):
         return compute_coefficients_host(img, options, quant)
     color = "gray" if options.color_type == ColorType.GRAY else "rgb"
     sub = "420" if options.subsampling == Subsampling.S420 else "444"
@@ -369,15 +373,23 @@ def encode(data, options: JpegOptions) -> bytes:
     img = _as_image_array(data, options, bpp)
 
     quant = QuantizationTables(options.quality)
-    zz = compute_coefficients(img, options, quant)
     color = "gray" if options.color_type == ColorType.GRAY else "rgb"
     sub = "420" if options.subsampling == Subsampling.S420 else "444"
-    _, _, pattern = scan_layout(options.width, options.height, color, sub)
+    n_mcus, bpm, pattern = scan_layout(options.width, options.height, color, sub)
+    # progressive + trellis re-derives its coefficients inside _emit_jpeg
+    # (the reference's baseline scan never consults use_trellis, so the
+    # plain-quantized pass exists only for the non-trellis paths) — was a
+    # full wasted DCT+quantize pass, ~40% of max-preset encode at 3 MP
+    zz = (
+        None
+        if options.progressive and options.trellis_quant
+        else compute_coefficients(img, options, quant)
+    )
     out = _emit_jpeg(zz, img, options, quant, pattern)
     if (
         options.progressive
         and getattr(options, "progressive_sa", True)
-        and zz.shape[0] <= 2048
+        and n_mcus * bpm <= 2048
     ):
         # Small images: the SA script's 18 per-scan DHT+SOS headers can
         # outweigh its entropy win (measured crossover is well under
