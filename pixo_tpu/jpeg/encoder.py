@@ -427,18 +427,30 @@ def encode_batch(imgs: np.ndarray, options: JpegOptions) -> List[bytes]:
     sub = "420" if options.subsampling == Subsampling.S420 else "444"
     _, _, pattern = scan_layout(options.width, options.height, color, sub)
 
+    # progressive+trellis re-derives coefficients inside _emit_jpeg; the
+    # plain-quantized pass would be dead work (see encode())
+    plain_unused = options.progressive and options.trellis_quant
+
     if _coeff_tier() == "host" or auto_host_tier("PIXO_TPU_COEFFS"):
         # host tier: the native AVX2 pipeline per image on a thread pool
         # (ctypes releases the GIL) — no XLA dispatch at all
         import concurrent.futures
 
         def one(i: int) -> bytes:
-            zz = compute_coefficients_host(imgs[i], options, quant)
+            zz = (
+                None
+                if plain_unused
+                else compute_coefficients_host(imgs[i], options, quant)
+            )
             return _emit_jpeg(zz, imgs[i], options, quant, pattern)
 
         with concurrent.futures.ThreadPoolExecutor() as ex:
             return list(ex.map(one, range(b)))
 
+    if plain_unused:
+        return [
+            _emit_jpeg(None, imgs[i], options, quant, pattern) for i in range(b)
+        ]
     lum = jnp.asarray(quant.luminance_table.reshape(8, 8))
     chrom = jnp.asarray(quant.chrominance_table.reshape(8, 8))
     zz_all = np.asarray(

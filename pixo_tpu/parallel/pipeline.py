@@ -214,7 +214,7 @@ def encode_jpeg_batch_sharded(
     PCIe and the packer touches ~3 B per nonzero AC."""
     quant = QuantizationTables(options.quality)
     color, sub = _color_sub(options)
-    _, _, pattern = scan_layout(options.width, options.height, color, sub)
+    n_mcus, bpm, pattern = scan_layout(options.width, options.height, color, sub)
 
     if _use_sparse_fast_path(options):
         from ..ops.sparse_pack import sparsify_blocks_padded_batch
@@ -230,14 +230,21 @@ def encode_jpeg_batch_sharded(
         if scans is not None:
             return [_assemble_jpeg(s, options, quant) for s in scans]
 
-    zz_all = np.asarray(jpeg_coeffs_sharded(imgs, options, mesh))
+    # progressive+trellis re-derives coefficients inside _emit_jpeg (the
+    # plain-quantized shard would be dead device+PCIe work); block count
+    # for the trellis crossover comes from the layout instead
+    plain_unused = options.progressive and options.trellis_quant
+    zz_all = (
+        None if plain_unused
+        else np.asarray(jpeg_coeffs_sharded(imgs, options, mesh))
+    )
 
-    trellis_mode = _auto_trellis_mode(options, zz_all.shape[0] * zz_all.shape[1])
+    trellis_mode = _auto_trellis_mode(options, imgs.shape[0] * n_mcus * bpm)
 
     def pack_one(i: int) -> bytes:
         return jenc._emit_jpeg(
-            zz_all[i], imgs[i], options, quant, pattern,
-            trellis_mode=trellis_mode,
+            None if plain_unused else zz_all[i], imgs[i], options, quant,
+            pattern, trellis_mode=trellis_mode,
         )
 
     with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:
