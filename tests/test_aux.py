@@ -254,12 +254,19 @@ class TestPlayground:
     pipeline per-options, bad input surfaces as 422."""
 
     @pytest.fixture()
-    def server(self):
+    def server(self, monkeypatch):
         import http.client
         import importlib.util
         import threading
         from http.server import ThreadingHTTPServer
         from pathlib import Path
+
+        # inline jobs: spawning the 2-process worker pool re-imports
+        # jax per worker, which under full-suite load on the 1-vCPU
+        # host can exceed any sane HTTP timeout (observed >120 s) —
+        # this test pins the HTTP contract; the pool contract has its
+        # own suite (TestCompressService, incl. crash respawn)
+        monkeypatch.setenv("PIXO_TPU_PLAYGROUND_INLINE", "1")
 
         spec = importlib.util.spec_from_file_location(
             "playground",
