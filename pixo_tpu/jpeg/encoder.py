@@ -363,6 +363,32 @@ def _emit_jpeg(
     return bytes(out)
 
 
+def _emit_with_sa_fallback(
+    zz, img, options: JpegOptions, quant: QuantizationTables,
+    pattern: Sequence[int], n_blocks: int, trellis_mode: str = None,
+) -> bytes:
+    """_emit_jpeg plus the small-image SA fallback, shared by the
+    single-image and batch entry points so batch == single byte-for-byte.
+
+    Small images: the SA script's 18 per-scan DHT+SOS headers can
+    outweigh its entropy win (measured crossover is well under 2048
+    blocks); emit the 7-scan single-table variant too and keep the
+    smaller file. Cheap where it triggers — blocks are few."""
+    out = _emit_jpeg(zz, img, options, quant, pattern, trellis_mode)
+    if (
+        options.progressive
+        and getattr(options, "progressive_sa", True)
+        and n_blocks <= 2048
+    ):
+        alt = _emit_jpeg(
+            zz, img, options.replace(progressive_sa=False), quant, pattern,
+            trellis_mode,
+        )
+        if len(alt) < len(out):
+            return alt
+    return out
+
+
 def encode(data, options: JpegOptions) -> bytes:
     """Encode one image (flat bytes or [H, W, C] uint8 array) to JPEG bytes."""
     if isinstance(data, np.ndarray):
@@ -385,22 +411,9 @@ def encode(data, options: JpegOptions) -> bytes:
         if options.progressive and options.trellis_quant
         else compute_coefficients(img, options, quant)
     )
-    out = _emit_jpeg(zz, img, options, quant, pattern)
-    if (
-        options.progressive
-        and getattr(options, "progressive_sa", True)
-        and n_mcus * bpm <= 2048
-    ):
-        # Small images: the SA script's 18 per-scan DHT+SOS headers can
-        # outweigh its entropy win (measured crossover is well under
-        # 2048 blocks); emit the 7-scan single-table variant too and
-        # keep the smaller file. Cheap here — blocks are few.
-        alt = _emit_jpeg(
-            zz, img, options.replace(progressive_sa=False), quant, pattern
-        )
-        if len(alt) < len(out):
-            return alt
-    return out
+    return _emit_with_sa_fallback(
+        zz, img, options, quant, pattern, n_mcus * bpm
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("color", "subsampling"))
@@ -425,7 +438,8 @@ def encode_batch(imgs: np.ndarray, options: JpegOptions) -> List[bytes]:
     quant = QuantizationTables(options.quality)
     color = "gray" if options.color_type == ColorType.GRAY else "rgb"
     sub = "420" if options.subsampling == Subsampling.S420 else "444"
-    _, _, pattern = scan_layout(options.width, options.height, color, sub)
+    n_mcus, bpm, pattern = scan_layout(options.width, options.height, color, sub)
+    n_blocks = n_mcus * bpm
 
     # progressive+trellis re-derives coefficients inside _emit_jpeg; the
     # plain-quantized pass would be dead work (see encode())
@@ -442,14 +456,19 @@ def encode_batch(imgs: np.ndarray, options: JpegOptions) -> List[bytes]:
                 if plain_unused
                 else compute_coefficients_host(imgs[i], options, quant)
             )
-            return _emit_jpeg(zz, imgs[i], options, quant, pattern)
+            return _emit_with_sa_fallback(
+                zz, imgs[i], options, quant, pattern, n_blocks
+            )
 
         with concurrent.futures.ThreadPoolExecutor() as ex:
             return list(ex.map(one, range(b)))
 
     if plain_unused:
         return [
-            _emit_jpeg(None, imgs[i], options, quant, pattern) for i in range(b)
+            _emit_with_sa_fallback(
+                None, imgs[i], options, quant, pattern, n_blocks
+            )
+            for i in range(b)
         ]
     lum = jnp.asarray(quant.luminance_table.reshape(8, 8))
     chrom = jnp.asarray(quant.chrominance_table.reshape(8, 8))
@@ -458,5 +477,8 @@ def encode_batch(imgs: np.ndarray, options: JpegOptions) -> List[bytes]:
     )
 
     return [
-        _emit_jpeg(zz_all[i], imgs[i], options, quant, pattern) for i in range(b)
+        _emit_with_sa_fallback(
+            zz_all[i], imgs[i], options, quant, pattern, n_blocks
+        )
+        for i in range(b)
     ]

@@ -242,9 +242,9 @@ def encode_jpeg_batch_sharded(
     trellis_mode = _auto_trellis_mode(options, imgs.shape[0] * n_mcus * bpm)
 
     def pack_one(i: int) -> bytes:
-        return jenc._emit_jpeg(
+        return jenc._emit_with_sa_fallback(
             None if plain_unused else zz_all[i], imgs[i], options, quant,
-            pattern, trellis_mode=trellis_mode,
+            pattern, n_mcus * bpm, trellis_mode=trellis_mode,
         )
 
     with concurrent.futures.ThreadPoolExecutor(max_workers=host_workers) as ex:

@@ -48,6 +48,18 @@ class TestSharding:
         single = [jpeg.encode(batch[i], opts) for i in range(batch.shape[0])]
         assert sharded == single
 
+    def test_jpeg_max_preset_bytes_match_unsharded(self, batch):
+        # max preset = progressive+trellis: the batch paths skip the
+        # plain-coefficient pass entirely (it is dead work there), so
+        # this pins that the re-derived trellis coefficients produce
+        # the exact single-image bytes through both batch entry points
+        from pixo_tpu import jpeg
+
+        opts = JpegOptions.max(32, 32, 85)
+        single = [jpeg.encode(batch[i], opts) for i in range(batch.shape[0])]
+        assert jpeg.encode_batch(batch, opts) == single
+        assert encode_jpeg_batch_sharded(batch, opts, make_mesh(8)) == single
+
     def test_png_bytes_match_unsharded(self, batch):
         from pixo_tpu import png
 
