@@ -352,6 +352,21 @@ def encode_indexed(
 _BATCH_FALLBACK_WARNED = False
 
 
+def _accelerated_backend() -> bool:
+    """True when the default jax backend is an accelerator.
+
+    A seam: tests of the fallback policy patch THIS (not
+    jax.default_backend globally, which would also flip kernel-tier
+    switches like the Pallas filter bank onto the wrong platform)."""
+    try:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+
 def encode_batch(imgs: np.ndarray, options: PngOptions) -> List[bytes]:
     """Encode a batch [B, H, W, C] of same-shape images.
 
@@ -363,13 +378,7 @@ def encode_batch(imgs: np.ndarray, options: PngOptions) -> List[bytes]:
     encode individually on a thread pool instead (the native stages
     release the GIL; same bytes).
     """
-    try:
-        import jax
-
-        accelerated = jax.default_backend() != "cpu"
-    except Exception:  # noqa: BLE001
-        accelerated = False
-    if accelerated:
+    if _accelerated_backend():
         try:
             from ..parallel import encode_png_batch_sharded
 

@@ -375,6 +375,7 @@ class TestDeflateParityMode:
         assert a == b
         assert zlib.decompress(a) == payload
 
+    @needs_native
     def test_optimal_parity_round_trips(self):
         """deflate_optimal_parity (the reference's zopfli mirror; byte
         identity is proven against the oracle in test_oracle_parity) must
@@ -389,6 +390,7 @@ class TestDeflateParityMode:
             assert out is not None, name
             assert zlib.decompress(out) == payload, name
 
+    @needs_native
     def test_optimal_parity_routes_in_parity_mode(self, monkeypatch):
         import zlib
 

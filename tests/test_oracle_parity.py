@@ -35,6 +35,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent / "support"))
 
 from pixo_oracle import CACHE_DIR, cached_call  # noqa: E402
 
+from pixo_tpu.native import native_available  # noqa: E402
+
+# PNG byte-identity to the reference runs through the native parity
+# DEFLATE mirror (deflate_zlib(parity=True) lives in core.cpp); the
+# pure-Python tier falls back to stdlib zlib, which is valid but not
+# byte-identical. JPEG identity has a full Python mirror and stays on.
+needs_native_deflate = pytest.mark.skipif(
+    not native_available(),
+    reason="PNG byte-parity requires the native parity DEFLATE",
+)
+
 from pixo_tpu import jpeg, png  # noqa: E402
 from pixo_tpu.color import ColorType  # noqa: E402
 from pixo_tpu.options import (  # noqa: E402
@@ -332,6 +343,7 @@ PNG_CASES = [
 @pytest.mark.parametrize(
     "name,img,ct,preset", PNG_CASES, ids=[c[0] for c in PNG_CASES]
 )
+@needs_native_deflate
 def test_png_bytes_identical_to_pixo(name, img, ct, preset, monkeypatch):
     monkeypatch.setenv("PIXO_TPU_DEFLATE_PARITY", "1")
     h, w = img.shape[:2]
@@ -377,6 +389,7 @@ def _text24():
     ("gray20", _grad(20, 20, 1), 0),       # gray path
     ("noisy_rgba20", _noise(20, 20, 4, seed=6), 3),
 ])
+@needs_native_deflate
 def test_png_max_preset_bytes_identical_to_pixo(name, img, code, monkeypatch):
     """FULL preset-2 byte identity (round-3 third block): parity mode now
     mirrors the reference's zopfli-style optimal DEFLATE exactly —
@@ -465,6 +478,7 @@ def test_goldens_committed():
     assert CACHE_DIR.is_dir() and any(CACHE_DIR.iterdir())
 
 
+@needs_native_deflate
 def test_png_lossy_noisy_bytes_identical_to_pixo(monkeypatch):
     """Lossy parity on noisy photographic-class content (dithering does
     real work here: every pixel carries diffused error)."""
@@ -485,6 +499,7 @@ def test_png_lossy_noisy_bytes_identical_to_pixo(monkeypatch):
     assert bytes(ours) == bytes(ref)
 
 
+@needs_native_deflate
 def test_png_lossy_rgba_alpha_bytes_identical_to_pixo(monkeypatch):
     """Alpha-carrying lossy: non-opaque pixels take the direct-redmean
     dither fallback (not the 6-6-6 LUT) and alpha feeds the histogram,
@@ -503,6 +518,7 @@ def test_png_lossy_rgba_alpha_bytes_identical_to_pixo(monkeypatch):
     assert bytes(ours) == bytes(ref)
 
 
+@needs_native_deflate
 def test_png_lossy_bytes_identical_to_pixo(monkeypatch):
     """The WHOLE lossy stack — sampled histogram, median-cut (Rust
     last-max box ties), k-means, 6-6-6 LUT, FS dithering, mZeng reorder,
@@ -567,6 +583,7 @@ def test_jpeg_preset2_reference_corruption_grows_with_scale():
         "rocket.png",
     ],
 )
+@needs_native_deflate
 def test_real_fixture_png_bytes_identical_to_pixo(name, monkeypatch):
     """Flagship byte-parity proofs on the reference's own checked-in
     fixtures at FULL size, balanced preset: every stage exact
@@ -633,6 +650,7 @@ def _stride_path_image():
     return img
 
 
+@needs_native_deflate
 def test_png_lossy_stride_path_bytes_identical_to_pixo(monkeypatch):
     """Full-scale lossy byte identity through the >=50k-pixel SAMPLED
     histogram path (VERDICT r3 next #3): 400x280, histogram stride 2,
@@ -650,6 +668,7 @@ def test_png_lossy_stride_path_bytes_identical_to_pixo(monkeypatch):
     assert bytes(ours) == bytes(ref)
 
 
+@needs_native_deflate
 def test_png_lossy_avatar_fullsize_divergence_is_cap_tie_order(monkeypatch):
     """avatar-color.png 740x740 lossy (Auto + dither, balanced): the one
     DOCUMENTED lossy divergence at full scale, with its root cause

@@ -251,9 +251,10 @@ class TestBatchFallbackPolicy:
         from pixo_tpu.png import encoder as enc
 
         monkeypatch.setattr(enc, "_BATCH_FALLBACK_WARNED", False)
-        monkeypatch.setattr(
-            jax, "default_backend", lambda: "tpu"
-        )  # pretend accelerated
+        # pretend accelerated via the policy seam — patching
+        # jax.default_backend globally would also flip the Pallas filter
+        # tier onto the CPU platform inside the fallback encode
+        monkeypatch.setattr(enc, "_accelerated_backend", lambda: True)
 
         import pixo_tpu.parallel as par
 
