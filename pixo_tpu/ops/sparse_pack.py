@@ -75,7 +75,15 @@ def sparsify_blocks_batch(zz, cap_per_block: int = DEFAULT_CAP_PER_BLOCK):
 # ``maxcount`` overflow. Callers escalate to PADDED_CAP_MAX (noisy/dense
 # content; re-compaction from the on-device coefficients costs ~1 ms) and
 # only beyond that fall back to the dense path.
-PADDED_CAP_PER_BLOCK = 16
+PADDED_CAP_PER_BLOCK = 8
+# Escalation ladder: callers re-compact at the smallest tier that holds
+# the measured per-block maxcount, and fall back to the dense path above
+# the top tier (a cap-48 stream at 3 B/entry already exceeds the 128 B
+# dense block, so wider tiers would be counterproductive). The default
+# cap of 8 keeps the common smooth-content stream small — the pack
+# stage's host DRAM traffic (and the PCIe handoff) scale with
+# cap: 27 B/block at cap 8 vs 51 at 16 vs 99 at 32 vs 131 dense.
+PADDED_CAP_TIERS = (8, 16, 32)
 PADDED_CAP_MAX = 32
 
 

@@ -14,6 +14,7 @@ from .pipeline import (
     decode_png_batch,
     encode_jpeg_batch_sharded,
     encode_jpeg_stream,
+    encode_jpeg_stream_overlapped,
     encode_png_batch_sharded,
     encode_png_row_sharded,
     jpeg_coeffs_sharded,
@@ -38,6 +39,7 @@ __all__ = [
     "jpeg_coeffs_sharded",
     "encode_jpeg_batch_sharded",
     "encode_jpeg_stream",
+    "encode_jpeg_stream_overlapped",
     "encode_png_batch_sharded",
     "encode_png_row_sharded",
     "thumbnail_pipeline",

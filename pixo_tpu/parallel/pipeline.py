@@ -102,13 +102,58 @@ def _use_sparse_fast_path(options: JpegOptions) -> bool:
             and native_available())
 
 
-def _pack_compacted_batch(
-    zz_dev, compacted, n: int, options: JpegOptions, pattern,
+def _fetch_compacted(zz_dev, compacted):
+    """d2h stage: bring the device-compacted streams (or, on compaction
+    overflow, the dense coefficients) to the host. Handles the padded
+    cap-tier escalation (re-compacting the still-on-device coefficients
+    at the smallest tier that holds the measured per-block maxcount — the
+    stream the host reads, and the PCIe handoff, scale with the cap).
+    Returns an opaque host state consumed by ``_pack_hosted``; all device
+    waits and transfers happen HERE, so callers can run this stage on a
+    dedicated copy thread while packing and device compute proceed."""
+    if compacted is not None and len(compacted) == 6:
+        # padded per-block top-k layout (ops/sparse_pack.py
+        # sparsify_blocks_padded_batch): overflow when any block exceeds
+        # its per-block slots; the native packer strides the rows
+        # directly, no host flatten pass
+        dc_d, counts_d, poss_d, vals_d, _total_d, maxcount_d = compacted
+        cap = poss_d.shape[2]
+        maxc = int(np.asarray(maxcount_d).max())
+        if maxc > cap:
+            from ..ops.sparse_pack import (
+                PADDED_CAP_TIERS,
+                sparsify_blocks_padded_batch,
+            )
+
+            tier = next((t for t in PADDED_CAP_TIERS
+                         if t > cap and maxc <= t), None)
+            if tier is not None:
+                dc_d, counts_d, poss_d, vals_d, _total_d, maxcount_d = (
+                    sparsify_blocks_padded_batch(zz_dev, cap_per_block=tier)
+                )
+                cap = tier
+                maxc = int(np.asarray(maxcount_d).max())
+        if maxc <= cap:
+            return ("padded", np.asarray(dc_d), np.asarray(counts_d),
+                    np.asarray(poss_d), np.asarray(vals_d))
+    elif compacted is not None:
+        dc_d, counts_d, poss_d, vals_d, total_d = compacted
+        totals = np.asarray(total_d)
+        cap = poss_d.shape[1]
+        if (totals <= cap).all():
+            return ("flat", np.asarray(dc_d), np.asarray(counts_d),
+                    np.asarray(poss_d), np.asarray(vals_d))
+    return ("dense", np.asarray(zz_dev))
+
+
+def _pack_hosted(
+    state, n: int, options: JpegOptions, pattern,
     ex: concurrent.futures.ThreadPoolExecutor,
 ) -> List[bytes]:
-    """Fetch device-compacted (position,value) streams and entropy-pack on
-    host threads (ctypes releases the GIL -> true host parallelism). Falls
-    back to the dense threaded packer on compaction overflow."""
+    """Pack stage: entropy-pack host-resident streams on host threads
+    (ctypes releases the GIL -> true host parallelism). Pure host work —
+    no device waits, so it overlaps cleanly with ``_fetch_compacted`` of
+    the next batch."""
     from ..jpeg.tables import HuffmanTables
     from ..native import (
         native_pack_scan,
@@ -118,58 +163,28 @@ def _pack_compacted_batch(
     )
 
     huff = HuffmanTables()
-    if len(compacted) == 6:
-        # padded per-block top-k layout (ops/sparse_pack.py
-        # sparsify_blocks_padded_batch): overflow when any block exceeds
-        # its per-block slots; the native packer strides the rows
-        # directly, no host flatten pass
-        dc_d, counts_d, poss_d, vals_d, _total_d, maxcount_d = compacted
-        cap = poss_d.shape[2]
-        maxc = int(np.asarray(maxcount_d).max())
-        if maxc > cap:
-            # escalate once: re-compact the still-on-device coefficients
-            # at the wide cap (noisy content; ~1 ms) before giving up the
-            # sparse handoff entirely
-            from ..ops.sparse_pack import (
-                PADDED_CAP_MAX,
-                sparsify_blocks_padded_batch,
+    kind = state[0]
+    if kind == "padded":
+        _, dc_h, counts_h, poss_h, vals_h = state
+
+        def pack_padded(i: int) -> bytes:
+            return native_pack_scan_padded(
+                dc_h[i], counts_h[i], poss_h[i], vals_h[i],
+                pattern, huff, options.restart_interval,
             )
 
-            if maxc <= PADDED_CAP_MAX and cap < PADDED_CAP_MAX:
-                dc_d, counts_d, poss_d, vals_d, _total_d, maxcount_d = (
-                    sparsify_blocks_padded_batch(
-                        zz_dev, cap_per_block=PADDED_CAP_MAX
-                    )
-                )
-                cap = PADDED_CAP_MAX
-                maxc = int(np.asarray(maxcount_d).max())
-        if maxc <= cap:
-            dc_h, counts_h = np.asarray(dc_d), np.asarray(counts_d)
-            poss_h, vals_h = np.asarray(poss_d), np.asarray(vals_d)
+        return list(ex.map(pack_padded, range(n)))
+    if kind == "flat":
+        _, dc_h, counts_h, poss_h, vals_h = state
 
-            def pack_padded(i: int) -> bytes:
-                return native_pack_scan_padded(
-                    dc_h[i], counts_h[i], poss_h[i], vals_h[i],
-                    pattern, huff, options.restart_interval,
-                )
+        def pack_sparse(i: int) -> bytes:
+            return native_pack_scan_sparse(
+                dc_h[i], counts_h[i], poss_h[i], vals_h[i],
+                pattern, huff, options.restart_interval,
+            )
 
-            return list(ex.map(pack_padded, range(n)))
-    else:
-        dc_d, counts_d, poss_d, vals_d, total_d = compacted
-        totals = np.asarray(total_d)
-        cap = poss_d.shape[1]
-        if (totals <= cap).all():
-            dc_h, counts_h = np.asarray(dc_d), np.asarray(counts_d)
-            poss_h, vals_h = np.asarray(poss_d), np.asarray(vals_d)
-
-            def pack_sparse(i: int) -> bytes:
-                return native_pack_scan_sparse(
-                    dc_h[i], counts_h[i], poss_h[i], vals_h[i],
-                    pattern, huff, options.restart_interval,
-                )
-
-            return list(ex.map(pack_sparse, range(n)))
-    zz_all = np.asarray(zz_dev)
+        return list(ex.map(pack_sparse, range(n)))
+    zz_all = state[1]
     return native_pack_scan_batch(
         zz_all, pattern, huff, options.restart_interval,
         nthreads=ex._max_workers,
@@ -177,6 +192,19 @@ def _pack_compacted_batch(
         native_pack_scan(zz_all[i], pattern, huff, options.restart_interval)
         for i in range(n)
     ]
+
+
+def _pack_compacted_batch(
+    zz_dev, compacted, n: int, options: JpegOptions, pattern,
+    ex: concurrent.futures.ThreadPoolExecutor,
+) -> List[bytes]:
+    """Fetch device-compacted (position,value) streams and entropy-pack on
+    host threads. Falls back to the dense threaded packer on compaction
+    overflow. (Fetch and pack run back-to-back here; the overlapped
+    stream splits them across threads — see encode_jpeg_stream_overlapped.)"""
+    return _pack_hosted(
+        _fetch_compacted(zz_dev, compacted), n, options, pattern, ex
+    )
 
 
 def _assemble_jpeg(scan: bytes, options: JpegOptions, quant) -> bytes:
@@ -555,6 +583,116 @@ def encode_jpeg_stream(
             prev = nxt
         if prev is not None:
             yield finish(prev, ex)
+
+
+def encode_jpeg_stream_overlapped(
+    batches,
+    options: JpegOptions,
+    mesh=None,
+    host_workers: int = 8,
+    depth: int = 2,
+    stats: Optional[dict] = None,
+):
+    """Three-stage overlapped encode pipeline with all stages concurrently
+    in flight (the measured-overlap form of ``encode_jpeg_stream``):
+
+    - **device** (main thread): jit dispatch of coefficients + padded
+      compaction for batch i+2 — JAX dispatch is async, so this never
+      blocks on device completion;
+    - **copy** (dedicated d2h thread): ``_fetch_compacted`` of batch i+1 —
+      the only stage that waits on the device and moves bytes across
+      PCIe;
+    - **pack** (coordinator thread + ``host_workers`` pool): pure host
+      entropy packing of batch i from host-resident streams.
+
+    Up to ``depth`` batches may be queued between consecutive stages.
+    Yields per-batch lists of encoded bytes in input order.
+
+    ``stats``, when given, receives per-stage interval lists
+    (``dispatch_t``/``copy_iv``/``pack_iv``: wall-clock ``(start, end)``
+    per batch, perf_counter domain) so a harness can *prove* the overlap:
+    stage busy-time sums exceeding the wall clock demonstrate concurrent
+    flight, and per-pair interval intersections quantify it. This is the
+    PP analog of the reference's main-thread <-> worker overlap
+    (``web/src/lib/compress-client.ts:16-63``), measured rather than
+    assumed.
+    """
+    import time
+
+    mesh = mesh or make_mesh()
+    quant = QuantizationTables(options.quality)
+    color, sub = _color_sub(options)
+    _, _, pattern = scan_layout(options.width, options.height, color, sub)
+
+    sparse = _use_sparse_fast_path(options)
+    if sparse:
+        from ..ops.sparse_pack import sparsify_blocks_padded_batch
+
+    dispatch_t: List[float] = []
+    copy_iv: List[tuple] = []
+    pack_iv: List[tuple] = []
+
+    def fetch(dev_state):
+        imgs, zz_dev, compacted = dev_state
+        t0 = time.perf_counter()
+        if sparse:
+            host = _fetch_compacted(zz_dev, compacted)
+        else:
+            host = ("dense-emit", np.asarray(zz_dev), imgs)
+        copy_iv.append((t0, time.perf_counter()))
+        return imgs.shape[0], host
+
+    def pack(copy_fut, ex) -> List[bytes]:
+        n, host = copy_fut.result()
+        t0 = time.perf_counter()
+        if host[0] == "dense-emit":
+            _, zz_host, imgs = host
+            outs = list(ex.map(
+                lambda i: jenc._emit_jpeg(
+                    zz_host[i], imgs[i], options, quant, pattern
+                ),
+                range(n),
+            ))
+        else:
+            scans = _pack_hosted(host, n, options, pattern, ex)
+            outs = [_assemble_jpeg(s, options, quant) for s in scans]
+        pack_iv.append((t0, time.perf_counter()))
+        return outs
+
+    from collections import deque
+
+    copy_futs: deque = deque()
+    pack_futs: deque = deque()
+    with concurrent.futures.ThreadPoolExecutor(
+        max_workers=1, thread_name_prefix="d2h"
+    ) as copy_ex, concurrent.futures.ThreadPoolExecutor(
+        max_workers=1, thread_name_prefix="pack-coord"
+    ) as coord_ex, concurrent.futures.ThreadPoolExecutor(
+        max_workers=host_workers, thread_name_prefix="pack"
+    ) as pack_ex:
+        def drain(force_copy: bool, force_pack: bool):
+            while copy_futs and (force_copy or len(copy_futs) > depth
+                                 or copy_futs[0].done()):
+                cf = copy_futs.popleft()
+                pack_futs.append(coord_ex.submit(pack, cf, pack_ex))
+            while pack_futs and (force_pack or len(pack_futs) > depth
+                                 or pack_futs[0].done()):
+                yield pack_futs.popleft().result()
+
+        for imgs in iter(batches):
+            dispatch_t.append(time.perf_counter())
+            zz_dev = jpeg_coeffs_sharded(imgs, options, mesh)  # async
+            compacted = (
+                sparsify_blocks_padded_batch(zz_dev) if sparse else None
+            )
+            copy_futs.append(copy_ex.submit(fetch, (imgs, zz_dev, compacted)))
+            yield from drain(False, False)
+        yield from drain(True, True)
+
+    if stats is not None:
+        stats["dispatch_t"] = dispatch_t
+        stats["copy_iv"] = copy_iv
+        stats["pack_iv"] = pack_iv
 
 
 def decode_jpeg_batch(

@@ -183,7 +183,9 @@ class TestPaddedSparsePack:
         jax.config.update("jax_platforms", "cpu")
         from pixo_tpu.ops.sparse_pack import sparsify_blocks_padded
 
-        out = sparsify_blocks_padded(np.asarray(zz))
+        # explicit cap=16: this suite's random content runs ~5 nonzero
+        # ACs per block (max ~9), above the smooth-content default of 8
+        out = sparsify_blocks_padded(np.asarray(zz), cap_per_block=16)
         return [np.asarray(a) for a in out]
 
     def test_flattens_to_flat_streams(self, rng):
@@ -250,6 +252,26 @@ class TestPaddedSparsePack:
             0, 255
         ).astype(np.uint8)
         opts = JpegOptions(width=32, height=32, quality=90)
+        outs = encode_jpeg_batch_sharded(imgs, opts)
+        for i, out in enumerate(outs):
+            assert out == jpeg_encode(imgs[i], opts)
+
+    def test_pipeline_escalates_one_tier_on_light_density(self, rng):
+        """Content whose busiest block holds 9-16 nonzeros must escalate
+        the default cap-8 compaction exactly one tier (cap 16) and stay
+        byte-identical to the per-image encoder."""
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from pixo_tpu.jpeg.encoder import encode as jpeg_encode
+        from pixo_tpu.options import JpegOptions
+        from pixo_tpu.parallel.pipeline import encode_jpeg_batch_sharded
+
+        base = np.add.outer(np.arange(32) * 4, np.arange(32) * 4)[..., None]
+        imgs = (base + rng.normal(0, 8, (2, 32, 32, 3))).clip(
+            0, 255
+        ).astype(np.uint8)
+        opts = JpegOptions(width=32, height=32, quality=75)
         outs = encode_jpeg_batch_sharded(imgs, opts)
         for i, out in enumerate(outs):
             assert out == jpeg_encode(imgs[i], opts)

@@ -209,6 +209,46 @@ class TestSharding:
         single = [jpeg.encode(batch[i], opts) for i in range(batch.shape[0])]
         assert streamed == single
 
+    def test_overlapped_stream_matches_per_image(self, batch):
+        from pixo_tpu import jpeg
+        from pixo_tpu.parallel import encode_jpeg_stream_overlapped
+
+        opts = JpegOptions.fast(32, 32, 85)
+        stats = {}
+        streamed = []
+        for out in encode_jpeg_stream_overlapped(
+            [batch[:4], batch[4:], batch[:4], batch[4:]], opts,
+            make_mesh(8), stats=stats,
+        ):
+            streamed.extend(out)
+        single = [jpeg.encode(batch[i], opts) for i in range(batch.shape[0])]
+        assert streamed == single * 2
+        # instrumentation contract: one dispatch stamp and one
+        # (start, end) interval per stage per batch, monotonically ordered
+        assert len(stats["dispatch_t"]) == 4
+        assert len(stats["copy_iv"]) == 4
+        assert len(stats["pack_iv"]) == 4
+        for (c0, c1), (p0, p1), d in zip(
+            stats["copy_iv"], stats["pack_iv"], stats["dispatch_t"]
+        ):
+            assert d <= c0 <= c1 <= p1 and c0 <= p0 <= p1
+
+    def test_overlapped_stream_optimized_huffman_path(self, batch):
+        # non-sparse route (optimize_huffman): dense-emit fetch + host
+        # emit must still be byte-identical and ordered
+        from pixo_tpu import jpeg
+        from pixo_tpu.parallel import encode_jpeg_stream_overlapped
+
+        opts = JpegOptions(width=32, height=32, quality=85,
+                           optimize_huffman=True)
+        streamed = []
+        for out in encode_jpeg_stream_overlapped(
+            [batch[:4], batch[4:]], opts, make_mesh(8)
+        ):
+            streamed.extend(out)
+        single = [jpeg.encode(batch[i], opts) for i in range(batch.shape[0])]
+        assert streamed == single
+
 
 class TestRowSharding:
     """TP analog as a production API (VERDICT r1 partial): one image's
