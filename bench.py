@@ -7,26 +7,35 @@ north star: >= 250 MP/s/chip.
 Measurement: the encode pipeline is two stages that overlap in production
 (device computes batch i while the host packs batch i-1 — the
 double-buffered split of SURVEY §2.8), so steady-state throughput is
-min(device_stage, host_stage). Both stages are measured on this machine:
-the fused device pipeline on the TPU (steady-state, post-compile) and the
-native entropy packer on the host CPU over the real coefficient streams.
-The dev-harness TPU tunnel moves device->host data at only a few MB/s
-(hundreds of times slower than v5e PCIe), so the one-off coefficient
-fetch for the host measurement is sized small and its rate is reported to
-stderr rather than folded into the headline.
+min(device_stage, host_stage). Both stages are measured on this machine
+with >=5 trials and {median, min, max} bands recorded; the headline uses
+medians. The overlap itself is MEASURED, not assumed: one run of
+``encode_jpeg_stream_overlapped`` keeps device compute, d2h copy, and
+threaded host packing concurrently in flight and records per-stage
+wall-clock intervals, plus a control run that packs host-resident
+streams while a concurrent d2h copy loop runs (proving the two stages
+don't serialize each other on this host).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The dev-harness TPU tunnel moves device->host data at only a few MB/s
+(hundreds of times slower than v5e PCIe), so the overlapped-stream rate
+here is d2h-bound; the JSON carries the auditable arithmetic
+(bytes/img x target rate => required PCIe bandwidth) for the real-host
+projection.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
 import os
 import signal
 import sys
+import threading
 import time
 
 import numpy as np
 
 BASELINE_MPS = 202.0  # reference: 512x512 gradient, q85 420, 1.3 ms
+V5E_PCIE_GBPS = 32.0  # PCIe gen4 x16 per v5e host-chip link (2 chips/link)
 
 
 def synth_gradient(h, w):
@@ -64,6 +73,37 @@ class Watchdog:
         raise TimeoutError("stage watchdog fired")
 
 
+def band(samples):
+    """{median, min, max} triple (rounded) from raw per-trial rates."""
+    s = sorted(samples)
+    med = s[len(s) // 2] if len(s) % 2 else 0.5 * (
+        s[len(s) // 2 - 1] + s[len(s) // 2]
+    )
+    return [round(med, 1), round(s[0], 1), round(s[-1], 1)]
+
+
+def interval_overlap_s(a, b):
+    """Total seconds where any interval of list `a` intersects any of `b`."""
+
+    def merge(iv):
+        iv = sorted(iv)
+        out = []
+        for s, e in iv:
+            if out and s <= out[-1][1]:
+                out[-1] = (out[-1][0], max(out[-1][1], e))
+            else:
+                out.append((s, e))
+        return out
+
+    total = 0.0
+    for s1, e1 in merge(a):
+        for s2, e2 in merge(b):
+            lo, hi = max(s1, s2), min(e1, e2)
+            if hi > lo:
+                total += hi - lo
+    return total
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -86,9 +126,13 @@ def main() -> None:
         native_available,
         native_pack_scan,
         native_pack_scan_padded,
+        native_pack_scan_sparse,
     )
     from pixo_tpu.ops.blockify import scan_layout
-    from pixo_tpu.ops.sparse_pack import sparsify_blocks_padded_batch
+    from pixo_tpu.ops.sparse_pack import (
+        padded_to_flat,
+        sparsify_blocks_padded_batch,
+    )
 
     size = int(os.environ.get("BENCH_SIZE", "512"))
     batch = int(os.environ.get("BENCH_BATCH", "16"))
@@ -121,23 +165,25 @@ def main() -> None:
         for pname, img in (("gradient", base), ("photo", photo)):
             with Watchdog(WATCHDOG_S):
                 out = penc.encode(img, popts)
-                best = float("inf")
-                for _ in range(3):
+                rates = []
+                for _ in range(5):
                     t0 = time.perf_counter()
                     out = penc.encode(img, popts)
-                    best = min(best, time.perf_counter() - t0)
-            rows[pname] = (mp / best, len(out))
+                    rates.append(mp / (time.perf_counter() - t0))
+            rows[pname] = (band(rates), len(out))
         print(
-            "bench PNG balanced 512x512 (host tier): "
+            f"bench PNG balanced {size}x{size} (host tier): "
             + " | ".join(
-                f"{k} {v[0]:.1f} MP/s, {v[1]} B" for k, v in rows.items()
+                f"{k} {v[0][0]:.1f} MP/s [{v[0][1]}..{v[0][2]}], {v[1]} B"
+                for k, v in rows.items()
             )
             + " (reference: gradient 55.8 MP/s @ 10.1 KB, photos ~8.5 MP/s)",
             file=sys.stderr,
         )
+        png_bands = {k: v[0] for k, v in rows.items()}
     except Exception as exc:  # noqa: BLE001
         print(f"bench: png measurement failed: {exc}", file=sys.stderr)
-
+        png_bands = None
 
     quant = QuantizationTables(85)
     lum = jnp.asarray(quant.luminance_table.reshape(8, 8))
@@ -156,9 +202,10 @@ def main() -> None:
         zz_dev = run_device()
         zz_dev.block_until_ready()  # compile + first run
 
-    # --- device-side compaction (the production handoff: ~2.6x less PCIe
-    # traffic, host packer touches ~3 B per nonzero AC). Padded per-block
-    # top-k layout: ~1 ms/batch on the chip vs ~45 ms for the old global
+    # --- device-side compaction (the production handoff: the host packer
+    # touches ~3 B per nonzero AC). Padded per-block top-k layout, cap 8
+    # (smooth-content default; the pipeline escalates 16/32 on busier
+    # content): ~1 ms/batch on the chip vs ~45 ms for the old global
     # scatter (TPU scatters serialize) ---
     with Watchdog(WATCHDOG_S):
         dc_d, counts_d, poss_d, vals_d, total_d, maxc_d = (
@@ -213,10 +260,132 @@ def main() -> None:
         with Watchdog(WATCHDOG_S):
             zz_host = np.asarray(zz_dev[:nf])
 
-    # --- Stage 1: device pipeline, steady state (best of 5 windows:
-    # the shared host + tunnel keepalive inject noise) ---
+    # --- Stage 2 (host, measured early so its numbers exist even if the
+    # tunnel wedges later): entropy packing over the real streams ---
+    _, _, pattern = scan_layout(size, size, "rgb", "420")
+    huff = HuffmanTables()
+    assert native_available(), "native packer required for the benchmark"
+    if not overflow:
+        def pack(i):
+            dc_h, counts_h, poss_h, vals_h = fetched[i]
+            return native_pack_scan_padded(
+                dc_h, counts_h, poss_h, vals_h, pattern, huff, None
+            )
+    else:
+        def pack(i):
+            return native_pack_scan(zz_host[i], pattern, huff, None)
+
+    sizes = [len(pack(i)) for i in range(nf)]
+    host_rates = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        for i in range(nf):
+            pack(i)
+        host_rates.append(size * size * nf / 1e6 / (time.perf_counter() - t0))
+    host_band = band(host_rates)
+    host_mps = host_band[0]
+
+    # --- Pack-format A/B (VERDICT r4 task 2): strided-padded pack vs
+    # host-flatten + flat-sparse pack as END-TO-END host totals, plus the
+    # flat-pack-only rate (the r03-style number, which excluded the
+    # flatten). All three emit byte-identical scans. ---
+    pack_ab = None
+    if not overflow:
+        try:
+            flat_streams = [
+                (f[0], f[1]) + padded_to_flat(f[1], f[2], f[3])
+                for f in fetched
+            ]
+
+            def pack_flat_total(i):
+                dc_h, counts_h, poss_h, vals_h = fetched[i]
+                fp, fv = padded_to_flat(counts_h, poss_h, vals_h)
+                return native_pack_scan_sparse(
+                    dc_h, counts_h, fp, fv, pattern, huff, None
+                )
+
+            def pack_flat_only(i):
+                dc_h, counts_h, fp, fv = flat_streams[i]
+                return native_pack_scan_sparse(
+                    dc_h, counts_h, fp, fv, pattern, huff, None
+                )
+
+            assert pack_flat_total(0) == pack(0) == pack_flat_only(0)
+            ab = {}
+            for name, fn in (
+                ("padded_strided", pack),
+                ("flatten_plus_flat", pack_flat_total),
+                ("flat_only_excl_flatten", pack_flat_only),
+            ):
+                rates = []
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    for i in range(nf):
+                        fn(i)
+                    rates.append(
+                        size * size * nf / 1e6 / (time.perf_counter() - t0)
+                    )
+                ab[name] = band(rates)
+            pack_ab = ab
+            print(
+                "bench pack-format A/B (MP/s, med[min..max]): "
+                + " | ".join(f"{k} {v}" for k, v in ab.items()),
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: pack A/B failed: {exc}", file=sys.stderr)
+
+    # --- Overlap CONTROL (VERDICT r4 task 1): pack host-resident streams
+    # while a concurrent d2h copy loop runs. If the two stages serialized
+    # (GIL, driver locks), the concurrent pack rate would crater; a ratio
+    # near 1.0 proves the pack and copy stages compose. ---
+    control = None
+    if not cpu_fallback and not overflow:
+        try:
+            stop = threading.Event()
+            d2h_fetches = [0]
+
+            def d2h_loop():
+                # small repeated fetches (one image's dc row, ~12 KB);
+                # volume is irrelevant — concurrency is what's probed
+                while not stop.is_set():
+                    np.asarray(dc_d[d2h_fetches[0] % batch])
+                    d2h_fetches[0] += 1
+
+            th = threading.Thread(target=d2h_loop, daemon=True)
+            th.start()
+            time.sleep(0.05)  # let the copy loop enter steady state
+            conc_rates = []
+            with Watchdog(WATCHDOG_S):
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    for i in range(nf):
+                        pack(i)
+                    conc_rates.append(
+                        size * size * nf / 1e6 / (time.perf_counter() - t0)
+                    )
+            stop.set()
+            th.join(timeout=60)
+            conc_band = band(conc_rates)
+            control = {
+                "pack_solo_mps": host_band,
+                "pack_during_d2h_mps": conc_band,
+                "ratio": round(conc_band[0] / max(host_band[0], 1e-9), 3),
+                "d2h_fetches_during": d2h_fetches[0],
+            }
+            print(
+                f"bench overlap-control: pack {host_band[0]} MP/s solo vs "
+                f"{conc_band[0]} MP/s during concurrent d2h "
+                f"({d2h_fetches[0]} fetches) -> ratio {control['ratio']}",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: overlap control failed: {exc}", file=sys.stderr)
+
+    # --- Stage 1: device pipeline, steady state (5 windows; the shared
+    # host + tunnel keepalive inject noise -> bands recorded) ---
     with Watchdog(WATCHDOG_S):
-        dt_dev = float("inf")
+        dev_rates = []
         for _ in range(5):
             t0 = time.perf_counter()
             rounds = 0
@@ -224,8 +393,11 @@ def main() -> None:
                 zz_dev = run_device()
                 rounds += 1
             zz_dev.block_until_ready()
-            dt_dev = min(dt_dev, (time.perf_counter() - t0) / rounds)
-    device_mps = mp_per_batch / dt_dev
+            dev_rates.append(
+                mp_per_batch / ((time.perf_counter() - t0) / rounds)
+            )
+    dev_band = band(dev_rates)
+    device_mps = dev_band[0]
 
     # --- Stage 1b: CLOSED-LOOP on-chip wall clock (VERDICT r3 task 1b).
     # One jit dispatch runs >= 8 full batches through coefficients +
@@ -235,6 +407,7 @@ def main() -> None:
     # This is a genuine wall-clock measurement of the sustained device
     # pipeline rate (compaction included), not min-of-stages arithmetic.
     closed_loop_mps = None
+    closed_band = None
     closed_loop_batches = int(os.environ.get("BENCH_CLOSED_LOOP_BATCHES", "32"))
     try:
         if cpu_fallback:
@@ -273,46 +446,28 @@ def main() -> None:
             # (observed), so the 12 B/batch device_get IS the honest
             # completion barrier (it adds one tunnel RTT, amortized over
             # the batches)
-            best = float("inf")
-            for _ in range(3):
+            cl_rates = []
+            for _ in range(5):
                 t0 = time.perf_counter()
                 digs = jax.device_get(closed_loop(dev_imgs, closed_loop_batches))
-                best = min(best, time.perf_counter() - t0)
-        closed_loop_mps = closed_loop_batches * mp_per_batch / best
+                cl_rates.append(
+                    closed_loop_batches * mp_per_batch
+                    / (time.perf_counter() - t0)
+                )
+        closed_band = band(cl_rates)
+        closed_loop_mps = closed_band[0]
         cl_total = int(digs[0][0])
         print(
             f"bench: closed-loop on-chip {closed_loop_batches} batches "
-            f"({closed_loop_batches * batch} imgs) in {best*1e3:.1f} ms -> "
-            f"{closed_loop_mps:.0f} MP/s wall-clock (coeffs + top-k "
+            f"({closed_loop_batches * batch} imgs) -> "
+            f"{closed_loop_mps:.0f} MP/s wall-clock "
+            f"[{closed_band[1]}..{closed_band[2]}] (coeffs + top-k "
             f"compaction, scalars-only d2h); {cl_total} nonzeros/batch, "
             f"max/block {int(digs[1].max())}",
             file=sys.stderr,
         )
     except Exception as exc:  # noqa: BLE001
         print(f"bench: closed-loop measurement failed: {exc}", file=sys.stderr)
-
-    # --- Stage 2: host entropy packing over the real streams ---
-    _, _, pattern = scan_layout(size, size, "rgb", "420")
-    huff = HuffmanTables()
-    assert native_available(), "native packer required for the benchmark"
-    if not overflow:
-        def pack(i):
-            dc_h, counts_h, poss_h, vals_h = fetched[i]
-            return native_pack_scan_padded(
-                dc_h, counts_h, poss_h, vals_h, pattern, huff, None
-            )
-    else:
-        def pack(i):
-            return native_pack_scan(zz_host[i], pattern, huff, None)
-
-    sizes = [len(pack(i)) for i in range(nf)]
-    dt_host = float("inf")
-    for _ in range(7):
-        t0 = time.perf_counter()
-        for i in range(nf):
-            pack(i)
-        dt_host = min(dt_host, time.perf_counter() - t0)
-    host_mps = size * size * nf / 1e6 / dt_host
 
     pipeline_mps = min(device_mps, host_mps)
     if cpu_fallback:
@@ -326,61 +481,96 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # --- Stage 3: MEASURED double-buffered stream (not just min(stage)
-    # arithmetic): encode_jpeg_stream over >=8 batches, device-compacted
-    # sparse streams included. On the dev tunnel the per-batch d2h fetch
-    # sits in this wall clock, so it is a lower bound for real hosts.
+    # --- Stage 3: MEASURED OVERLAPPED stream (VERDICT r4 task 1): one
+    # run of encode_jpeg_stream_overlapped keeps device compute, the d2h
+    # copy thread, and threaded packing concurrently in flight over >=8
+    # batches and records per-stage wall-clock intervals. On the dev
+    # tunnel the per-batch d2h dominates, so the RATE is a lower bound
+    # for real hosts — but the recorded stage intervals prove the
+    # machinery overlaps (copy/pack intersection > 0; stage busy sums
+    # exceed the wall clock).
     measured_mps = None
+    overlap_rec = None
     try:
         if cpu_fallback:
             raise RuntimeError("skipped in CPU fallback (no device stage)")
         from pixo_tpu.options import JpegOptions
-        from pixo_tpu.parallel.pipeline import encode_jpeg_stream
+        from pixo_tpu.parallel.pipeline import encode_jpeg_stream_overlapped
 
         opts = JpegOptions(width=size, height=size, quality=85)
         n_stream = int(os.environ.get("BENCH_STREAM_BATCHES", "8"))
         with Watchdog(WATCHDOG_S):
             # warm (compile of the sharded path)
-            for _ in encode_jpeg_stream([imgs], opts):
+            for _ in encode_jpeg_stream_overlapped([imgs], opts):
                 pass
         # two attempts: a tunnel that wedged during the first window can
         # recover for the second (VERDICT r3 task 1a: healthy-window retry)
         for _attempt in (1, 2):
+            stats = {}
             with Watchdog(WATCHDOG_S):
                 t0 = time.perf_counter()
                 total_imgs = 0
-                for outs in encode_jpeg_stream(
-                    (imgs for _ in range(n_stream)), opts
+                for outs in encode_jpeg_stream_overlapped(
+                    (imgs for _ in range(n_stream)), opts, stats=stats
                 ):
                     total_imgs += len(outs)
                 dt_stream = time.perf_counter() - t0
             mps = total_imgs * size * size / 1e6 / dt_stream
-            measured_mps = max(measured_mps or 0.0, mps)
-            if measured_mps >= 250.0:
-                break
+            if measured_mps is None or mps > measured_mps:
+                measured_mps = mps
+                busy_copy = sum(e - s for s, e in stats["copy_iv"])
+                busy_pack = sum(e - s for s, e in stats["pack_iv"])
+                ov = interval_overlap_s(stats["copy_iv"], stats["pack_iv"])
+                overlap_rec = {
+                    "batches": n_stream,
+                    "wall_s": round(dt_stream, 3),
+                    "copy_busy_s": round(busy_copy, 3),
+                    "pack_busy_s": round(busy_pack, 3),
+                    "copy_pack_overlap_s": round(ov, 3),
+                    # fraction of the smaller stage hidden under the other
+                    "overlap_frac_of_pack": round(
+                        ov / max(busy_pack, 1e-9), 3
+                    ),
+                }
+            if measured_mps >= 250.0 or dt_stream > 60.0:
+                break  # good enough, or too tunnel-sick to retry
+        print(
+            f"bench overlapped-stream: {measured_mps:.1f} MP/s over "
+            f"{n_stream} batches (d2h-bound on the dev tunnel); "
+            f"overlap {overlap_rec}",
+            file=sys.stderr,
+        )
     except Exception as exc:  # noqa: BLE001 - tunnel stalls must not kill bench
-        print(f"bench: stream measurement failed: {exc}", file=sys.stderr)
+        print(f"bench: overlapped stream measurement failed: {exc}",
+              file=sys.stderr)
 
+    avg_jpeg = int(np.mean(sizes))
+    stream_bytes = int(sum(a.nbytes for a in fetched[0])) if fetched else None
     print(
-        f"bench: {batch}x{size}x{size} q85 420 | device {device_mps:.0f} MP/s | "
-        f"host pack {host_mps:.0f} MP/s | pipelined min(stage) {pipeline_mps:.0f} MP/s | "
-        f"measured stream {('%.0f' % measured_mps) if measured_mps else 'n/a'} MP/s "
-        f"(incl. dev-tunnel d2h) | avg {int(np.mean(sizes))} B/img | "
+        f"bench: {batch}x{size}x{size} q85 420 | device {device_mps:.0f} MP/s "
+        f"[{dev_band[1]}..{dev_band[2]}] | "
+        f"host pack {host_mps:.0f} MP/s [{host_band[1]}..{host_band[2]}] | "
+        f"pipelined min(stage) {pipeline_mps:.0f} MP/s | "
+        f"measured overlapped stream "
+        f"{('%.1f' % measured_mps) if measured_mps else 'n/a'} MP/s "
+        f"(incl. dev-tunnel d2h) | avg {avg_jpeg} B/img | "
         f"d2h fetch {xfer_rate:.1f} MB/s "
         f"(dev-tunnel artifact; v5e PCIe is ~3 orders faster)",
         file=sys.stderr,
     )
 
     # Headline policy (VERDICT r2 task 4 + r3 task 1): when the MEASURED
-    # end-to-end stream — one wall clock over >=8 double-buffered batches,
-    # d2h included — clears the 250 MP/s/chip north star, IT is the
-    # headline. Otherwise the headline is min(closed-loop device wall
-    # clock, host pack stage): both terms are real wall-clock
-    # measurements (the closed loop runs >=8 batches through coefficients
-    # + compaction in one dispatch with scalars-only d2h, so the dev
-    # tunnel's MB/s-range d2h — a harness artifact; v5e PCIe is ~3 orders
-    # faster — cannot color it). Pure min-of-window-estimates only
-    # remains as the last fallback.
+    # end-to-end overlapped stream — one wall clock over >=8 batches with
+    # all three stages concurrently in flight, d2h included — clears the
+    # 250 MP/s/chip north star, IT is the headline. Otherwise the
+    # headline is min(closed-loop device wall clock, host pack stage):
+    # both terms are real wall-clock MEDIANS over >=5 trials (the closed
+    # loop runs >=8 batches through coefficients + compaction in one
+    # dispatch with scalars-only d2h, so the dev tunnel's MB/s-range d2h
+    # — a harness artifact; v5e PCIe is ~3 orders faster — cannot color
+    # it), and the overlap-control row proves the two stages compose
+    # rather than serialize. Pure min-of-window-estimates only remains as
+    # the last fallback.
     headline = pipeline_mps
     mode = "min-stage"
     if closed_loop_mps is not None:
@@ -388,28 +578,40 @@ def main() -> None:
         mode = "closed-loop-min-host"
     if measured_mps is not None and measured_mps >= 250.0:
         headline = measured_mps
-        mode = "measured-stream"
+        mode = "measured-stream-overlapped"
     record = {
         "metric": "jpeg_q85_420_encode_throughput",
         "value": round(headline, 1),
         "unit": "MP/s/chip",
         "vs_baseline": round(headline / BASELINE_MPS, 3),
         "mode": mode,
-        "device_stage_mps": round(device_mps, 1),
-        "host_pack_mps": round(host_mps, 1),
+        "device_stage_mps": dev_band,
+        "host_pack_mps": host_band,
     }
-    if closed_loop_mps is not None:
-        record["closed_loop_mps"] = round(closed_loop_mps, 1)
+    if closed_band is not None:
+        record["closed_loop_mps"] = closed_band
         record["closed_loop_batches"] = closed_loop_batches
     if fetched:
         # sparse-stream d2h volume per image (the PCIe handoff the host
-        # pack consumes) so the PCIe projection is auditable
-        record["sparse_stream_bytes_per_img"] = int(
-            sum(a.nbytes for a in fetched[0])
-        )
-        record["avg_jpeg_bytes_per_img"] = int(np.mean(sizes))
+        # pack consumes) so the PCIe projection is auditable arithmetic:
+        # required = bytes/img * (rate MP/s / MP/img) vs the v5e link
+        record["sparse_stream_bytes_per_img"] = stream_bytes
+        record["avg_jpeg_bytes_per_img"] = avg_jpeg
+        imgs_per_s = headline / (size * size / 1e6)
+        req_gbps = stream_bytes * imgs_per_s / 1e9
+        record["required_pcie_gbps_at_headline"] = round(req_gbps, 2)
+        record["v5e_pcie_gbps"] = V5E_PCIE_GBPS
+        record["pcie_headroom_x"] = round(V5E_PCIE_GBPS / max(req_gbps, 1e-9), 1)
     if measured_mps is not None:
-        record["measured_stream_mps"] = round(measured_mps, 1)
+        record["measured_stream_overlapped_mps"] = round(measured_mps, 1)
+    if overlap_rec is not None:
+        record["overlap"] = overlap_rec
+    if control is not None:
+        record["overlap_control"] = control
+    if pack_ab is not None:
+        record["pack_format_ab_mps"] = pack_ab
+    if png_bands is not None:
+        record["png_balanced_mps"] = png_bands
     if cpu_fallback:
         # machine-readable marker: this run measured only the binding
         # host stage (TPU tunnel unavailable); consumers must not read
@@ -458,7 +660,7 @@ def _run_supervised() -> None:
             # slack over the inner stage watchdogs: the budgeted
             # per-image fetch may legitimately spend ~2/3 WATCHDOG_S on a
             # slow-but-working tunnel before its own alarms fire
-            out, _ = proc.communicate(timeout=WATCHDOG_S + 180)
+            out, _ = proc.communicate(timeout=WATCHDOG_S + 240)
             text = out.decode()
             if proc.returncode == 0 and '"metric"' in text:
                 sys.stdout.write(text)
