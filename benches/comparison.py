@@ -292,6 +292,57 @@ def bench_png_presets(quick):
         row("png-presets", *cells)
 
 
+def _oracle_palette_cell(name, px):
+    """Measured oracle column (VERDICT r4 task 3): the reference's own
+    256-color palette, extracted from its full-size WASM output (the
+    wasm surface cannot express Force-256-no-dither — wasm.rs:78-110
+    maps lossy=true to Auto+dithering — but median_cut_palette runs
+    BEFORE dithering, mod.rs:1616-1621, so the Auto+dither output's
+    PLTE IS the palette the quoted Force-no-dither row would build),
+    remapped no-dither through the parity LUT and encoded balanced.
+    Requires the committed oracle cache; rocket has no such column
+    because the reference's Auto heuristic declines to quantize it,
+    so not even a palette is extractable through the wasm surface."""
+    import os as _os
+    import sys as _sys
+
+    from pixo_tpu import ColorType, PngOptions
+    from pixo_tpu.png import encoder as penc
+    from pixo_tpu.png import reduce as _reduce
+    from pixo_tpu.png.quantize import PaletteLut
+
+    _sys.path.insert(0, str(Path(__file__).parent.parent / "tests"))
+    _sys.path.insert(0, str(Path(__file__).parent.parent / "tests" / "support"))
+    try:
+        _os.environ.setdefault("PIXO_TPU_ORACLE_NO_RUN", "1")
+        from support.pixo_oracle import cached_call
+
+        h, w, bpp = px.shape
+        flat4 = px.reshape(-1, bpp)
+        if bpp == 3:
+            return "n/a (Auto declines; no wasm Force knob)"
+        ref = bytes(cached_call("png", px.tobytes(), w, h, 3, 1, True))
+        pos, plte = 8, None
+        while pos < len(ref):
+            ln = int.from_bytes(ref[pos:pos + 4], "big")
+            if ref[pos + 4:pos + 8] == b"PLTE":
+                plte = np.frombuffer(
+                    ref[pos + 8:pos + 8 + ln], np.uint8
+                ).reshape(-1, 3)
+            pos += 12 + ln
+        pal = np.concatenate(
+            [plte, np.full((len(plte), 1), 255, np.uint8)], 1
+        )
+        idx = PaletteLut(pal).lookup_many(flat4)
+        opts = PngOptions.balanced(w, h)
+        opts.color_type = ColorType.RGBA
+        alpha = _reduce.maybe_trim_transparency(pal[:, 3])
+        out = penc.encode_indexed(idx, w, h, plte, alpha, opts)
+        return fmt_size(len(out))
+    except Exception as exc:  # noqa: BLE001
+        return f"n/a ({type(exc).__name__})"
+
+
 def bench_png_lossy(quick):
     """Group 5: lossy PNG vs Pillow adaptive palette (reference §5 quotes
     pngquant: avatar 113.1 KB, rocket 392.9 KB — pixo 128.5/279.2)."""
@@ -305,6 +356,7 @@ def bench_png_lossy(quick):
         "PngOptions::balanced; the round-3 rows mistakenly ran the fast "
         "preset and overstated our sizes by ~5%)",
         "Image", "Dims", "ours no-dither", "ours dithered",
+        "oracle-palette (measured)",
         "Pillow palette", "ref pixo (quoted, no dither)")
     cases = [("Gradient 512", synth_gradient(512, 512),
               "4.3 KB (no dither)")]
@@ -329,6 +381,10 @@ def bench_png_lossy(quick):
             out = _our_png(img, opts)  # warm (absorbs any one-off compile)
             t = timeit(lambda: _our_png(img, opts), 0.3, 3)
             cells.append(f"{fmt_size(len(out))} / {fmt_time(t)}")
+        if name == "Gradient 512":
+            cells.append("n/a (synthetic)")
+        else:
+            cells.append(_oracle_palette_cell(name, img))
         mode = "RGB" if c == 3 else "RGBA"
         arr = img if c != 1 else img[..., 0]
         buf = io.BytesIO()
