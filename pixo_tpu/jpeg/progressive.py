@@ -90,6 +90,51 @@ def default_progressive_script() -> List[ScanSpec]:
     ]
 
 
+def sa_optimized_script() -> List[ScanSpec]:
+    """The shipping max-preset script (round 5): the libjpeg standard
+    successive-approximation scan ordering with the luma first band
+    widened to 1-8 — chosen by a measured search over script candidates
+    (benches/BENCHMARKS.md §6). Against the mozjpeg-style 18-scan script
+    (``default_progressive_script``) it is 1.2-3.8% smaller on every
+    benchmark fixture AND 4 scans shorter (fewer DHT+SOS headers, less
+    emission work); it beats mozjpeg's own quoted sizes on all five
+    group-6 fixtures (gradient 8.1 vs 8.2 KB, browser -2.5%,
+    multi-agent -1.7%, review -2.8%, web -3.0%), with decoded pixels
+    identical to the 18-scan script's (all scans fully refine to Al=0,
+    so the script choice never changes coefficients, only stream
+    layout). Whole-band 1-63 refinement scans beat per-band
+    refinements because each refinement scan pays a table + header and
+    splits EOB runs at band boundaries."""
+    return [
+        ScanSpec((0,), 0, 0, 0, 1),
+        ScanSpec((1,), 0, 0, 0, 1),
+        ScanSpec((2,), 0, 0, 0, 1),
+        ScanSpec((0,), 1, 8, 0, 2),
+        ScanSpec((2,), 1, 63, 0, 1),
+        ScanSpec((1,), 1, 63, 0, 1),
+        ScanSpec((0,), 9, 63, 0, 2),
+        ScanSpec((0,), 1, 63, 2, 1),
+        ScanSpec((0,), 0, 0, 1, 0),
+        ScanSpec((1,), 0, 0, 1, 0),
+        ScanSpec((2,), 0, 0, 1, 0),
+        ScanSpec((2,), 1, 63, 1, 0),
+        ScanSpec((1,), 1, 63, 1, 0),
+        ScanSpec((0,), 1, 63, 1, 0),
+    ]
+
+
+def gray_sa_optimized_script() -> List[ScanSpec]:
+    """Luma-only rows of :func:`sa_optimized_script`."""
+    return [
+        ScanSpec((0,), 0, 0, 0, 1),
+        ScanSpec((0,), 1, 8, 0, 2),
+        ScanSpec((0,), 9, 63, 0, 2),
+        ScanSpec((0,), 1, 63, 2, 1),
+        ScanSpec((0,), 0, 0, 1, 0),
+        ScanSpec((0,), 1, 63, 1, 0),
+    ]
+
+
 def gray_progressive_script() -> List[ScanSpec]:
     return [
         ScanSpec((0,), 0, 0, 0, 0),
@@ -450,8 +495,8 @@ def build_progressive_tables(
 def get_script(options: JpegOptions) -> List[ScanSpec]:
     sa = getattr(options, "progressive_sa", True)
     if options.color_type == ColorType.GRAY:
-        return gray_sa_progressive_script() if sa else gray_progressive_script()
-    return default_progressive_script() if sa else simple_progressive_script()
+        return gray_sa_optimized_script() if sa else gray_progressive_script()
+    return sa_optimized_script() if sa else simple_progressive_script()
 
 
 def _build_scan_table(comp_blocks, scan: ScanSpec):
