@@ -37,6 +37,130 @@ REF_FIXTURES = Path("/root/reference/tests/fixtures")
 LOCAL_FIXTURES = Path(__file__).resolve().parent.parent / "tests" / "fixtures"
 
 
+# --- external-competitor probe (VERDICT r4 task 9) ---------------------
+# The reference's comparison bench SPAWNS oxipng/mozjpeg/pngquant/zopfli
+# as external binaries (/root/reference/benches/comparison.rs, the
+# external-binary harness around :600-700).  This environment has no
+# network egress (a `pip install pyoxipng` attempt fails at DNS — see
+# NOTES.md round 5) and ships neither the binaries nor their Python
+# wrappers, so those columns are quoted from the reference's published
+# tables.  The probe below keeps the measured path alive: on any host
+# where a wrapper module or a binary IS present, the quoted column is
+# replaced by a same-host measured one automatically.
+
+COMPETITOR_SPECS = {
+    "oxipng": {"modules": ("oxipng",), "binaries": ("oxipng",)},
+    "pngquant": {"modules": ("imagequant",), "binaries": ("pngquant",)},
+    "mozjpeg": {"modules": ("mozjpeg_lossless_optimization",),
+                "binaries": ("mozcjpeg", "cjpeg")},
+    "zopflipng": {"modules": ("zopfli",), "binaries": ("zopflipng",)},
+}
+
+
+def probe_competitors():
+    """Return {tool: ("module", name) | ("binary", path)} for every
+    competitor available on this host; tools absent from the mapping
+    fall back to the reference's quoted numbers."""
+    import importlib.util
+    import shutil
+
+    found = {}
+    for tool, spec in COMPETITOR_SPECS.items():
+        for mod in spec["modules"]:
+            try:
+                if importlib.util.find_spec(mod) is not None:
+                    found[tool] = ("module", mod)
+                    break
+            except (ImportError, ValueError):
+                pass
+        if tool in found:
+            continue
+        for b in spec["binaries"]:
+            path = shutil.which(b)
+            if path:
+                found[tool] = ("binary", path)
+                break
+    return found
+
+
+def competitor_note(found):
+    """One documented line about measured-vs-quoted competitor columns."""
+    missing = sorted(set(COMPETITOR_SPECS) - set(found))
+    if not missing:
+        return "# all competitor columns measured same-host"
+    msg = (f"# competitor columns: {', '.join(missing)} unavailable "
+           f"(no binary on PATH, no wrapper module, pip blocked by "
+           f"zero-egress) -> quoted from the reference's published tables")
+    if found:
+        msg += f"; measured: {', '.join(sorted(found))}"
+    return msg
+
+
+def _run_binary(argv, stdin_bytes=None):
+    import subprocess
+
+    r = subprocess.run(argv, input=stdin_bytes, capture_output=True,
+                       timeout=300)
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr.decode(errors="replace")[:200])
+    return r.stdout
+
+
+def measured_mozjpeg(img, quality=85):
+    """Same-host mozjpeg q85 4:2:0 progressive bytes, or None."""
+    how = probe_competitors().get("mozjpeg")
+    if how is None:
+        return None
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".ppm") as f:
+        h, w = img.shape[:2]
+        f.write(b"P6\n%d %d\n255\n" % (w, h))
+        f.write(np.ascontiguousarray(img[..., :3]).tobytes())
+        f.flush()
+        if how[0] == "binary":
+            return _run_binary([how[1], "-quality", str(quality),
+                                "-sample", "2x2", "-progressive",
+                                "-optimize", f.name])
+        import mozjpeg_lossless_optimization as mlo  # lossless-only wrapper
+
+        base = _pillow_jpeg(img, quality=quality)
+        return mlo.optimize(base)
+
+
+def measured_pngquant(img):
+    """Same-host pngquant/imagequant 256-color PNG bytes, or None."""
+    how = probe_competitors().get("pngquant")
+    if how is None:
+        return None
+    if how[0] == "binary":
+        src = _pillow_png(img, 1)
+        return _run_binary([how[1], "--force", "--speed", "1", "256", "-"],
+                           stdin_bytes=src)
+    import imagequant
+    from PIL import Image
+
+    mode = {3: "RGB", 4: "RGBA"}[img.shape[2]]
+    pim = Image.fromarray(img, mode).convert("RGBA")
+    q = imagequant.quantize_pil_image(pim, max_colors=256)
+    buf = io.BytesIO()
+    q.save(buf, "PNG", optimize=True)
+    return buf.getvalue()
+
+
+def measured_oxipng(png_bytes):
+    """Same-host oxipng -o4 recompression of *png_bytes*, or None."""
+    how = probe_competitors().get("oxipng")
+    if how is None:
+        return None
+    if how[0] == "binary":
+        return _run_binary([how[1], "-o", "4", "--stdout", "-"],
+                           stdin_bytes=png_bytes)
+    import oxipng
+
+    return oxipng.optimize_from_memory(png_bytes, level=4)
+
+
 def timeit(fn, min_time=0.3, max_iters=50):
     fn()
     t0 = time.perf_counter()
@@ -260,8 +384,12 @@ def bench_png_presets(quick):
     """Group 4: presets x fixtures (reference §4 quotes oxipng)."""
     from pixo_tpu import PngOptions
 
+    measured_oxi = "oxipng" in probe_competitors()
+    cols = ["Image", "Dims", "fast", "balanced", "max", "Pillow opt"]
+    if measured_oxi:
+        cols.append("oxipng -o4 (measured)")
     hdr("4. PNG presets (size / time; ref quotes: see BENCHMARKS.md §4)",
-        "Image", "Dims", "fast", "balanced", "max", "Pillow opt")
+        *cols)
     cases = [("Gradient 512", synth_gradient(512, 512), None)]
     if REF_FIXTURES.is_dir():
         for nm in ("rocket.png", "reference/squoosh_example_palette.png"):
@@ -289,6 +417,9 @@ def bench_png_presets(quick):
         pil = _pillow_png(img, 9, optimize=True)
         tp = timeit(lambda: _pillow_png(img, 9, optimize=True), 0.3, 3)
         cells.append(f"{fmt_size(len(pil))} / {fmt_time(tp)}")
+        if measured_oxi:
+            out = measured_oxipng(_pillow_png(img, 1))
+            cells.append(fmt_size(len(out)))
         row("png-presets", *cells)
 
 
@@ -357,7 +488,10 @@ def bench_png_lossy(quick):
         "preset and overstated our sizes by ~5%)",
         "Image", "Dims", "ours no-dither", "ours dithered",
         "oracle-palette (measured)",
-        "Pillow palette", "ref pixo (quoted, no dither)")
+        "Pillow palette", "ref pixo (quoted, no dither)",
+        *(["pngquant (measured)"]
+          if "pngquant" in probe_competitors() else []))
+    measured_pq = "pngquant" in probe_competitors()
     cases = [("Gradient 512", synth_gradient(512, 512),
               "4.3 KB (no dither)")]
     if REF_FIXTURES.is_dir():
@@ -395,6 +529,9 @@ def bench_png_lossy(quick):
             buf, "PNG", optimize=True
         )
         cells += [fmt_size(len(buf.getvalue())), ref]
+        if measured_pq:
+            out = measured_pngquant(img)
+            cells.append(fmt_size(len(out)))
         row("png-lossy", *cells)
 
 
@@ -415,6 +552,7 @@ def bench_jpeg_presets(quick):
         for nm, moz in fixture_rows:
             img, _ = load_jpg_fixture(nm)
             cases.append((nm, img, moz))
+    measured_moz = "mozjpeg" in probe_competitors()
     for name, img, moz in cases:
         h, w = img.shape[:2]
         cells = [name, f"{w}x{h}"]
@@ -427,7 +565,11 @@ def bench_jpeg_presets(quick):
         tp = timeit(lambda: _pillow_jpeg(img, optimize=True, progressive=True),
                     0.3, 3)
         cells.append(f"{fmt_size(len(pil))} / {fmt_time(tp)}")
-        cells.append(moz)
+        if measured_moz:
+            out = measured_mozjpeg(img, 85)
+            cells.append(f"{fmt_size(len(out))} (measured)")
+        else:
+            cells.append(moz)
         row("jpeg-presets", *cells)
 
 
@@ -460,6 +602,7 @@ def main():
     print(f"# comparison bench — device={args.device} quick={args.quick}")
     print(f"# reference numbers quoted from "
           f"/root/reference/benches/BENCHMARKS.md")
+    print(competitor_note(probe_competitors()))
     for g in args.groups.split(","):
         GROUPS[g.strip()](args.quick)
 

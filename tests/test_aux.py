@@ -332,3 +332,53 @@ class TestPlayground:
         status, _, err = self._post(server, "format=png&name=x.png",
                                     b"not an image")
         assert status == 422 and b"unrecognized" in err
+
+
+class TestCompetitorProbe:
+    """VERDICT r4 task 9: the comparison bench's external-competitor
+    columns are measured same-host when a tool exists and documented
+    as quoted otherwise (the reference spawns oxipng/mozjpeg/pngquant
+    binaries, /root/reference/benches/comparison.rs external-binary
+    harness; this environment is zero-egress with none baked in)."""
+
+    def _mod(self):
+        import importlib.util
+        import os as _os
+        spec = importlib.util.spec_from_file_location(
+            "comparison_bench",
+            _os.path.join(_os.path.dirname(__file__), "..", "benches",
+                          "comparison.py"))
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        return m
+
+    def test_probe_returns_known_tools_only(self):
+        m = self._mod()
+        found = m.probe_competitors()
+        assert isinstance(found, dict)
+        assert set(found) <= set(m.COMPETITOR_SPECS)
+        for how, where in found.values():
+            assert how in ("module", "binary") and where
+
+    def test_note_documents_skip_or_measured(self):
+        m = self._mod()
+        note = m.competitor_note({})
+        assert "quoted" in note and "unavailable" in note
+        for tool in m.COMPETITOR_SPECS:
+            assert tool in note
+        note2 = m.competitor_note(
+            {t: ("binary", "/bin/true") for t in m.COMPETITOR_SPECS})
+        assert "measured" in note2 and "quoted" not in note2
+
+    def test_measured_helpers_none_or_bytes(self):
+        m = self._mod()
+        img = np.zeros((16, 16, 3), np.uint8)
+        found = m.probe_competitors()
+        moz = m.measured_mozjpeg(img, 85)
+        assert (moz is None) == ("mozjpeg" not in found)
+        if moz is not None:
+            assert moz[:2] == b"\xff\xd8"
+        pq = m.measured_pngquant(img)
+        assert (pq is None) == ("pngquant" not in found)
+        if pq is not None:
+            assert pq[:4] == b"\x89PNG"
