@@ -1,6 +1,6 @@
 # CI-style entry points (mirrors .github/workflows/ci.yml)
 
-.PHONY: all native test bench components demo clean ci install
+.PHONY: all native test bench components demo clean ci install cov
 
 all: native test
 
@@ -9,8 +9,16 @@ all: native test
 ci: native
 	pip install -e . --no-deps --no-build-isolation -q
 	pixo-tpu --version
-	python -m pytest tests/ -x -q
+	PIXO_TPU_COV=1 python -m pytest tests/ -x -q
+	python tests/support/coverage_lite.py --check 85
 	PIXO_TPU_BENCH_CPU=1 BENCH_SIZE=256 BENCH_BATCH=4 python bench.py
+
+# coverage report without the rest of the ci pipeline (writes
+# .coverage_lite.json; stdlib sys.monitoring collector — pytest-cov is
+# not installable in the zero-egress harness)
+cov: native
+	PIXO_TPU_COV=1 python -m pytest tests/ -x -q
+	python tests/support/coverage_lite.py --check 85 --worst 15
 
 install:
 	pip install -e . --no-deps --no-build-isolation

@@ -15,6 +15,15 @@ os.environ["XLA_FLAGS"] = (
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Coverage gate (make ci): start the sys.monitoring collector BEFORE any
+# pixo_tpu import so module-level lines are credited. pytest-cov is not
+# installable here (zero-egress); see tests/support/coverage_lite.py.
+_cov = None
+if os.environ.get("PIXO_TPU_COV") == "1":
+    from tests.support import coverage_lite as _coverage_lite
+
+    _cov = _coverage_lite.install()
+
 import jax  # noqa: E402
 
 # The environment's axon TPU plugin injects itself into jax_platforms even
@@ -54,3 +63,11 @@ def pytest_configure(config):
         "tpu: on-chip validation against the real TPU (opt-in: pytest -m tpu; "
         "skips when no healthy chip is reachable)",
     )
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if _cov is not None:
+        from tests.support import coverage_lite
+
+        rep = _cov.write_report()
+        print("\n" + coverage_lite.summarize(rep))

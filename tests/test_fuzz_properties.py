@@ -173,6 +173,12 @@ def _mutation_corpus():
         jpeg.encode(rgb[:, :, 0], JpegOptions(width=24, height=17, quality=80,
                                               color_type=ColorType.GRAY))
     )
+    # max preset: trellis + successive-approximation scan script with
+    # per-scan optimal tables — the SA refine/EOB-run decode paths
+    # (VERDICT r4 task 8: extend mutation fuzzing to SA decode)
+    out["jpeg_sa_max"] = bytes(
+        jpeg.encode(rgb, JpegOptions.from_preset(24, 17, 80, 2))
+    )
     return out
 
 
@@ -239,14 +245,14 @@ class TestDecodeMutationFuzz:
         self._expect_clean(decode_png, _png_fix_crcs(bytes(data)))
 
     @fuzz_settings
-    @given(key=st.sampled_from(["jpeg_420", "jpeg_prog", "jpeg_gray"]),
+    @given(key=st.sampled_from(["jpeg_420", "jpeg_prog", "jpeg_gray", "jpeg_sa_max"]),
            frac=st.floats(0.0, 1.0))
     def test_jpeg_truncation(self, key, frac):
         data = _mutation_corpus()[key]
         self._expect_clean(decode_jpeg, data[: int(len(data) * frac)])
 
     @fuzz_settings
-    @given(key=st.sampled_from(["jpeg_420", "jpeg_prog", "jpeg_gray"]),
+    @given(key=st.sampled_from(["jpeg_420", "jpeg_prog", "jpeg_gray", "jpeg_sa_max"]),
            pos=st.integers(2, 10_000), bit=st.integers(0, 7))
     def test_jpeg_bitflip(self, key, pos, bit):
         # no CRC in JPEG: every flip lands on live marker parsing or the
@@ -276,3 +282,129 @@ class TestDecodeFuzzRobustness:
             decode_jpeg(b"\xff\xd8" + data)
         except errors.PixoError:
             pass
+
+
+class TestOptimalDeflateFuzz:
+    """VERDICT r4 task 8: fuzz the optimal-parse DEFLATE (Zopfli-style DP,
+    the reference's deflate_optimal_zlib analog) on both the perf path
+    and the byte-parity path — round-trip through zlib AND our INFLATE,
+    and never worse than greedy level 9 (the dispatcher's contract)."""
+
+    def _opt(self, data, parity, iterations=2):
+        import os
+
+        from pixo_tpu.compress.deflate import deflate_optimal_zlib
+
+        old = os.environ.get("PIXO_TPU_DEFLATE_PARITY")
+        os.environ["PIXO_TPU_DEFLATE_PARITY"] = "1" if parity else "0"
+        try:
+            return deflate_optimal_zlib(data, iterations)
+        finally:
+            if old is None:
+                os.environ.pop("PIXO_TPU_DEFLATE_PARITY", None)
+            else:
+                os.environ["PIXO_TPU_DEFLATE_PARITY"] = old
+
+    @fuzz_settings
+    @given(data=st.binary(min_size=0, max_size=3000), parity=st.booleans())
+    def test_optimal_roundtrip(self, data, parity):
+        c = self._opt(data, parity)
+        assert zlib.decompress(c) == data
+        assert inflate_zlib(c, len(data)) == data
+        if not parity:
+            # perf-path contract: dispatcher returns min(optimal, greedy-9).
+            # The parity path instead matches the reference byte-for-byte,
+            # which can emit a larger stored block on tiny inputs.
+            assert len(c) <= len(deflate_zlib(data, 9))
+
+    @fuzz_settings
+    @given(seed=st.integers(0, 2**32 - 1), n=st.integers(0, 8000),
+           parity=st.booleans())
+    def test_optimal_structured_roundtrip(self, seed, n, parity):
+        rng = np.random.default_rng(seed)
+        parts, remaining = [], n
+        while remaining > 0:
+            kind = rng.integers(0, 3)
+            ln = int(rng.integers(1, min(remaining, 400) + 1))
+            if kind == 0:
+                parts.append(bytes([int(rng.integers(0, 256))]) * ln)
+            elif kind == 1 and parts:
+                prev = b"".join(parts)
+                parts.append(prev[-ln:] if len(prev) >= ln else prev)
+            else:
+                parts.append(rng.integers(0, 256, ln, np.uint8).tobytes())
+            remaining -= ln
+        data = b"".join(parts)[:n]
+        c = self._opt(data, parity)
+        assert zlib.decompress(c) == data
+        if not parity:
+            assert len(c) <= len(deflate_zlib(data, 9))
+
+    @fuzz_settings
+    @given(seed=st.integers(0, 2**32 - 1), pos=st.integers(0, 10_000),
+           bit=st.integers(0, 7))
+    def test_optimal_stream_bitflip_inflate_clean(self, seed, pos, bit):
+        # optimal-parse output uses block splits / layouts greedy never
+        # emits; corrupting it exercises INFLATE table paths the greedy
+        # mutation corpus cannot reach
+        from pixo_tpu import errors
+
+        rng = np.random.default_rng(seed)
+        base = rng.integers(0, 8, 2048, np.uint8).tobytes() * 2
+        c = bytearray(self._opt(base, False))
+        c[pos % len(c)] ^= 1 << bit
+        try:
+            out = inflate_zlib(bytes(c), len(base))
+            assert len(out) <= len(base)
+        except errors.PixoError:
+            pass
+
+
+class TestAdam7AndDeep16Fuzz:
+    """VERDICT r4 task 8: property round-trips for the beyond-parity
+    Adam7 and 16-bit encode paths (example-based coverage lives in
+    test_interlace.py / test_png16.py; hypothesis sweeps dims 1-64,
+    every color type, and the interlace x depth product here)."""
+
+    CTS = [ColorType.GRAY, ColorType.GRAY_ALPHA, ColorType.RGB,
+           ColorType.RGBA]
+
+    @fuzz_settings
+    @given(w=dims, h=dims, seed=st.integers(0, 2**32 - 1),
+           ct=st.sampled_from(CTS))
+    def test_adam7_encode_roundtrip(self, w, h, seed, ct):
+        rng = np.random.default_rng(seed)
+        ch = ct.bytes_per_pixel
+        img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        data = png.encode(img, PngOptions(width=w, height=h, color_type=ct,
+                                          interlace=True))
+        assert data[8 + 8 + 12] == 1  # IHDR interlace byte
+        own = decode_png(data)
+        got = own.pixels.reshape(h, w, -1)
+        np.testing.assert_array_equal(got.reshape(h, w, ch), img)
+        mode = {1: "L", 2: "LA", 3: "RGB", 4: "RGBA"}[ch]
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert(mode))
+        np.testing.assert_array_equal(pil.reshape(h, w, ch), img)
+
+    @fuzz_settings
+    @given(w=dims, h=dims, seed=st.integers(0, 2**32 - 1),
+           ct=st.sampled_from(CTS), interlace=st.booleans())
+    def test_png16_encode_roundtrip(self, w, h, seed, ct, interlace):
+        rng = np.random.default_rng(seed)
+        ch = ct.bytes_per_pixel
+        img = rng.integers(0, 65536, (h, w, ch), dtype=np.uint16)
+        data = png.encode(img, PngOptions(width=w, height=h, color_type=ct,
+                                          bit_depth=16, interlace=interlace))
+        assert data[8 + 8 + 8] == 16  # IHDR bit depth
+        own = decode_png(data, keep_bit_depth=True)
+        assert own.pixels.dtype == np.uint16
+        np.testing.assert_array_equal(own.pixels.reshape(h, w, ch), img)
+        # default decode = reference-parity high byte
+        own8 = decode_png(data)
+        np.testing.assert_array_equal(
+            own8.pixels.reshape(h, w, ch), (img >> 8).astype(np.uint8))
+        if ch == 1:
+            # Pillow reads 16-bit gray exactly (I;16 / I)
+            pil = np.asarray(Image.open(io.BytesIO(data)))
+            np.testing.assert_array_equal(
+                pil.astype(np.uint16).reshape(h, w), img[..., 0])
