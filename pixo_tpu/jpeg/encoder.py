@@ -267,7 +267,7 @@ def _build_tables(
     options: JpegOptions,
 ) -> HuffmanTables:
     if not (options.optimize_huffman or options.optimal_huffman):
-        return HuffmanTables()
+        return HuffmanTables.default()
     dc_lum, dc_chrom, ac_lum, ac_chrom = _count(zz, pattern, options.restart_interval)
     is_gray = options.color_type == ColorType.GRAY
     built = HuffmanTables.optimized_from_counts(
@@ -277,7 +277,7 @@ def _build_tables(
         None if is_gray else ac_chrom,
         optimal=options.optimal_huffman,
     )
-    return built if built is not None else HuffmanTables()
+    return built if built is not None else HuffmanTables.default()
 
 
 def _as_image_array(data, options: JpegOptions, bpp: int) -> np.ndarray:
@@ -349,7 +349,11 @@ def _emit_jpeg(
         # src/jpeg/mod.rs:409 but its scans never restart; not reproduced).
         progressive.encode_progressive(out, zz_scan, pattern, options, huff)
     else:
-        huff = _build_tables(zz, pattern, options)
+        huff = (
+            _build_tables(zz, pattern, options)
+            if zz is not None
+            else HuffmanTables.default()
+        )
         markers.write_sof(
             out, markers.SOF0, options.width, options.height,
             options.color_type, options.subsampling,
@@ -358,7 +362,27 @@ def _emit_jpeg(
         if options.restart_interval is not None:
             markers.write_dri(out, options.restart_interval)
         markers.write_sos(out, options.color_type)
-        out += _pack(zz, pattern, huff, options.restart_interval)
+        payload = None
+        if zz is None:
+            # Fused latency tier (see _fused_ok): coefficients + pack in
+            # one native call, byte-identical to the two-stage path.
+            from ..native import native_jpeg_encode_scan
+
+            if options.color_type == ColorType.GRAY:
+                mode = "gray"
+            elif options.subsampling == Subsampling.S420:
+                mode = "420"
+            else:
+                mode = "444"
+            payload = native_jpeg_encode_scan(
+                img, mode, quant.luminance_table, quant.chrominance_table,
+                pattern, huff, options.restart_interval,
+            )
+        if payload is None:
+            if zz is None:
+                zz = compute_coefficients(img, options, quant)
+            payload = _pack(zz, pattern, huff, options.restart_interval)
+        out += payload
     markers.write_eoi(out)
     return bytes(out)
 
@@ -389,6 +413,22 @@ def _emit_with_sa_fallback(
     return out
 
 
+def _fused_ok(options: JpegOptions) -> bool:
+    """True when the baseline default-table configuration (exactly the
+    fast preset / one-shot CLI default) can take the single-call fused
+    native path: coefficients+pack in C++, no [nblocks, 64] int16
+    materialization and one ctypes crossing instead of two. Optimized-
+    Huffman encodes need the coefficient array for the counting pass,
+    and progressive re-derives coefficients itself, so neither fuses."""
+    if options.progressive or options.optimize_huffman or options.optimal_huffman:
+        return False
+    if not (_coeff_tier() == "host" or auto_host_tier("PIXO_TPU_COEFFS")):
+        return False
+    from ..native import native_has_fused_encode
+
+    return native_has_fused_encode()
+
+
 def encode(data, options: JpegOptions) -> bytes:
     """Encode one image (flat bytes or [H, W, C] uint8 array) to JPEG bytes."""
     if isinstance(data, np.ndarray):
@@ -408,7 +448,7 @@ def encode(data, options: JpegOptions) -> bytes:
     # full wasted DCT+quantize pass, ~40% of max-preset encode at 3 MP
     zz = (
         None
-        if options.progressive and options.trellis_quant
+        if (options.progressive and options.trellis_quant) or _fused_ok(options)
         else compute_coefficients(img, options, quant)
     )
     return _emit_with_sa_fallback(
@@ -450,10 +490,12 @@ def encode_batch(imgs: np.ndarray, options: JpegOptions) -> List[bytes]:
         # (ctypes releases the GIL) — no XLA dispatch at all
         import concurrent.futures
 
+        fused = _fused_ok(options)
+
         def one(i: int) -> bytes:
             zz = (
                 None
-                if plain_unused
+                if plain_unused or fused
                 else compute_coefficients_host(imgs[i], options, quant)
             )
             return _emit_with_sa_fallback(

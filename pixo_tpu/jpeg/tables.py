@@ -11,6 +11,7 @@ Behavioral parity:
 
 from __future__ import annotations
 
+import functools
 import heapq
 from typing import Optional, Sequence, Tuple
 
@@ -183,6 +184,15 @@ class HuffmanTables:
         if t is None:
             raise ValueError("invalid ac_chrom huffman spec")
         self.ac_chrom_codes, self.ac_chrom_lengths = t
+
+    @classmethod
+    @functools.lru_cache(maxsize=1)
+    def default(cls) -> "HuffmanTables":
+        """The Annex-K standard tables, built once per process. All four
+        code arrays are read-only by convention (nothing in the package
+        mutates a constructed table); non-optimized encodes share this
+        instance instead of re-deriving ~600 canonical codes per image."""
+        return cls()
 
     @classmethod
     def optimized_from_counts(

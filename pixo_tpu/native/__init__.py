@@ -89,6 +89,20 @@ def _configure(lib) -> None:
         u8p, ctypes.c_int64,             # out buffer, capacity
     ]
 
+    if hasattr(lib, "jpeg_encode_scan_fused"):
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.jpeg_encode_scan_fused.restype = ctypes.c_int64
+        lib.jpeg_encode_scan_fused.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32,                  # img, h, w, c_in, mode
+            f32p, f32p,                      # qlum, qchrom (natural [64])
+            u8p, ctypes.c_int32,             # pattern, blocks per mcu
+            u16p, u8p, u16p, u8p,            # dc lum/chrom codes+lens
+            u16p, u8p, u16p, u8p,            # ac lum/chrom codes+lens
+            ctypes.c_int32,                  # restart interval (0 = off)
+            u8p, ctypes.c_int64,             # out buffer, capacity
+        ]
+
     lib.jpeg_pack_scan_sparse.restype = ctypes.c_int64
     lib.jpeg_pack_scan_sparse.argtypes = [
         i16p, u8p, u8p, i16p,            # dc, counts, positions, values
@@ -773,6 +787,70 @@ def native_jpeg_coefficients(
     if rc != nblocks:
         return None
     return out
+
+
+def native_has_fused_encode() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "jpeg_encode_scan_fused")
+
+
+def native_jpeg_encode_scan(
+    img: np.ndarray,       # [h, w] uint8 (gray) or [h, w, 3|4] uint8
+    mode: str,             # "gray" | "444" | "420"
+    qlum: np.ndarray,      # natural-order [64] float32
+    qchrom: np.ndarray,
+    pattern: Sequence[int],
+    tables,
+    restart_interval: Optional[int],
+) -> Optional[bytes]:
+    """Fused coefficients+pack in one native call: the entropy-coded scan
+    payload for the baseline path without materializing the [nblocks, 64]
+    int16 array or crossing ctypes twice. Byte-identical to
+    native_jpeg_coefficients -> native_pack_scan (same quantizer, same
+    per-block packer, same block order). Returns scan bytes or None
+    (library/ISA unavailable)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "jpeg_encode_scan_fused"):
+        return None
+    m = {"gray": 0, "444": 1, "420": 2}[mode]
+    h, w = img.shape[:2]
+    c_in = 1 if img.ndim == 2 else img.shape[2]
+    if m == 0:
+        nblocks = ((h + 7) // 8) * ((w + 7) // 8)
+    elif m == 1:
+        nblocks = ((h + 7) // 8) * ((w + 7) // 8) * 3
+    else:
+        nblocks = ((h + 15) // 16) * ((w + 15) // 16) * 6
+    img = np.ascontiguousarray(img)
+    ql = np.ascontiguousarray(qlum.reshape(-1).astype(np.float32))
+    qc = np.ascontiguousarray(qchrom.reshape(-1).astype(np.float32))
+    pat = np.asarray(pattern, dtype=np.uint8)
+    cap = nblocks * 64 * 4 + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+
+    def u16(a):
+        return np.ascontiguousarray(a, dtype=np.uint16).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint16))
+
+    def u8a(a):
+        return np.ascontiguousarray(a, dtype=np.uint8).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8))
+
+    n = lib.jpeg_encode_scan_fused(
+        _u8(img.reshape(-1)), h, w, c_in, m,
+        ql.ctypes.data_as(f32p), qc.ctypes.data_as(f32p),
+        _u8(pat), len(pattern),
+        u16(tables.dc_lum_codes), u8a(tables.dc_lum_lengths),
+        u16(tables.dc_chrom_codes), u8a(tables.dc_chrom_lengths),
+        u16(tables.ac_lum_codes), u8a(tables.ac_lum_lengths),
+        u16(tables.ac_chrom_codes), u8a(tables.ac_chrom_lengths),
+        restart_interval or 0,
+        _u8(out), cap,
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes()
 
 
 def native_jpeg_dct_zz(

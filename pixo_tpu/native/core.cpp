@@ -234,6 +234,48 @@ static inline uint64_t nonzero_mask_ac(const int16_t* block) {
 
 }  // namespace jpeg
 
+namespace jpeg {
+// One baseline block: DC diff + AC run-length coding against the given
+// component tables. Shared verbatim by jpeg_pack_scan and the fused
+// coefficients+pack path (jpeg_encode_scan_fused) so both emit
+// byte-identical streams.
+static inline void pack_one_block(
+    MsbWriter& w, const int16_t* block,
+    const uint16_t* dcc, const uint8_t* dcl,
+    const uint16_t* acc, const uint8_t* acl, int& prev) {
+    int dc = block[0];
+    int diff = dc - prev;
+    prev = dc;
+    int cat = category(diff);
+    // fuse huffman code + value bits into a single accumulator push
+    {
+        int bits = (diff < 0) ? diff - 1 : diff;
+        uint32_t val = (uint32_t)bits & ((cat == 0) ? 0 : ((1u << cat) - 1));
+        w.write(((uint32_t)dcc[cat] << cat) | val, dcl[cat] + cat);
+    }
+
+    uint64_t mask = nonzero_mask_ac(block);
+    int prev_pos = 0;
+    while (mask) {
+        int pos = __builtin_ctzll(mask);
+        mask &= mask - 1;
+        int zero_run = pos - prev_pos - 1;
+        while (zero_run >= 16) {
+            w.write(acc[0xF0], acl[0xF0]);
+            zero_run -= 16;
+        }
+        int ac = block[pos];
+        int ac_cat = category(ac);
+        int rs = (zero_run << 4) | ac_cat;
+        int bits = (ac < 0) ? ac - 1 : ac;
+        uint32_t val = (uint32_t)bits & ((1u << ac_cat) - 1);
+        w.write(((uint32_t)acc[rs] << ac_cat) | val, acl[rs] + ac_cat);
+        prev_pos = pos;
+    }
+    if (prev_pos != 63) w.write(acc[0x00], acl[0x00]);
+}
+}  // namespace jpeg
+
 EXPORT int64_t jpeg_pack_scan(
     const int16_t* zz, int64_t nblocks,
     const uint8_t* pattern, int32_t bpm,
@@ -257,42 +299,10 @@ EXPORT int64_t jpeg_pack_scan(
         const int16_t* base = zz + mcu * bpm * 64;
         for (int k = 0; k < bpm; k++) {
             int comp = pattern[k];
-            const int16_t* block = base + (int64_t)k * 64;
-            const uint16_t* dcc = dc_codes[comp];
-            const uint8_t* dcl = dc_lens[comp];
-            const uint16_t* acc = ac_codes[comp];
-            const uint8_t* acl = ac_lens[comp];
-
-            int dc = block[0];
-            int diff = dc - prev_dc[comp];
-            prev_dc[comp] = dc;
-            int cat = jpeg::category(diff);
-            // fuse huffman code + value bits into a single accumulator push
-            {
-                int bits = (diff < 0) ? diff - 1 : diff;
-                uint32_t val = (uint32_t)bits & ((cat == 0) ? 0 : ((1u << cat) - 1));
-                w.write(((uint32_t)dcc[cat] << cat) | val, dcl[cat] + cat);
-            }
-
-            uint64_t mask = jpeg::nonzero_mask_ac(block);
-            int prev_pos = 0;
-            while (mask) {
-                int pos = __builtin_ctzll(mask);
-                mask &= mask - 1;
-                int zero_run = pos - prev_pos - 1;
-                while (zero_run >= 16) {
-                    w.write(acc[0xF0], acl[0xF0]);
-                    zero_run -= 16;
-                }
-                int ac = block[pos];
-                int ac_cat = jpeg::category(ac);
-                int rs = (zero_run << 4) | ac_cat;
-                int bits = (ac < 0) ? ac - 1 : ac;
-                uint32_t val = (uint32_t)bits & ((1u << ac_cat) - 1);
-                w.write(((uint32_t)acc[rs] << ac_cat) | val, acl[rs] + ac_cat);
-                prev_pos = pos;
-            }
-            if (prev_pos != 63) w.write(acc[0x00], acl[0x00]);
+            jpeg::pack_one_block(w, base + (int64_t)k * 64,
+                                 dc_codes[comp], dc_lens[comp],
+                                 ac_codes[comp], ac_lens[comp],
+                                 prev_dc[comp]);
         }
         if (restart_interval > 0) {
             int64_t mcu_count = mcu + 1;
@@ -6480,6 +6490,96 @@ EXPORT int64_t jpeg_dct_zz(
 #else
     jcoef::RawZZSink sink{out};
     return jpeg_coefficients_impl(img, h, w, c_in, mode, sink);
+#endif
+}
+
+// Fused single-pass encode scan: coefficients (clamp-pad -> YCbCr ->
+// AAN DCT -> quantize -> zigzag) packed into entropy-coded bytes block
+// by block, without materializing the [nblocks, 64] int16 array (~2
+// bytes/coefficient of DRAM write+reread saved) or a second ctypes
+// crossing. Byte-identical to jpeg_coefficients + jpeg_pack_scan: the
+// quantizer is the same dct_quant_zz_block and the packer the same
+// pack_one_block, and block emission order from jpeg_coefficients_impl
+// IS the interleaved scan order. The latency tier for the baseline
+// single-image path (reference: one-shot CLI encodes,
+// src/jpeg/mod.rs:1137-1230 does the analogous fused row walk).
+#if defined(__AVX2__)
+namespace jcoef {
+struct FusedPackSink {
+    const float *qlum, *qchrom;
+    jpeg::MsbWriter w;
+    const uint16_t* dc_codes[3];
+    const uint8_t* dc_lens[3];
+    const uint16_t* ac_codes[3];
+    const uint8_t* ac_lens[3];
+    const uint8_t* pattern;
+    int bpm, k;
+    int prev_dc[3];
+    int32_t restart;
+    int64_t mcu, total_mcus;
+    int rst_idx;
+
+    inline void block(const float* src, int64_t stride, bool chroma) {
+        alignas(32) int16_t blk[64];
+        dct_quant_zz_block(src, stride, chroma ? qchrom : qlum, ZZN, blk);
+        int comp = pattern[k];
+        jpeg::pack_one_block(w, blk, dc_codes[comp], dc_lens[comp],
+                             ac_codes[comp], ac_lens[comp], prev_dc[comp]);
+        if (++k == bpm) {
+            k = 0;
+            mcu++;
+            if (restart > 0 && mcu % restart == 0 && mcu < total_mcus) {
+                w.flush_pad_ones();
+                uint8_t rst[2] = {0xFF, (uint8_t)(0xD0 + (rst_idx & 7))};
+                w.raw_bytes(rst, 2);
+                rst_idx = (rst_idx + 1) & 7;
+                prev_dc[0] = prev_dc[1] = prev_dc[2] = 0;
+            }
+        }
+    }
+};
+}  // namespace jcoef
+#endif
+
+EXPORT int64_t jpeg_encode_scan_fused(
+    const uint8_t* img, int64_t h, int64_t w, int32_t c_in, int32_t mode,
+    const float* qlum, const float* qchrom,
+    const uint8_t* pattern, int32_t bpm,
+    const uint16_t* dc_lum_c, const uint8_t* dc_lum_l,
+    const uint16_t* dc_chrom_c, const uint8_t* dc_chrom_l,
+    const uint16_t* ac_lum_c, const uint8_t* ac_lum_l,
+    const uint16_t* ac_chrom_c, const uint8_t* ac_chrom_l,
+    int32_t restart_interval,
+    uint8_t* out, int64_t out_cap) {
+#if !defined(__AVX2__)
+    (void)img; (void)h; (void)w; (void)c_in; (void)mode; (void)qlum;
+    (void)qchrom; (void)pattern; (void)bpm; (void)dc_lum_c; (void)dc_lum_l;
+    (void)dc_chrom_c; (void)dc_chrom_l; (void)ac_lum_c; (void)ac_lum_l;
+    (void)ac_chrom_c; (void)ac_chrom_l; (void)restart_interval; (void)out;
+    (void)out_cap;
+    return -1;
+#else
+    int64_t nblocks;
+    if (mode == 0) {
+        nblocks = ((h + 7) / 8) * ((w + 7) / 8);
+    } else if (mode == 1) {
+        nblocks = ((h + 7) / 8) * ((w + 7) / 8) * 3;
+    } else {
+        nblocks = ((h + 15) / 16) * ((w + 15) / 16) * 6;
+    }
+    jcoef::FusedPackSink sink{
+        qlum, qchrom, jpeg::MsbWriter(out, out_cap),
+        {dc_lum_c, dc_chrom_c, dc_chrom_c},
+        {dc_lum_l, dc_chrom_l, dc_chrom_l},
+        {ac_lum_c, ac_chrom_c, ac_chrom_c},
+        {ac_lum_l, ac_chrom_l, ac_chrom_l},
+        pattern, bpm, 0,
+        {0, 0, 0},
+        restart_interval, 0, nblocks / bpm, 0};
+    int64_t rc = jpeg_coefficients_impl(img, h, w, c_in, mode, sink);
+    if (rc != nblocks) return -1;
+    sink.w.flush_pad_ones();
+    return sink.w.overflow ? -1 : sink.w.pos;
 #endif
 }
 
