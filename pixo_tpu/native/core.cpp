@@ -2803,6 +2803,7 @@ static Lz77Config config_for_level(int level) {
 }
 
 static const int WINDOW = 32768;
+static const int WMASK = WINDOW - 1;  // prev ring index mask
 static const int MIN_MATCH = 3;
 static const int MAX_MATCH = 258;
 static const int HASH_BITS = 16;
@@ -2885,14 +2886,29 @@ struct Matcher {
     MatcherState& st;
     const uint8_t* data;
     int64_t n;
+    // head3 maintenance toggle: find() consults probe3 only when the
+    // call's mml <= MIN_MATCH, so a greedy pass running at mml >= 4
+    // (byte-diverse content) can skip the per-position head3 store
+    // entirely — one random 128 KiB write per input byte of dead work.
+    // Byte-neutral by construction: the table it stops refreshing is
+    // never read at those mml values. The optimal parser always reads
+    // probe3 and leaves this true.
+    bool track3 = true;
 
     Matcher(const uint8_t* d, int64_t len)
         : own(len > (64 << 20) ? new MatcherState() : nullptr),
           st(own ? *own : matcher_state()), data(d), n(len) {
-        if ((int64_t)st.prev.size() < len) {
-            // prev is never cleared: prev[p] is only read for positions
-            // inserted this call, which wrote it first.
-            st.prev.resize(len);
+        if ((int64_t)st.prev.size() < WINDOW) {
+            // prev is a WINDOW-sized ring (zlib-style): a chain walk only
+            // ever reads prev[cand] for cand >= pos - WINDOW, and the one
+            // position that could overwrite that slot (cand + WINDOW >=
+            // pos) is never inserted before the read — find precedes
+            // insert everywhere. The 128 KiB ring stays cache-resident
+            // where the old O(len) absolute array (12.7 MB at 3 MiB
+            // input) made every chain step a DRAM miss. Never cleared:
+            // entries are only read for positions inserted this call,
+            // which wrote them first.
+            st.prev.resize(WINDOW);
         }
         if (st.head.empty()) {
             st.head.resize(HASH_SIZE);
@@ -2906,10 +2922,10 @@ struct Matcher {
     inline int32_t head3_at(uint32_t h) const { return st.head3[h]; }
 
     inline void insert(int64_t pos) {
-        if (pos + 3 <= n) st.head3[hash3(data + pos)] = (int32_t)pos;
+        if (track3 && pos + 3 <= n) st.head3[hash3(data + pos)] = (int32_t)pos;
         if (pos + 4 > n) return;
         uint32_t h = hash4(data + pos);
-        st.prev[pos] = st.head[h];
+        st.prev[pos & WMASK] = st.head[h];
         st.head[h] = (int32_t)pos;
     }
 
@@ -2940,18 +2956,19 @@ struct Matcher {
                 uint64_t w8;
                 memcpy(&w8, data + p, 8);
                 for (int k = 0; k < 5; k++, p++, w8 >>= 8) {
-                    head3p[(((uint32_t)w8 & 0xFFFFFFu) * 2654435761u) >>
-                           (32 - HASH3_BITS)] = (int32_t)p;
+                    if (track3)
+                        head3p[(((uint32_t)w8 & 0xFFFFFFu) * 2654435761u) >>
+                               (32 - HASH3_BITS)] = (int32_t)p;
                     uint32_t h = ((uint32_t)w8 * 2654435761u) >>
                                  (32 - HASH_BITS);
-                    prev[p] = head[h];
+                    prev[p & WMASK] = head[h];
                     head[h] = (int32_t)p;
                 }
             }
             for (; p < e4; p++) {
-                head3p[hash3(data + p)] = (int32_t)p;
+                if (track3) head3p[hash3(data + p)] = (int32_t)p;
                 uint32_t h = hash4(data + p);
-                prev[p] = head[h];
+                prev[p & WMASK] = head[h];
                 head[h] = (int32_t)p;
             }
         } else {
@@ -2962,7 +2979,7 @@ struct Matcher {
             // find() consults probe3 only when the chains found nothing,
             // so interior staleness is byte-neutral on the bench battery
             // while insert cost drops ~40% on match-heavy content.
-            head3p[hash3(data + start)] = (int32_t)start;
+            if (track3) head3p[hash3(data + start)] = (int32_t)start;
             int64_t p = start;
             for (; p + 5 <= e4; ) {
                 uint64_t w8;
@@ -2970,19 +2987,24 @@ struct Matcher {
                 for (int k = 0; k < 5; k++, p++, w8 >>= 8) {
                     uint32_t h = ((uint32_t)w8 * 2654435761u) >>
                                  (32 - HASH_BITS);
-                    prev[p] = head[h];
+                    prev[p & WMASK] = head[h];
                     head[h] = (int32_t)p;
                 }
             }
             for (; p < e4; p++) {
                 uint32_t h = hash4(data + p);
-                prev[p] = head[h];
+                prev[p & WMASK] = head[h];
                 head[h] = (int32_t)p;
             }
-            for (int64_t q = std::max(start + 1, end - 2); q < end; q++)
-                if (q + 3 <= n) head3p[hash3(data + q)] = (int32_t)q;
+            if (track3)
+                for (int64_t q = std::max(start + 1, end - 2); q < end; q++)
+                    if (q + 3 <= n) head3p[hash3(data + q)] = (int32_t)q;
         }
         for (int64_t p = e4; p < end; p++) insert(p);
+    }
+
+    inline void prefetch_head(int64_t pos) const {
+        __builtin_prefetch(&st.head[hash4(data + pos)]);
     }
 
     // most recent position sharing 3 bytes with pos, or -1
@@ -3027,6 +3049,10 @@ struct Matcher {
             memcpy(&cur32, cur, 4);
             uint32_t h = hash4(cur);
             int32_t cand = head4_at(h);
+            // the probe3 fallback runs after the walk; issue its bucket
+            // load now so the (random, 128 KiB-table) access overlaps the
+            // chain walk instead of serializing behind it
+            if (mml <= MIN_MATCH) __builtin_prefetch(&st.head3[hash3(cur)]);
             // zlib longest_match-style rejection order: once a best >= 4
             // exists, a candidate that cannot EXTEND it fails on a single
             // byte load at offset best_len — cheaper than the 4-byte
@@ -3043,6 +3069,12 @@ struct Matcher {
             const int32_t* prevp = st.prev.data();
             while (cand >= floor_ && chain-- > 0) {
                 const uint8_t* cp = data + cand;
+                // hide the dependent-chain latency: the next candidate's
+                // index is loaded now and its data line prefetched while
+                // this candidate is verified (prefetch never faults, so a
+                // stale/negative next is harmless)
+                int32_t nxt = prevp[cand & WMASK];
+                __builtin_prefetch(data + nxt);
                 if (best_len >= 4) {
                     // zlib longest_match-style rejection order: a candidate
                     // that cannot EXTEND the current best fails on a single
@@ -3050,7 +3082,7 @@ struct Matcher {
                     // 4-byte prefix load, and the common case deep in a
                     // chain
                     if (cp[best_len] != scan_end) {
-                        cand = prevp[cand];
+                        cand = nxt;
                         continue;
                     }
                     uint32_t c32;
@@ -3079,7 +3111,7 @@ struct Matcher {
                         }
                     }
                 }
-                cand = prevp[cand];
+                cand = nxt;
             }
         }
         // hash3 fallback: len-3 coverage (a 4th byte that differs keeps
@@ -3655,11 +3687,12 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
         // on candidates it could never take. A clean matcher also makes
         // cand < pos an invariant the find loop can rely on.
         Matcher m(data, len);
+        m.track3 = (mml <= MIN_MATCH);
         if (const char* ov = getenv("PIXO_TPU_CHAIN")) {
             int c = atoi(ov);
             if (c > 0) cfg.chain = c;
         }
-        if (dbg) { fprintf(stderr, "deflate: setup %.2f ms\n", (tick() - t0) * 1e3); t0 = tick(); }
+        if (dbg) { fprintf(stderr, "deflate: setup %.2f ms (mml=%d chain=%d lazy=%d nice=%d)\n", (tick() - t0) * 1e3, mml, cfg.chain, cfg.lazy, cfg.nice); t0 = tick(); }
         // Block every ~256 KiB of input for histogram locality.
         const int64_t BLOCK_INPUT = 256 * 1024;
         int64_t pos = 0;
@@ -3806,6 +3839,10 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
                     if (!cur_inserted) m.insert(pos);
                     literal_run++;
                     pos += 1;
+                    // software pipeline: the next find's first touch is a
+                    // random load from the 256 KiB head table — issue it
+                    // now so it overlaps this iteration's tail
+                    if (pos + 4 <= len) m.prefetch_head(pos);
                 }
             }
             // matches may run past block_end; the block's raw span is the
@@ -3947,7 +3984,7 @@ struct OptimalParser {
                             cand = c;  // last consumed chain entry
                         }
                         if (done) cand = -1;
-                        else cand = cand >= 0 && kk == av->k ? m.st.prev[cand]
+                        else cand = cand >= 0 && kk == av->k ? m.st.prev[cand & WMASK]
                                                              : m.head4_at(h);
                     }
                     while (cand >= 0 && chain-- > 0) {
@@ -3976,7 +4013,7 @@ struct OptimalParser {
                                 }
                             }
                         }
-                        cand = m.st.prev[cand];
+                        cand = m.st.prev[cand & WMASK];
                     }
                 }
                 maxlen[i] = (uint16_t)best;
