@@ -2380,6 +2380,23 @@ struct LsbWriter {
         }
     }
 
+    // byte-granular fast path: push() accumulates without checks (caller
+    // guarantees nbits + bits <= 64), flush_bytes() retires whole bytes
+    // with ONE 8-byte store and leaves nbits < 8. Mixes freely with
+    // write(): both keep bit order LSB-first in acc.
+    inline void push(uint64_t value, int bits) {
+        acc |= value << nbits;
+        nbits += bits;
+    }
+    inline void flush_bytes() {
+        if (pos + 8 > cap) { overflow = true; nbits &= 7; return; }
+        memcpy(out + pos, &acc, 8);
+        int adv = nbits >> 3;
+        pos += adv;
+        acc >>= adv * 8;
+        nbits &= 7;
+    }
+
     inline void flush() {
         while (nbits > 0) {
             if (pos >= cap) { overflow = true; nbits = 0; return; }
@@ -2465,10 +2482,17 @@ static inline int dist_symbol(int d) {
 // identical to the list-based construction, so outputs are bit-equal,
 // without the O(n*L^2) symbol-list copies and per-package allocations.
 static void build_lengths(const uint64_t* freq, int n, int max_len, uint8_t* lengths) {
+    // Package-merge, output-identical to the previous vector-of-vectors
+    // implementation (same sort order, same singleton-preferred tie break,
+    // same top-down expansion) but on flat thread-local arrays: one
+    // allocation lifetime, no per-level clear/reserve churn — this runs
+    // ~600 times per 3 MiB deflate (once per split block per tree).
     memset(lengths, 0, n);
-    std::vector<std::pair<uint64_t, int>> items;  // (weight, sym)
+    static thread_local std::vector<std::pair<uint64_t, int>> items_tl;
+    items_tl.clear();
     for (int i = 0; i < n; i++)
-        if (freq[i]) items.push_back({freq[i], i});
+        if (freq[i]) items_tl.push_back({freq[i], i});
+    auto& items = items_tl;
     if (items.empty()) return;
     if (items.size() == 1) {
         int sym = items[0].second;
@@ -2479,43 +2503,52 @@ static void build_lengths(const uint64_t* freq, int n, int max_len, uint8_t* len
     std::sort(items.begin(), items.end());
     int m = (int)items.size();
 
-    // levels[0] = singletons; levels[i] = merge(singletons, pairs of
-    // levels[i-1]), singleton preferred on weight ties (base <= package).
-    static thread_local std::vector<std::vector<uint64_t>> lvl_w;
-    static thread_local std::vector<std::vector<uint8_t>> lvl_pkg;
-    if ((int)lvl_w.size() < max_len) {
-        lvl_w.resize(max_len);
-        lvl_pkg.resize(max_len);
+    // per-level rows live in one flat arena: a row holds all m singletons
+    // plus up to prev/2 packages, so row lengths approach 2m from below
+    const int cap = 2 * m + 2;
+    static thread_local std::vector<uint64_t> w_arena;
+    static thread_local std::vector<uint8_t> pkg_arena;
+    static thread_local std::vector<int> row_len;
+    if ((int64_t)w_arena.size() < (int64_t)max_len * cap) {
+        w_arena.resize((size_t)max_len * cap);
+        pkg_arena.resize((size_t)max_len * cap);
     }
-    // level 0 needs only weights (its flags never enter the top-down
-    // expansion: the all-singletons tail below handles take at level 0)
-    lvl_w[0].assign(m, 0);
-    for (int i = 0; i < m; i++) lvl_w[0][i] = items[i].first;
+    if ((int)row_len.size() < max_len) row_len.resize(max_len);
+
+    uint64_t* w0 = w_arena.data();
+    for (int i = 0; i < m; i++) w0[i] = items[i].first;
+    row_len[0] = m;
+    const std::pair<uint64_t, int>* its = items.data();
     for (int level = 1; level < max_len; level++) {
-        const std::vector<uint64_t>& prev = lvl_w[level - 1];
-        size_t npk = prev.size() / 2;
-        std::vector<uint64_t>& out = lvl_w[level];
-        std::vector<uint8_t>& opk = lvl_pkg[level];
-        out.clear(); opk.clear();
-        out.reserve(m + npk); opk.reserve(m + npk);
-        size_t a = 0, b = 0;
-        while (a < (size_t)m || b < npk) {
-            uint64_t pw = b < npk ? prev[2 * b] + prev[2 * b + 1] : 0;
-            if (b >= npk || (a < (size_t)m && items[a].first <= pw)) {
-                out.push_back(items[a++].first);
-                opk.push_back(0);
+        const uint64_t* prev = w_arena.data() + (size_t)(level - 1) * cap;
+        int npk = row_len[level - 1] / 2;
+        uint64_t* out = w_arena.data() + (size_t)level * cap;
+        uint8_t* opk = pkg_arena.data() + (size_t)level * cap;
+        int a = 0, b = 0, o = 0;
+        while (a < m && b < npk) {
+            uint64_t pw = prev[2 * b] + prev[2 * b + 1];
+            if (its[a].first <= pw) {
+                out[o] = its[a++].first;
+                opk[o++] = 0;
             } else {
-                out.push_back(pw);
-                opk.push_back(1);
+                out[o] = pw;
+                opk[o++] = 1;
                 b++;
             }
         }
+        while (a < m) { out[o] = its[a++].first; opk[o++] = 0; }
+        while (b < npk) {
+            out[o] = prev[2 * b] + prev[2 * b + 1];
+            opk[o++] = 1;
+            b++;
+        }
+        row_len[level] = o;
     }
     // top-down prefix expansion: count taken singletons per level
     size_t take = (size_t)(2 * m - 2);
     for (int level = max_len - 1; level >= 1 && take > 0; level--) {
-        const std::vector<uint8_t>& pk = lvl_pkg[level];
-        size_t t = std::min(take, pk.size());
+        const uint8_t* pk = pkg_arena.data() + (size_t)level * cap;
+        size_t t = std::min(take, (size_t)row_len[level]);
         size_t packages = 0;
         for (size_t i = 0; i < t; i++) packages += pk[i];
         size_t singles = t - packages;
@@ -2822,6 +2855,7 @@ static inline uint32_t hash3(const uint8_t* p) {
     return (v * 2654435761u) >> (32 - HASH3_BITS);
 }
 
+__attribute__((always_inline))
 static inline int match_length(const uint8_t* a, const uint8_t* b, int max) {
     int i = 0;
     while (i + 8 <= max) {
@@ -2942,6 +2976,13 @@ struct Matcher {
     inline void insert_span(int64_t start, int64_t end) {
         if (start >= end) return;
         int64_t e4 = std::min(end, n - 3);
+        if (end - start <= 4) {
+            // photo-class matches are 3-6 bytes: the span is 2-5 inserts
+            // and the 5-per-8-bytes machinery below costs more than it
+            // saves. Plain per-position inserts, same stores, same order.
+            for (int64_t p = start; p < end && p < n; p++) insert(p);
+            return;
+        }
         int32_t* prev = st.prev.data();
         int32_t* head = st.head.data();
         int32_t* head3p = st.head3.data();
@@ -3075,6 +3116,7 @@ struct Matcher {
                 // stale/negative next is harmless)
                 int32_t nxt = prevp[cand & WMASK];
                 __builtin_prefetch(data + nxt);
+                __builtin_prefetch(&prevp[nxt & WMASK]);
                 if (best_len >= 4) {
                     // zlib longest_match-style rejection order: a candidate
                     // that cannot EXTEND the current best fails on a single
@@ -3133,6 +3175,142 @@ struct Matcher {
                         best_len = len;
                         best_dist = (int)dist;
                     }
+                }
+            }
+        }
+        if (best_dist == 0) return 0;
+        *dist_out = best_dist;
+        return best_len;
+    }
+
+    // Fused insert+find (libdeflate hc_matchfinder-style): insert pos into
+    // head/prev (and head3 when tracked) FIRST, capturing the pre-insert
+    // entries, then walk the chains as they were before the insert.
+    // Byte-identical to the old insert-after-find sequence by construction
+    // (the walk starts from the captured old head, and probe3 uses the
+    // captured old head3 entry), but each table is hashed and touched ONCE
+    // per position instead of twice — the insert's random head/head3
+    // accesses ride the find's.  min_len seeds the accept threshold (zlib
+    // longest_match seeds best_len with prev_length): a lazy probe that
+    // only defers on best+3 can start its walk at best+2 and single-byte-
+    // reject nearly every candidate; results below min_len never change a
+    // decision, so output is unchanged.
+    inline int search_ins(int64_t pos, int chain, int nice, int mml,
+                          int* dist_out, int min_len = 0,
+                          int run_hint = -1) {
+        // --- insert half (state mutation identical to insert(pos)) ---
+        // one 4-byte load feeds both hashes (hash3 uses the low 3 bytes,
+        // exactly the byte-order hash3() builds from single loads)
+        int32_t c3 = -1;
+        int32_t old4 = -1;
+        if (pos + 4 <= n) {
+            uint32_t w4;
+            memcpy(&w4, data + pos, 4);
+            if (track3) {
+                uint32_t h3 = ((w4 & 0xFFFFFFu) * 2654435761u) >>
+                              (32 - HASH3_BITS);
+                c3 = st.head3[h3];
+                st.head3[h3] = (int32_t)pos;
+            }
+            uint32_t h = (w4 * 2654435761u) >> (32 - HASH_BITS);
+            old4 = st.head[h];
+            st.prev[pos & WMASK] = old4;
+            st.head[h] = (int32_t)pos;
+        } else if (track3 && pos + 3 <= n) {
+            uint32_t h3 = hash3(data + pos);
+            c3 = st.head3[h3];
+            st.head3[h3] = (int32_t)pos;
+        }
+        // --- find half (walks the pre-insert chain) ---
+        if (min_len < mml) min_len = mml;
+        if (pos + min_len > n) return 0;
+        int max_len = (int)std::min<int64_t>(MAX_MATCH, n - pos);
+        int best_len = min_len - 1, best_dist = 0;
+        const uint8_t* cur = data + pos;
+        // run-seed gate: data[pos-1] == data[pos] == data[pos+1] as one
+        // 16-bit compare of overlapping halves (equivalent to the two
+        // byte compares, one load). pos+1 < n holds: min_len >= 3 passed
+        // the bound check above. A caller that already knows the run at
+        // pos passes run_hint (0 = provably no seed, >0 = the exact value
+        // run_length_capped would return) and skips both the gate and the
+        // scan — the block loop's RLE gate computes the same run, and
+        // rescanning every position of a zero stretch was O(run^2).
+        if (run_hint != 0) {
+            int run = run_hint;
+            if (run < 0) {
+                run = 0;
+                if (pos >= 1) {
+                    uint32_t g;
+                    memcpy(&g, data + pos - 1, 2);
+                    uint16_t lo = (uint16_t)g;
+                    uint8_t b2 = data[pos + 1];
+                    if ((uint8_t)lo == (uint8_t)(lo >> 8) && (uint8_t)lo == b2)
+                        run = run_length_capped(data, pos, pos + max_len);
+                }
+            }
+            if (run >= min_len) {
+                if (run >= nice || run == max_len) {
+                    *dist_out = 1;
+                    return run;
+                }
+                best_len = run;
+                best_dist = 1;
+            }
+        }
+        if (old4 >= 0) {
+            uint32_t cur32;
+            memcpy(&cur32, cur, 4);
+            int32_t cand = old4;
+            uint8_t scan_end = best_len >= 4 ? cur[best_len] : 0;
+            const int32_t floor_ =
+                (int32_t)(pos > WINDOW ? pos - WINDOW : 0);
+            const int32_t* prevp = st.prev.data();
+            while (cand >= floor_ && chain-- > 0) {
+                const uint8_t* cp = data + cand;
+                int32_t nxt = prevp[cand & WMASK];
+                __builtin_prefetch(data + nxt);
+                __builtin_prefetch(&prevp[nxt & WMASK]);
+                if (best_len >= 4) {
+                    if (cp[best_len] != scan_end) {
+                        cand = nxt;
+                        continue;
+                    }
+                    uint32_t c32;
+                    memcpy(&c32, cp, 4);
+                    if (c32 == cur32) {
+                        int len =
+                            4 + match_length(cur + 4, cp + 4, max_len - 4);
+                        if (len > best_len) {
+                            best_len = len;
+                            best_dist = (int)(pos - cand);
+                            if (len >= nice || len == max_len) break;
+                            scan_end = cur[best_len];
+                        }
+                    }
+                } else {
+                    uint32_t c32;
+                    memcpy(&c32, cp, 4);
+                    if (c32 == cur32) {
+                        int len = match_length(cur, cp, max_len);
+                        if (len > best_len) {
+                            best_len = len;
+                            best_dist = (int)(pos - cand);
+                            if (len >= nice || len == max_len) break;
+                            if (best_len >= 4) scan_end = cur[best_len];
+                        }
+                    }
+                }
+                cand = nxt;
+            }
+        }
+        if (mml <= MIN_MATCH && min_len <= MIN_MATCH && best_dist == 0 &&
+            c3 >= 0) {
+            int64_t dist = pos - c3;
+            if (dist > 0 && dist <= WINDOW) {
+                int len = match_length(cur, data + c3, max_len);
+                if (len > best_len) {
+                    best_len = len;
+                    best_dist = (int)dist;
                 }
             }
         }
@@ -3272,7 +3450,9 @@ static void emit_block(LsbWriter& w, const Token* tok, size_t ntok,
 
     // RLE encode with symbols 16 (repeat prev 3-6), 17 (zeros 3-10), 18 (zeros 11-138)
     struct ClTok { uint8_t sym; uint8_t extra; };
-    std::vector<ClTok> cl_toks;
+    static thread_local std::vector<ClTok> cl_toks;
+    cl_toks.clear();
+    cl_toks.reserve(286 + 30);
     uint64_t cl_freq[19] = {0};
     {
         int i = 0;
@@ -3368,25 +3548,54 @@ static void emit_block(LsbWriter& w, const Token* tok, size_t ntok,
         ll = lit_len; dl = dist_len; lc = lit_code; dc = dist_code;
     }
 
+    // per-block combined LUTs: for each raw length 3..258 the final push
+    // word (len code | extra value above it) and its total bit count; for
+    // literals the (code, nbits) pair in one 32-bit entry. Built once per
+    // block (256 + 256 entries), they collapse the 5 table loads per match
+    // length and 2 per literal to 2 and 1.
+    uint32_t lenlut_v[259];
+    uint8_t lenlut_n[259];
+    for (int len = 3; len <= 258; len++) {
+        int ls = 257 + len_to_sym[len];
+        lenlut_v[len] = (uint32_t)lc[ls] |
+                        ((uint32_t)len_extra_val[len] << ll[ls]);
+        lenlut_n[len] = (uint8_t)(ll[ls] + len_extra_bits[len]);
+    }
+    uint32_t litlut[256];
+    for (int c = 0; c < 256; c++)
+        litlut[c] = (uint32_t)lc[c] | ((uint32_t)ll[c] << 16);
+
+    // token emission fast path: one 64-bit accumulate per code group and
+    // one byte-granular flush per token (or per two literals). A match
+    // pushes len-code+extra (<=20 bits) and dist-code+extra (<=28 bits)
+    // on top of at most 7 residual bits — <=55 < 64, so a single
+    // flush_bytes per match keeps the invariant. Literals (<=15 bits)
+    // flush every other token. Bit order is identical to the write()
+    // path; only the store granularity changes.
+    w.flush_bytes();
     for (size_t ti = 0; ti < ntok; ti++) {
         const Token& t = tok[ti];
         if (t.v & 0x80000000u) {
-            // code and extra bits fused into one accumulator push each
-            // (code in the low bits, extra above — the same bit order the
-            // separate writes produced): <= 20 bits for length, <= 28 for
-            // distance, both within the writer's single-push limit
             int len = (t.v >> 16) & 0x1FF;
             int dist = t.v & 0xFFFF;
-            int ls = 257 + len_to_sym[len];
-            w.write((uint32_t)lc[ls] |
-                        ((uint32_t)len_extra_val[len] << ll[ls]),
-                    ll[ls] + len_extra_bits[len]);
+            w.push(lenlut_v[len], lenlut_n[len]);
             int ds = dist_symbol(dist);
-            w.write((uint32_t)dc[ds] |
-                        ((uint32_t)(dist - DIST_BASE[ds]) << dl[ds]),
-                    dl[ds] + DIST_EXTRA[ds]);
+            w.push((uint32_t)dc[ds] |
+                       ((uint32_t)(dist - DIST_BASE[ds]) << dl[ds]),
+                   dl[ds] + DIST_EXTRA[ds]);
+            w.flush_bytes();
         } else {
-            w.write(lc[t.v & 0xFF], ll[t.v & 0xFF]);
+            uint32_t e = litlut[t.v & 0xFF];
+            w.push(e & 0xFFFF, e >> 16);
+            if (ti + 1 < ntok && !(tok[ti + 1].v & 0x80000000u)) {
+                e = litlut[tok[++ti].v & 0xFF];
+                w.push(e & 0xFFFF, e >> 16);
+                if (ti + 1 < ntok && !(tok[ti + 1].v & 0x80000000u)) {
+                    e = litlut[tok[++ti].v & 0xFF];
+                    w.push(e & 0xFFFF, e >> 16);
+                }
+            }
+            w.flush_bytes();
         }
     }
     w.write(lc[256], ll[256]);  // EOB
@@ -3539,24 +3748,35 @@ struct TokenRangeCost {
 // Find split points in chunk range [a, b); appends chunk boundaries
 // (exclusive) to `splits`.
 static void find_splits(const TokenRangeCost& rc, size_t a, size_t b,
-                        int* blocks_left, std::vector<size_t>* splits) {
+                        int* blocks_left, std::vector<size_t>* splits,
+                        double whole = -1.0) {
     const double OVERHEAD = 300.0, MIN_GAIN = 10.0;
     if (*blocks_left <= 1 || b - a < 2) return;
-    double whole = rc.cost(a, b);
+    // `whole` is the caller's already-evaluated cost(a, b) when available
+    // (the parent's search loop computed both halves of its chosen split);
+    // recomputing it was ~2 of the ~16 entropy evaluations per node
+    if (whole < 0.0) whole = rc.cost(a, b);
     // coarse 8-point search
     double best_gain = 0.0;
     size_t best_mid = 0;
+    double best_ca = 0.0, best_cb = 0.0;
     for (int k = 1; k < 8; k++) {
         size_t mid = a + (b - a) * k / 8;
         if (mid <= a || mid >= b) continue;
-        double gain = whole - rc.cost(a, mid) - rc.cost(mid, b) - OVERHEAD;
-        if (gain > best_gain) { best_gain = gain; best_mid = mid; }
+        double ca = rc.cost(a, mid), cb = rc.cost(mid, b);
+        double gain = whole - ca - cb - OVERHEAD;
+        if (gain > best_gain) {
+            best_gain = gain;
+            best_mid = mid;
+            best_ca = ca;
+            best_cb = cb;
+        }
     }
     if (best_gain < MIN_GAIN || best_mid == 0) return;
     (*blocks_left)--;
-    find_splits(rc, a, best_mid, blocks_left, splits);
+    find_splits(rc, a, best_mid, blocks_left, splits, best_ca);
     splits->push_back(best_mid);
-    find_splits(rc, best_mid, b, blocks_left, splits);
+    find_splits(rc, best_mid, b, blocks_left, splits, best_cb);
 }
 
 // token range -> raw byte length it covers
@@ -3711,15 +3931,49 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
             // pending_match, lz77.rs:419,484-489 — prevents both cascading
             // deferrals and a wasted duplicate chain walk)
             int pend_len = 0, pend_dist = 0;
+            // equal-byte-run memo: [.., run_end_cache) holds run_byte_cache
+            // with the TRUE run end (only sub-maximal scans are cached)
+            int64_t run_end_cache = 0;
+            uint8_t run_byte_cache = 0;
 
             while (pos < block_end) {
                 // same-byte-run fast path (dist=1 RLE, parity concept with
                 // pixo detect_same_byte_run, lz77.rs:272-316)
-                if (pend_len == 0 && pos > 0 && data[pos] == data[pos - 1] &&
-                    pos + MIN_MATCH <= len && data[pos + 1] == data[pos] &&
-                    data[pos + 2] == data[pos]) {
+                bool rle_gate = false;
+                int run_hint = 0;  // what search_ins's seed scan would see
+                if (pend_len == 0 && pos > 0 && pos + MIN_MATCH <= len) {
+                    // data[pos-1..pos+2] all equal as one rotate-compare
+                    uint32_t g;
+                    memcpy(&g, data + pos - 1, 4);
+                    rle_gate = g == ((g << 8) | (g >> 24));
+                    // rle_gate false means the run at pos is <= 2 (either
+                    // the 3-byte seed gate fails outright, or it passes and
+                    // the scan would stop at the differing 4th byte below
+                    // MIN_MATCH) — the seed inside search_ins is provably
+                    // a no-op either way, so run_hint stays 0
+                } else if (pend_len == 0) {
+                    run_hint = -1;  // bounds differ from the seed's; let
+                                    // search_ins evaluate its own gate
+                }
+                if (rle_gate) {
                     int64_t limit = std::min<int64_t>(len - pos, MAX_MATCH);
-                    int run = run_length_capped(data, pos, pos + limit);
+                    int run;
+                    if (pos < run_end_cache && data[pos] == run_byte_cache) {
+                        // inside a previously scanned sub-maximal run: the
+                        // remaining length is exact (same byte to the same
+                        // true end), capped at this position's limit
+                        run = (int)std::min<int64_t>(run_end_cache - pos,
+                                                     limit);
+                    } else {
+                        run = run_length_capped(data, pos, pos + limit);
+                        if (run < (int)limit) {
+                            // true end found: cache it for the positions
+                            // the parse will visit inside this run
+                            run_end_cache = pos + run;
+                            run_byte_cache = data[pos];
+                        }
+                    }
+                    run_hint = run;
                     // Only shortcut when the run is maximal (hits MAX_MATCH
                     // or the end of input). A shorter run must compete with
                     // regular matching: on interleaved content (e.g. PNG
@@ -3751,16 +4005,15 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
                         continue;
                     }
                     int dist_i = 0;
-                    int best_i = m.find(pos, 1, cfg.nice, mml, &dist_i);
+                    int best_i = m.search_ins(pos, 1, cfg.nice, mml, &dist_i);
                     if (best_i >= MIN_MATCH) {
                         tokens.push_back(match_token(best_i, dist_i));
                         literal_run = 0;
                         int64_t end = pos + best_i;
-                        m.insert_span(pos, std::min(end, len));
+                        m.insert_span(pos + 1, std::min(end, len));
                         pos = end;
                     } else {
                         tokens.push_back(lit_token(data[pos]));
-                        m.insert(pos);
                         literal_run++;
                         pos += 1;
                     }
@@ -3768,14 +4021,18 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
                 }
                 int dist = 0;
                 int best;
-                bool cur_inserted = false;  // pos already in the hash chains?
+                // with fused search+insert, pos is in the hash chains by the
+                // time a token is emitted for it: a pend-carried match was
+                // inserted by last iteration's lazy probe, and both branches
+                // below insert via search_ins
+                int64_t span_from = pos + 1;
                 if (pend_len != 0) {
                     // use the lookahead match found last iteration directly
                     best = pend_len;
                     dist = pend_dist;
                     pend_len = 0;
                 } else {
-                    best = m.find(pos, std::min(cfg.chain, cfg.depth_cap), cfg.nice, mml, &dist);
+                    best = m.search_ins(pos, std::min(cfg.chain, cfg.depth_cap), cfg.nice, mml, &dist, 0, run_hint);
                     // len-3 matches at long range cost more bits than the
                     // literals they replace (zlib's TOO_FAR rule) and keep
                     // random data out of incompressible mode
@@ -3789,8 +4046,6 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
                     const int GOOD_MATCH = 16;
                     if (best >= MIN_MATCH && cfg.lazy && best < cfg.nice &&
                         best < GOOD_MATCH && pos + 1 < block_end) {
-                        m.insert(pos);
-                        cur_inserted = true;
                         int next_chain = cfg.lazy >= 2
                             ? (cfg.chain / 2 > 1 ? cfg.chain / 2 : 1)
                             : cfg.chain;
@@ -3802,7 +4057,15 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
                             ? next_chain / 4 : 1;
                         next_chain = std::min(next_chain, cfg.depth_cap);
                         int dist2 = 0;
-                        int best2 = m.find(pos + 1, next_chain, cfg.nice, mml, &dist2);
+                        // threshold-seeded probe (see search_ins): only a
+                        // match >= best+3 can defer, so the walk starts there.
+                        // run at pos+1 derives from the known run at pos:
+                        // >=3 -> run-1; 1..2 -> the probe's seed gate fails
+                        int hint2 = run_hint < 0 ? -1
+                                    : (run_hint >= 3 ? run_hint - 1 : 0);
+                        int best2 = m.search_ins(pos + 1, next_chain, cfg.nice,
+                                                 mml, &dist2, best + 3, hint2);
+                        span_from = pos + 2;  // pos+1 now inserted too
                         if (best2 >= best + 3 || best2 >= cfg.nice) {
                             tokens.push_back(lit_token(data[pos]));
                             literal_run++;
@@ -3827,16 +4090,19 @@ EXPORT int64_t deflate_compress(const uint8_t* data, int64_t len,
                         // positions all hash into the same bucket and only
                         // degenerate the chain (parity with lz77.rs:565-575;
                         // the run seed re-finds them at dist 1 anyway).
-                        if (!cur_inserted) m.insert(pos);
-                        if (end - 1 > pos && end - 1 < len) m.insert(end - 1);
+                        // pos (and pos+1 when lazily probed) are already
+                        // inserted by search_ins; the extra interior entries
+                        // that policy would have skipped are the SAME ones
+                        // the old code inserted before its find.
+                        if (end - 1 >= span_from && end - 1 < len)
+                            m.insert(end - 1);
                     } else {
-                        m.insert_span(pos + (cur_inserted ? 1 : 0),
+                        m.insert_span(span_from,
                                       std::min(end, (int64_t)len));
                     }
                     pos = end;
                 } else {
                     tokens.push_back(lit_token(data[pos]));
-                    if (!cur_inserted) m.insert(pos);
                     literal_run++;
                     pos += 1;
                     // software pipeline: the next find's first touch is a

@@ -477,6 +477,55 @@ class TestFirstCallDeterminism:
 
 
 @needs_native
+class TestPgoBuildByteIdentity:
+    """The profile-guided production build must be byte-identical to a
+    plain -O3 build of the same source: PGO may only change code layout
+    and inlining, never decisions. Compiles a plain .so into a temp dir
+    and compares deflate outputs against the loaded (usually PGO) lib on
+    payloads that exercise the matcher's branchy paths."""
+
+    def test_plain_build_matches_production(self, tmp_path):
+        import ctypes
+        import shutil
+        import subprocess
+
+        from pixo_tpu.compress.deflate import deflate_zlib
+        from pixo_tpu.native import _BASE_FLAGS, _SRC
+
+        if shutil.which("g++") is None:
+            pytest.skip("no compiler")
+        so = tmp_path / "plain_core.so"
+        subprocess.run(
+            ["g++", *_BASE_FLAGS, _SRC, "-o", str(so)],
+            check=True, capture_output=True, timeout=240,
+        )
+        lib = ctypes.CDLL(str(so))
+        lib.deflate_compress.restype = ctypes.c_int64
+        lib.deflate_compress.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64,
+        ]
+
+        rng = np.random.default_rng(7)
+        smooth = rng.normal(0, 30, (64, 1024)).cumsum(axis=1)
+        payloads = [
+            (b"pack my box with five dozen liquor jugs. " * 800)[:32768],
+            np.diff(smooth, axis=1, prepend=0).astype(np.int16)
+            .astype(np.uint8).tobytes(),
+            rng.integers(0, 4, 32768, dtype=np.uint8).tobytes(),
+        ]
+        for payload in payloads:
+            for level in (2, 6, 9):
+                want = deflate_zlib(payload, level)
+                buf = ctypes.create_string_buffer(len(payload) * 2 + 4096)
+                n = lib.deflate_compress(
+                    payload, len(payload), level, 1, buf, len(buf)
+                )
+                assert n == len(want)
+                assert buf.raw[:n] == want
+
+
+@needs_native
 class TestJpegDecodePixelsGuards:
     """The native pixel tail indexes the luma plane at full resolution;
     it must refuse (and let the generic Python tier handle) any legal
