@@ -32,7 +32,7 @@ from .options import (
     Subsampling,
 )
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 from . import jpeg  # noqa: E402
 from . import png  # noqa: E402
