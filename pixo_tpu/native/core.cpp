@@ -3095,10 +3095,15 @@ struct Matcher {
             // chain walk instead of serializing behind it
             if (mml <= MIN_MATCH) __builtin_prefetch(&st.head3[hash3(cur)]);
             // zlib longest_match-style rejection order: once a best >= 4
-            // exists, a candidate that cannot EXTEND it fails on a single
-            // byte load at offset best_len — cheaper than the 4-byte
-            // prefix load, and it is the common case deep in a chain
-            uint8_t scan_end = best_len >= 4 ? cur[best_len] : 0;
+            // exists, a candidate that cannot EXTEND it fails on one load
+            // at the match tail — cheaper than verifying the prefix, and
+            // it is the common case deep in a chain
+            // tail-word filter (see search_ins): candidate bytes
+            // [best_len-3, best_len] must all match to beat best_len; one
+            // unaligned 32-bit compare rejects strictly more than the old
+            // single cur[best_len] byte at the same one-load cost
+            uint32_t scan_tail = 0;
+            if (best_len >= 4) memcpy(&scan_tail, cur + best_len - 3, 4);
             // window floor: every in-window candidate satisfies
             // cand >= pos - WINDOW, chains are position-descending, and
             // with the matcher constructed after probe_min_match every
@@ -3118,12 +3123,9 @@ struct Matcher {
                 __builtin_prefetch(data + nxt);
                 __builtin_prefetch(&prevp[nxt & WMASK]);
                 if (best_len >= 4) {
-                    // zlib longest_match-style rejection order: a candidate
-                    // that cannot EXTEND the current best fails on a single
-                    // byte load at offset best_len — cheaper than the
-                    // 4-byte prefix load, and the common case deep in a
-                    // chain
-                    if (cp[best_len] != scan_end) {
+                    uint32_t c_tail;
+                    memcpy(&c_tail, cp + best_len - 3, 4);
+                    if (c_tail != scan_tail) {
                         cand = nxt;
                         continue;
                     }
@@ -3137,7 +3139,7 @@ struct Matcher {
                             best_len = len;
                             best_dist = (int)(pos - cand);
                             if (len >= nice || len == max_len) break;
-                            scan_end = cur[best_len];
+                            memcpy(&scan_tail, cur + best_len - 3, 4);
                         }
                     }
                 } else {
@@ -3149,7 +3151,8 @@ struct Matcher {
                             best_len = len;
                             best_dist = (int)(pos - cand);
                             if (len >= nice || len == max_len) break;
-                            if (best_len >= 4) scan_end = cur[best_len];
+                            if (best_len >= 4)
+                                memcpy(&scan_tail, cur + best_len - 3, 4);
                         }
                     }
                 }
@@ -3261,7 +3264,15 @@ struct Matcher {
             uint32_t cur32;
             memcpy(&cur32, cur, 4);
             int32_t cand = old4;
-            uint8_t scan_end = best_len >= 4 ? cur[best_len] : 0;
+            // tail-word filter: a candidate can only beat best_len if its
+            // bytes [best_len-3, best_len] all match (len > best_len needs
+            // bytes 0..best_len equal) — one unaligned 32-bit compare
+            // rejects strictly more candidates than the single
+            // cur[best_len] byte for the same one-load cost. Valid while
+            // best_len < max_len (guaranteed in-loop: len == max_len
+            // breaks), so cp+best_len stays in bounds.
+            uint32_t scan_tail = 0;
+            if (best_len >= 4) memcpy(&scan_tail, cur + best_len - 3, 4);
             const int32_t floor_ =
                 (int32_t)(pos > WINDOW ? pos - WINDOW : 0);
             const int32_t* prevp = st.prev.data();
@@ -3271,7 +3282,9 @@ struct Matcher {
                 __builtin_prefetch(data + nxt);
                 __builtin_prefetch(&prevp[nxt & WMASK]);
                 if (best_len >= 4) {
-                    if (cp[best_len] != scan_end) {
+                    uint32_t c_tail;
+                    memcpy(&c_tail, cp + best_len - 3, 4);
+                    if (c_tail != scan_tail) {
                         cand = nxt;
                         continue;
                     }
@@ -3284,7 +3297,7 @@ struct Matcher {
                             best_len = len;
                             best_dist = (int)(pos - cand);
                             if (len >= nice || len == max_len) break;
-                            scan_end = cur[best_len];
+                            memcpy(&scan_tail, cur + best_len - 3, 4);
                         }
                     }
                 } else {
@@ -3296,7 +3309,8 @@ struct Matcher {
                             best_len = len;
                             best_dist = (int)(pos - cand);
                             if (len >= nice || len == max_len) break;
-                            if (best_len >= 4) scan_end = cur[best_len];
+                            if (best_len >= 4)
+                                memcpy(&scan_tail, cur + best_len - 3, 4);
                         }
                     }
                 }
