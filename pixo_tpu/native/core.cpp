@@ -3805,9 +3805,13 @@ static int64_t tokens_raw_len(const std::vector<Token>& tokens, size_t a, size_t
 
 static void emit_block_split(LsbWriter& w, const std::vector<Token>& tokens,
                              const uint8_t* data, int64_t raw_start,
-                             int64_t raw_len, bool last) {
-    // split search only for moderately sized blocks (parity: skip >512 KiB)
-    if (raw_len > 512 * 1024 || tokens.size() < 512) {
+                             int64_t raw_len, bool last,
+                             bool force_split_search = false) {
+    // split search only for moderately sized blocks (parity: skip >512 KiB).
+    // The optimal path forces the search regardless of raw size: its token
+    // stream is one whole-payload emission (split cost is O(tokens), and
+    // the parse already spent far more than that per token).
+    if ((raw_len > 512 * 1024 && !force_split_search) || tokens.size() < 512) {
         emit_block(w, tokens, data, raw_start, raw_len, last);
         return;
     }
@@ -4188,8 +4192,15 @@ struct OptimalParser {
     OptimalParser(const uint8_t* d, int64_t total, int64_t start, int64_t blen)
         : data(d), n(total), block_start(start), block_len(blen) {}
 
+    // debug counters (PIXO_TPU_OPT_DEBUG): chain-walk visits / tail-word
+    // rejects / full match_length evaluations in the last build_matches
+    int64_t dbg_visits = 0, dbg_tail_rej = 0, dbg_evals = 0;
+
     void build_matches(Matcher& m, int chain_limit,
-                       const AssistView* av = nullptr) {
+                       const AssistView* av = nullptr,
+                       int nice_len = MAX_MATCH,
+                       int stall_limit = 0) {
+        if (stall_limit <= 0) stall_limit = chain_limit;
         segs.assign((size_t)block_len, PosSegs{{0}, {0}, 0});
         maxlen.assign(block_len, 0);
         // zopfli's long-match shortcut (GetBestLengths): once a position
@@ -4228,12 +4239,16 @@ struct OptimalParser {
                         }
                     }
                 }
-                if (pos + 4 <= n && best < max_here) {
+                if (pos + 4 <= n && best < max_here && best < nice_len) {
                     uint32_t cur32;
                     memcpy(&cur32, cur, 4);
                     uint32_t h = hash4(cur);
                     int32_t cand = m.head4_at(h);
                     int chain = chain_limit;
+                    // productivity budget (see the host walk below); the
+                    // assisted prefix must tick the same counter so the
+                    // assisted and plain paths stay byte-identical
+                    int stall = stall_limit;
                     bool done = false;
                     if (av && av->k > 0) {
                         // consume the device-scored prefix of the chain;
@@ -4246,7 +4261,10 @@ struct OptimalParser {
                         int kk = 0;
                         for (; kk < av->k; kk++) {
                             int32_t c = ac[kk];
-                            if (c < 0 || chain-- <= 0) { done = true; break; }
+                            if (c < 0 || chain-- <= 0 || stall-- <= 0) {
+                                done = true;
+                                break;
+                            }
                             int64_t dist = pos - c;
                             if (dist > WINDOW) { done = true; break; }
                             if (dist > 0) {
@@ -4258,7 +4276,11 @@ struct OptimalParser {
                                     sg.dist[sg.count] = (uint16_t)dist;
                                     sg.count++;
                                     best = len;
-                                    if (best == max_here) { done = true; break; }
+                                    if (best == max_here || best >= nice_len) {
+                                        done = true;
+                                        break;
+                                    }
+                                    stall = stall_limit;
                                 }
                             }
                             cand = c;  // last consumed chain entry
@@ -4267,33 +4289,63 @@ struct OptimalParser {
                         else cand = cand >= 0 && kk == av->k ? m.st.prev[cand & WMASK]
                                                              : m.head4_at(h);
                     }
-                    while (cand >= 0 && chain-- > 0) {
-                        int64_t dist = pos - cand;
-                        if (dist > WINDOW) break;
-                        if (dist > 0) {
-                            const uint8_t* cp = data + cand;
-                            // exact pruning: a candidate contributes only
-                            // lengths > best, which requires the 4-byte
-                            // prefix to match (len-3 entries come from the
-                            // nearer hash3 probe above) and byte [best] to
-                            // extend the current frontier
-                            uint32_t c32;
-                            memcpy(&c32, cp, 4);
-                            if (c32 == cur32 &&
-                                (best < 4 || cp[best] == cur[best])) {
-                                int len = match_length(cur, cp, max_here);
-                                if (len > best) {
-                                    if (sg.count == MAX_SEGS) break;
-                                    // lengths best+1..len at this distance
-                                    sg.hi[sg.count] = (uint16_t)len;
-                                    sg.dist[sg.count] = (uint16_t)dist;
-                                    sg.count++;
-                                    best = len;
-                                    if (best == max_here) break;
-                                }
+                    // tail-word filter + prefetch pipeline (same idiom as
+                    // the greedy search_ins walk): a candidate can only
+                    // beat `best` if bytes [best-3, best] all match — a
+                    // necessary condition for len > best, so rejecting on
+                    // it never changes the recorded segments (bytes out
+                    // are identical); it just rejects strictly more than
+                    // the old single cur[best] byte for one unaligned
+                    // load. In-loop best < max_here (best == max_here
+                    // breaks), so cp+best stays in bounds.
+                    uint32_t scan_tail = 0;
+                    if (best >= 4) memcpy(&scan_tail, cur + best - 3, 4);
+                    const int32_t floor_ =
+                        (int32_t)(pos > WINDOW ? pos - WINDOW : 0);
+                    const int32_t* prevp = m.st.prev.data();
+                    // productivity cutoff: stop after stall_limit
+                    // consecutive candidates that don't improve `best` —
+                    // productive walks (repetitive content finding long
+                    // matches early) are unaffected, pathologically deep
+                    // unproductive chains (photo content) are cut. The
+                    // budget continues across the assisted prefix above.
+                    while (cand >= floor_ && cand < pos && chain-- > 0 &&
+                           stall-- > 0) {
+                        const uint8_t* cp = data + cand;
+                        int32_t nxt = prevp[cand & WMASK];
+                        __builtin_prefetch(data + nxt);
+                        __builtin_prefetch(&prevp[nxt & WMASK]);
+                        dbg_visits++;
+                        if (best >= 4) {
+                            uint32_t c_tail;
+                            memcpy(&c_tail, cp + best - 3, 4);
+                            if (c_tail != scan_tail) {
+                                dbg_tail_rej++;
+                                cand = nxt;
+                                continue;
                             }
                         }
-                        cand = m.st.prev[cand & WMASK];
+                        uint32_t c32;
+                        memcpy(&c32, cp, 4);
+                        if (c32 == cur32 && (best < 4 || cp[best] == cur[best])) {
+                            dbg_evals++;
+                            int len = 4 + match_length(cur + 4, cp + 4,
+                                                       max_here - 4);
+                            if (len > best) {
+                                if (sg.count == MAX_SEGS) break;
+                                // lengths best+1..len at this distance
+                                sg.hi[sg.count] = (uint16_t)len;
+                                sg.dist[sg.count] = (uint16_t)(pos - cand);
+                                sg.count++;
+                                best = len;
+                                if (best == max_here || best >= nice_len)
+                                    break;
+                                if (best >= 4)
+                                    memcpy(&scan_tail, cur + best - 3, 4);
+                                stall = stall_limit;
+                            }
+                        }
+                        cand = nxt;
                     }
                 }
                 maxlen[i] = (uint16_t)best;
@@ -4443,6 +4495,13 @@ static int64_t deflate_optimal_impl(const uint8_t* data, int64_t len,
         const int64_t BLOCK = 128 * 1024;
         Matcher m(data, len);
         int64_t pos = 0;
+        // Tokens accumulate across parse blocks and are emitted once at the
+        // end: parse blocking exists only to bound the match-table memory,
+        // and per-parse-block emission wasted a dynamic tree header (~
+        // 50-100 B) per 128 KiB on highly compressible payloads. The
+        // whole-stream emission lets the adaptive split search place block
+        // boundaries by content instead of by parse granularity.
+        std::vector<Token> all_tokens;
         while (pos < len) {
             int64_t blen = std::min(len - pos, BLOCK);
             OptimalParser p(data, len, pos, blen);
@@ -4453,9 +4512,57 @@ static int64_t deflate_optimal_impl(const uint8_t* data, int64_t len,
                 return ts.tv_sec + ts.tv_nsec * 1e-9;
             };
             double t0 = dbg ? tick() : 0.0;
-            p.build_matches(m, 1024, av);
-            if (dbg) fprintf(stderr, "opt: build_matches %.0f ms (block %lld)\n",
-                             (tick() - t0) * 1e3, (long long)blen);
+            static const int opt_chain = [] {
+                const char* e = getenv("PIXO_TPU_OPT_CHAIN");
+                return e ? atoi(e) : 1024;
+            }();
+            static const int opt_nice = [] {
+                const char* e = getenv("PIXO_TPU_OPT_NICE");
+                return e ? atoi(e) : MAX_MATCH;
+            }();
+            static const int opt_stall = [] {
+                const char* e = getenv("PIXO_TPU_OPT_STALL");
+                return e ? atoi(e) : -1;  // -1 = adaptive
+            }();
+            int stall = opt_stall;
+            if (stall < 0) {
+                // Adaptive productivity cutoff: diverse content (photo
+                // residuals) finds its productive matches shallow in the
+                // chain — a stall cutoff there is ~2x build time for
+                // ~+0.3% size. Periodic/smooth content (tiny distinct-
+                // 4-gram counts) hides its long row-stride matches deep
+                // behind thousands of hash twins: it needs the full
+                // chain, and its blocks are cheap anyway (the 258-run
+                // skip collapses them). Sampled distinct-4-gram count
+                // separates the classes by 2-3 orders of magnitude
+                // (measured: 25 vs 7.5k-22k per 128 KiB block).
+                const int SAMPLE = 16384;
+                int64_t avail = blen - 3;
+                int take = (int)std::min<int64_t>(SAMPLE, avail);
+                if (take > 256) {
+                    std::vector<uint32_t> grams((size_t)take);
+                    int64_t step = avail / take;
+                    if (step < 1) step = 1;
+                    const uint8_t* bp = data + pos;
+                    for (int k = 0; k < take; k++)
+                        memcpy(&grams[k], bp + (int64_t)k * step, 4);
+                    std::sort(grams.begin(), grams.end());
+                    int distinct = 1;
+                    for (int k = 1; k < take; k++)
+                        distinct += grams[k] != grams[k - 1];
+                    stall = distinct >= 1024 ? 128 : 0;
+                } else {
+                    stall = 0;
+                }
+            }
+            p.build_matches(m, opt_chain, av, opt_nice, stall);
+            if (dbg)
+                fprintf(stderr,
+                        "opt: build_matches %.0f ms (block %lld, visits %lld, "
+                        "tail_rej %lld, evals %lld)\n",
+                        (tick() - t0) * 1e3, (long long)blen,
+                        (long long)p.dbg_visits, (long long)p.dbg_tail_rej,
+                        (long long)p.dbg_evals);
 
             CostModel cm;
             cm.from_fixed();
@@ -4520,10 +4627,12 @@ static int64_t deflate_optimal_impl(const uint8_t* data, int64_t len,
                     cm.from_histogram(lit_freq, dist_freq);
                 }
             }
-            emit_block_split(w, best_tokens, data, pos, blen,
-                             pos + blen == len);
+            all_tokens.insert(all_tokens.end(), best_tokens.begin(),
+                              best_tokens.end());
             pos += blen;
         }
+        emit_block_split(w, all_tokens, data, 0, len, true,
+                         /*force_split_search=*/true);
         w.flush();
     }
     if (zlib_wrap) {
