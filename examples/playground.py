@@ -41,8 +41,9 @@ PAGE = """<!DOCTYPE html>
  a { color: #7ac4ff; }
 </style></head><body>
 <h1><span>pixo-tpu</span> playground — drop PNG/JPEG files to compress</h1>
-<div id="drop">drop images here, or click to choose<input id="file" type="file"
- accept="image/png,image/jpeg" multiple style="display:none"></div>
+<div id="drop" tabindex="0" role="button" aria-label="choose images">drop
+ images here, click to choose, or paste from the clipboard<input id="file"
+ type="file" accept="image/png,image/jpeg" multiple style="display:none"></div>
 <fieldset>
  <label>format <select id="format"><option>auto</option><option>png</option>
    <option>jpeg</option></select></label>
@@ -70,6 +71,18 @@ for (const ev of ["dragover", "dragenter"])
 for (const ev of ["dragleave", "drop"])
   drop.addEventListener(ev, e => { e.preventDefault(); drop.classList.remove("active"); });
 drop.addEventListener("drop", e => [...e.dataTransfer.files].forEach(submit));
+// keyboard: the drop zone is focusable; Enter/Space opens the chooser
+// (reference web/e2e keyboard spec analog)
+drop.addEventListener("keydown", e => {
+  if (e.key === "Enter" || e.key === " ") { e.preventDefault(); $("file").click(); }
+});
+// clipboard: paste an image anywhere on the page to submit it
+// (reference web/e2e clipboard spec analog)
+document.addEventListener("paste", e => {
+  const files = [...(e.clipboardData?.files || [])]
+    .filter(f => f.type.startsWith("image/"));
+  if (files.length) { e.preventDefault(); files.forEach(submit); }
+});
 
 function fmt(n) { return n >= 1048576 ? (n/1048576).toFixed(2)+" MB"
                        : (n/1024).toFixed(1)+" KB"; }
