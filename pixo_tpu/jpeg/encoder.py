@@ -29,7 +29,13 @@ import numpy as np
 from .. import errors
 from ..color import ColorType
 from ..options import MAX_DIMENSION, JpegOptions, Subsampling
-from ..ops.blockify import blocks_420, blocks_444, blocks_gray, scan_layout
+from ..ops.blockify import (
+    blocks_420,
+    blocks_422,
+    blocks_444,
+    blocks_gray,
+    scan_layout,
+)
 from ..ops.dct import dct8x8_aan
 from ..ops.quantize import quantize_blocks, zigzag_blocks
 from . import markers, packer
@@ -69,6 +75,10 @@ def _device_coeffs(img, lum_q, chrom_q, *, color: str, subsampling: str):
         blocks = blocks_420(img)
         qmap = jnp.stack([lum_q] * 4 + [chrom_q] * 2).reshape(6, 8, 8)
         bpm = 6
+    elif subsampling == "422":
+        blocks = blocks_422(img)
+        qmap = jnp.stack([lum_q] * 2 + [chrom_q] * 2).reshape(4, 8, 8)
+        bpm = 4
     else:
         blocks = blocks_444(img)
         qmap = jnp.stack([lum_q, chrom_q, chrom_q]).reshape(3, 8, 8)
@@ -127,10 +137,8 @@ def compute_coefficients_host(
 
     if options.color_type == ColorType.GRAY:
         nat_mode = "gray"
-    elif options.subsampling == Subsampling.S420:
-        nat_mode = "420"
     else:
-        nat_mode = "444"
+        nat_mode = options.subsampling.value
     nat = native_jpeg_coefficients(img, nat_mode, lum, chrom)
     if nat is not None:
         return nat
@@ -142,6 +150,12 @@ def compute_coefficients_host(
         blocks = blocks_420_np(img)
         qmap = np.stack([lum] * 4 + [chrom] * 2)
         bpm = 6
+    elif options.subsampling == Subsampling.S422:
+        from ..ops.blockify import blocks_422_np
+
+        blocks = blocks_422_np(img)
+        qmap = np.stack([lum] * 2 + [chrom] * 2)
+        bpm = 4
     else:
         blocks = blocks_444_np(img)
         qmap = np.stack([lum, chrom, chrom])
@@ -164,7 +178,7 @@ def compute_coefficients(
     if _coeff_tier() == "host" or auto_host_tier("PIXO_TPU_COEFFS"):
         return compute_coefficients_host(img, options, quant)
     color = "gray" if options.color_type == ColorType.GRAY else "rgb"
-    sub = "420" if options.subsampling == Subsampling.S420 else "444"
+    sub = options.subsampling.value
     lum = jnp.asarray(quant.luminance_table.reshape(8, 8))
     chrom = jnp.asarray(quant.chrominance_table.reshape(8, 8))
     zz = _device_coeffs(jnp.asarray(img), lum, chrom, color=color, subsampling=sub)
@@ -181,6 +195,8 @@ def _device_dct_zz(img, *, color: str, subsampling: str):
         blocks = blocks_gray(img)
     elif subsampling == "420":
         blocks = blocks_420(img)
+    elif subsampling == "422":
+        blocks = blocks_422(img)
     else:
         blocks = blocks_444(img)
     dct = dct8x8_aan(blocks)
@@ -202,7 +218,7 @@ def _trellis_coefficients(
     if mode is None:
         mode = os.environ.get("PIXO_TPU_TRELLIS", "host")
     color = "gray" if options.color_type == ColorType.GRAY else "rgb"
-    sub = "420" if options.subsampling == Subsampling.S420 else "444"
+    sub = options.subsampling.value
     lum_zz = quant.luminance_table[ZIGZAG]
     chrom_zz = quant.chrominance_table[ZIGZAG]
     if mode != "device" and (
@@ -370,10 +386,8 @@ def _emit_jpeg(
 
             if options.color_type == ColorType.GRAY:
                 mode = "gray"
-            elif options.subsampling == Subsampling.S420:
-                mode = "420"
             else:
-                mode = "444"
+                mode = options.subsampling.value
             payload = native_jpeg_encode_scan(
                 img, mode, quant.luminance_table, quant.chrominance_table,
                 pattern, huff, options.restart_interval,
@@ -440,7 +454,7 @@ def encode(data, options: JpegOptions) -> bytes:
 
     quant = QuantizationTables(options.quality)
     color = "gray" if options.color_type == ColorType.GRAY else "rgb"
-    sub = "420" if options.subsampling == Subsampling.S420 else "444"
+    sub = options.subsampling.value
     n_mcus, bpm, pattern = scan_layout(options.width, options.height, color, sub)
     # progressive + trellis re-derives its coefficients inside _emit_jpeg
     # (the reference's baseline scan never consults use_trellis, so the
@@ -477,7 +491,7 @@ def encode_batch(imgs: np.ndarray, options: JpegOptions) -> List[bytes]:
     del bpp
     quant = QuantizationTables(options.quality)
     color = "gray" if options.color_type == ColorType.GRAY else "rgb"
-    sub = "420" if options.subsampling == Subsampling.S420 else "444"
+    sub = options.subsampling.value
     n_mcus, bpm, pattern = scan_layout(options.width, options.height, color, sub)
     n_blocks = n_mcus * bpm
 

@@ -67,7 +67,10 @@ def write_sof(
     if num_components == 1:
         out += bytes([1, 0x11, 0])
     else:
-        y_sampling = 0x22 if subsampling == Subsampling.S420 else 0x11
+        y_sampling = {
+            Subsampling.S420: 0x22,  # h=2, v=2
+            Subsampling.S422: 0x21,  # h=2, v=1
+        }.get(subsampling, 0x11)
         out += bytes([1, y_sampling, 0])
         out += bytes([2, 0x11, 1])
         out += bytes([3, 0x11, 1])

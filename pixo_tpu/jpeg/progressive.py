@@ -401,6 +401,18 @@ def split_components(
         cb = np.ascontiguousarray(grouped[:, 4, :]).reshape(-1, 64)
         cr = np.ascontiguousarray(grouped[:, 5, :]).reshape(-1, 64)
         return [y, cb, cr]
+    if bpm == 4:  # 4:2:2 (beyond parity: no reference encode path)
+        nmx = ((width + 15) & ~15) // 16
+        nmy = (height + 7) // 8  # MCU rows == Y block rows (v=1)
+        # Y: MCU order [nmcu, 2] is already raster row order; crop the
+        # padded right column when width % 16 is in (0, 8].
+        yb_w = (width + 7) // 8
+        y = grouped[:, :2, :].reshape(nmy, 2 * nmx, 64)
+        y = np.ascontiguousarray(y[:, :yb_w]).reshape(-1, 64)
+        # Chroma grids equal the MCU grid exactly: ceil(ceil(w/2)/8) = nmx.
+        cb = np.ascontiguousarray(grouped[:, 2, :]).reshape(-1, 64)
+        cr = np.ascontiguousarray(grouped[:, 3, :]).reshape(-1, 64)
+        return [y, cb, cr]
     for comp in range(3):
         slots = np.nonzero(pat == comp)[0]
         if len(slots) == 0:

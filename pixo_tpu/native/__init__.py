@@ -794,7 +794,7 @@ def native_count_progressive_scan(
 
 def native_jpeg_coefficients(
     img: np.ndarray,       # [h, w] uint8 (gray) or [h, w, 3|4] uint8
-    mode: str,             # "gray" | "444" | "420"
+    mode: str,             # "gray" | "444" | "420" | "422"
     qlum: np.ndarray,      # natural-order [64] float32
     qchrom: np.ndarray,
 ) -> Optional[np.ndarray]:
@@ -804,13 +804,15 @@ def native_jpeg_coefficients(
     lib = _load()
     if lib is None or not hasattr(lib, "jpeg_coefficients"):
         return None
-    m = {"gray": 0, "444": 1, "420": 2}[mode]
+    m = {"gray": 0, "444": 1, "420": 2, "422": 3}[mode]
     h, w = img.shape[:2]
     c_in = 1 if img.ndim == 2 else img.shape[2]
     if m == 0:
         nblocks = ((h + 7) // 8) * ((w + 7) // 8)
     elif m == 1:
         nblocks = ((h + 7) // 8) * ((w + 7) // 8) * 3
+    elif m == 3:
+        nblocks = ((h + 7) // 8) * ((w + 15) // 16) * 4
     else:
         nblocks = ((h + 15) // 16) * ((w + 15) // 16) * 6
     img = np.ascontiguousarray(img)
@@ -836,7 +838,7 @@ def native_has_fused_encode() -> bool:
 
 def native_jpeg_encode_scan(
     img: np.ndarray,       # [h, w] uint8 (gray) or [h, w, 3|4] uint8
-    mode: str,             # "gray" | "444" | "420"
+    mode: str,             # "gray" | "444" | "420" | "422"
     qlum: np.ndarray,      # natural-order [64] float32
     qchrom: np.ndarray,
     pattern: Sequence[int],
@@ -852,13 +854,15 @@ def native_jpeg_encode_scan(
     lib = _load()
     if lib is None or not hasattr(lib, "jpeg_encode_scan_fused"):
         return None
-    m = {"gray": 0, "444": 1, "420": 2}[mode]
+    m = {"gray": 0, "444": 1, "420": 2, "422": 3}[mode]
     h, w = img.shape[:2]
     c_in = 1 if img.ndim == 2 else img.shape[2]
     if m == 0:
         nblocks = ((h + 7) // 8) * ((w + 7) // 8)
     elif m == 1:
         nblocks = ((h + 7) // 8) * ((w + 7) // 8) * 3
+    elif m == 3:
+        nblocks = ((h + 7) // 8) * ((w + 15) // 16) * 4
     else:
         nblocks = ((h + 15) // 16) * ((w + 15) // 16) * 6
     img = np.ascontiguousarray(img)
@@ -895,7 +899,7 @@ def native_jpeg_encode_scan(
 
 def native_jpeg_dct_zz(
     img: np.ndarray,       # [h, w] uint8 (gray) or [h, w, 3|4] uint8
-    mode: str,             # "gray" | "444" | "420"
+    mode: str,             # "gray" | "444" | "420" | "422"
 ) -> Optional[np.ndarray]:
     """Raw zigzagged f32 DCT (pre-quantization) through the same AVX2
     clamp-pad -> YCbCr -> blockify -> AAN pipeline as
@@ -905,13 +909,15 @@ def native_jpeg_dct_zz(
     lib = _load()
     if lib is None or not hasattr(lib, "jpeg_dct_zz"):
         return None
-    m = {"gray": 0, "444": 1, "420": 2}[mode]
+    m = {"gray": 0, "444": 1, "420": 2, "422": 3}[mode]
     h, w = img.shape[:2]
     c_in = 1 if img.ndim == 2 else img.shape[2]
     if m == 0:
         nblocks = ((h + 7) // 8) * ((w + 7) // 8)
     elif m == 1:
         nblocks = ((h + 7) // 8) * ((w + 7) // 8) * 3
+    elif m == 3:
+        nblocks = ((h + 7) // 8) * ((w + 15) // 16) * 4
     else:
         nblocks = ((h + 15) // 16) * ((w + 15) // 16) * 6
     img = np.ascontiguousarray(img)

@@ -6739,7 +6739,7 @@ static inline void ycc_row(const uint8_t* rgb, int n, int c_in,
 }  // namespace jcoef
 
 // img: [h, w, c_in] uint8 (c_in 1/3/4; alpha ignored), qlum/qchrom:
-// natural-order [64] f32.  mode: 0=gray, 1=444, 2=420.  out: int16
+// natural-order [64] f32.  mode: 0=gray, 1=444, 2=420, 3=422.  out: int16
 // [nblocks, 64] zigzag, block order identical to the NumPy mirrors.
 // Returns nblocks or -1 (no AVX2 build / bad args).
 #if defined(__AVX2__)
@@ -6812,6 +6812,63 @@ static int64_t jpeg_coefficients_impl(
             }
         }
         return bh * bw * 3;
+    }
+    if (mode == 3) {
+        // 422: pad h to 8 / w to 16, MCU = Y(left), Y(right) + horizontal
+        // pair-averaged Cb/Cr ((a + b) * 0.5 - 128, matching the
+        // blocks_422_np mirror's float op order exactly). Beyond parity:
+        // the reference has no 4:2:2 encode path (src/jpeg/mod.rs:96-300).
+        int64_t ph = (h + 7) & ~7LL, pw = (w + 15) & ~15LL;
+        int64_t nmx = pw / 16, nmy = ph / 8;
+        std::vector<float> yb((size_t)8 * pw), cbr((size_t)8 * pw),
+            crr((size_t)8 * pw), cbs((size_t)8 * (pw / 2)),
+            crs((size_t)8 * (pw / 2));
+        for (int64_t my = 0; my < nmy; my++) {
+            for (int rr = 0; rr < 8; rr++) {
+                int64_t sy = my * 8 + rr;
+                if (sy >= h) sy = h - 1;
+                float* yd = yb.data() + (size_t)rr * pw;
+                float* cbd = cbr.data() + (size_t)rr * pw;
+                float* crd = crr.data() + (size_t)rr * pw;
+                ycc_row(img + sy * w * c_in, (int)w, c_in, yd, cbd, crd, 0);
+                for (int64_t x = w; x < pw; x++) {
+                    yd[x] = yd[w - 1]; cbd[x] = cbd[w - 1]; crd[x] = crd[w - 1];
+                }
+                // horizontal pair average (same row), mirror float order
+                float* cbo = cbs.data() + (size_t)rr * (pw / 2);
+                float* cro = crs.data() + (size_t)rr * (pw / 2);
+                const __m256i fix = _mm256_setr_epi32(0, 1, 4, 5, 2, 3, 6, 7);
+                const __m256 half = _mm256_set1_ps(0.5f);
+                const __m256 c128f = _mm256_set1_ps(128.0f);
+                int64_t x = 0;
+                for (; x + 8 <= pw / 2; x += 8) {
+                    const float* srcs[2] = {cbd, crd};
+                    float* dsts[2] = {cbo, cro};
+                    for (int ch = 0; ch < 2; ch++) {
+                        __m256 a = _mm256_loadu_ps(srcs[ch] + 2 * x);
+                        __m256 b = _mm256_loadu_ps(srcs[ch] + 2 * x + 8);
+                        __m256 ev = _mm256_shuffle_ps(a, b, 0x88);
+                        __m256 od = _mm256_shuffle_ps(a, b, 0xDD);
+                        __m256 s = _mm256_add_ps(ev, od);
+                        __m256 r =
+                            _mm256_sub_ps(_mm256_mul_ps(s, half), c128f);
+                        _mm256_storeu_ps(dsts[ch] + x,
+                                         _mm256_permutevar8x32_ps(r, fix));
+                    }
+                }
+                for (; x < pw / 2; x++) {
+                    cbo[x] = (cbd[2 * x] + cbd[2 * x + 1]) * 0.5f - 128.0f;
+                    cro[x] = (crd[2 * x] + crd[2 * x + 1]) * 0.5f - 128.0f;
+                }
+            }
+            for (int64_t mx = 0; mx < nmx; mx++) {
+                sink.block(yb.data() + mx * 16, pw, false);
+                sink.block(yb.data() + mx * 16 + 8, pw, false);
+                sink.block(cbs.data() + mx * 8, pw / 2, true);
+                sink.block(crs.data() + mx * 8, pw / 2, true);
+            }
+        }
+        return nmy * nmx * 4;
     }
     if (mode != 2) return -1;
     // 420: pad to 16, MCU = 4 Y (by,bx) + avg-cb + avg-cr

@@ -99,6 +99,46 @@ def blocks_420(rgb) -> jnp.ndarray:
     return mcus.reshape(-1, 8, 8)
 
 
+def blocks_422(rgb) -> jnp.ndarray:
+    """[H, W, 3] uint8 -> [nmcu*4, 8, 8] f32 blocks in 4:2:2 scan order.
+
+    Per 16x8 MCU: Y(left), Y(right), Cb, Cr. Chroma is the horizontal
+    pair average of the fixed-point-converted u8 Cb/Cr values, computed
+    as f32 sum * 0.5 (exact). Beyond parity: the reference has no 4:2:2
+    encode path (``src/jpeg/mod.rs:96-300``); the MCU walk follows its
+    4:2:0 scheme (``extract_mcu_420``, ``:1608-1656``) restricted to one
+    block row.
+    """
+    h0, w0 = rgb.shape[0], rgb.shape[1]
+    ph0 = (-h0) % 8
+    pw0 = (-w0) % 16
+    img = rgb
+    if ph0 or pw0:
+        img = jnp.pad(img, [(0, ph0), (0, pw0), (0, 0)], mode="edge")
+    h, w = img.shape[0], img.shape[1]
+    ycc = rgb_to_ycbcr(img)
+    yf = ycc[..., 0].astype(jnp.float32) - 128.0
+    cb = ycc[..., 1].astype(jnp.float32)
+    cr = ycc[..., 2].astype(jnp.float32)
+
+    def avg2h(p):
+        q = p.reshape(h, w // 2, 2)
+        return (q[:, :, 0] + q[:, :, 1]) * 0.5 - 128.0
+
+    cbs = avg2h(cb)  # [h, w/2]
+    crs = avg2h(cr)
+
+    n_mcu_y = h // 8
+    n_mcu_x = w // 16
+    # Y plane: 16x8 MCUs, two side-by-side 8x8 blocks per MCU.
+    yt = yf.reshape(n_mcu_y, 8, n_mcu_x, 2, 8)
+    yt = yt.transpose(0, 2, 3, 1, 4).reshape(n_mcu_y * n_mcu_x, 2, 8, 8)
+    cbt = _tile_8x8(cbs).reshape(n_mcu_y * n_mcu_x, 1, 8, 8)
+    crt = _tile_8x8(crs).reshape(n_mcu_y * n_mcu_x, 1, 8, 8)
+    mcus = jnp.concatenate([yt, cbt, crt], axis=1)  # [nmcu, 4, 8, 8]
+    return mcus.reshape(-1, 8, 8)
+
+
 def scan_layout(
     width: int, height: int, color: str, subsampling: str
 ) -> Tuple[int, int, Tuple[int, ...]]:
@@ -113,6 +153,9 @@ def scan_layout(
     if subsampling == "420":
         pw, ph = (width + 15) & ~15, (height + 15) & ~15
         return (pw // 16) * (ph // 16), 6, (0, 0, 0, 0, 1, 2)
+    if subsampling == "422":
+        pw, ph = (width + 15) & ~15, (height + 7) & ~7
+        return (pw // 16) * (ph // 8), 4, (0, 0, 1, 2)
     pw, ph = (width + 7) & ~7, (height + 7) & ~7
     return (pw // 8) * (ph // 8), 3, (0, 1, 2)
 
@@ -182,4 +225,35 @@ def blocks_420_np(rgb: "np.ndarray") -> "np.ndarray":
     cbb = cbs.reshape(nmy, 8, nmx, 8).transpose(0, 2, 1, 3)[:, :, None]
     crb = crs.reshape(nmy, 8, nmx, 8).transpose(0, 2, 1, 3)[:, :, None]
     mcu = np.concatenate([ymcu, cbb, crb], axis=2)  # [nmy, nmx, 6, 8, 8]
+    return np.ascontiguousarray(mcu.reshape(-1, 8, 8))
+
+def blocks_422_np(rgb: "np.ndarray") -> "np.ndarray":
+    import numpy as np
+
+    from ..color import rgb_to_ycbcr_np
+
+    h, w = rgb.shape[:2]
+    ph, pw = (h + 7) & ~7, (w + 15) & ~15
+    ys = np.minimum(np.arange(ph), h - 1)
+    xs = np.minimum(np.arange(pw), w - 1)
+    img = rgb[ys][:, xs]
+    ycc = rgb_to_ycbcr_np(img)
+    yf = ycc[..., 0].astype(np.float32) - 128.0
+    cb = ycc[..., 1].astype(np.float32)
+    cr = ycc[..., 2].astype(np.float32)
+
+    def avg(p):
+        q = p.reshape(ph, pw // 2, 2)
+        return (q[:, :, 0] + q[:, :, 1]) * 0.5 - 128.0
+
+    cbs, crs = avg(cb), avg(cr)
+    nmy, nmx = ph // 8, pw // 16
+    ymcu = (
+        yf.reshape(nmy, 8, nmx, 2, 8)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(nmy, nmx, 2, 8, 8)
+    )
+    cbb = cbs.reshape(nmy, 8, nmx, 8).transpose(0, 2, 1, 3)[:, :, None]
+    crb = crs.reshape(nmy, 8, nmx, 8).transpose(0, 2, 1, 3)[:, :, None]
+    mcu = np.concatenate([ymcu, cbb, crb], axis=2)  # [nmy, nmx, 4, 8, 8]
     return np.ascontiguousarray(mcu.reshape(-1, 8, 8))

@@ -129,6 +129,10 @@ class PngOptions:
 class Subsampling(enum.Enum):
     S444 = "444"
     S420 = "420"
+    # Beyond parity: the reference decodes 4:2:2 but cannot encode it
+    # (``src/jpeg/mod.rs:96-300`` offers S444/S420 only); this framework
+    # completes the matrix with a 16x8-MCU encode path.
+    S422 = "422"
 
 
 @dataclasses.dataclass

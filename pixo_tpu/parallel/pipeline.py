@@ -34,7 +34,7 @@ from .mesh import batch_sharding, make_mesh
 
 def _color_sub(options: JpegOptions):
     color = "gray" if options.color_type == ColorType.GRAY else "rgb"
-    sub = "420" if options.subsampling == Subsampling.S420 else "444"
+    sub = options.subsampling.value
     return color, sub
 
 
