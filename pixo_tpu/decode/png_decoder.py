@@ -171,22 +171,29 @@ def decode_png(data: bytes, *, keep_bit_depth: bool = False) -> PngImage:
         # reference parity (src/decode/png.rs:492-530): out-of-range
         # indices expand to opaque black, and tRNS upgrades the output to
         # RGBA only when it contains a non-opaque entry
-        # (has_alpha_in_trns, src/decode/png.rs:70-73)
-        oob = samples >= len(plte)
-        if oob.any():
-            samples = np.where(oob, 0, samples)
-        if trns is not None and bool((np.asarray(trns) != 0xFF).any()):
-            alpha = np.full(len(plte), 255, np.uint8)
-            alpha[: min(len(trns), len(plte))] = trns[: len(plte)]
-            rgba = np.concatenate([plte, alpha[:, None]], axis=1)
-            pixels = rgba[samples]
-            if oob.any():
-                pixels[oob] = (0, 0, 0, 255)
-            return PngImage(width, height, ColorType.RGBA, pixels)
-        pixels = plte[samples]
-        if oob.any():
-            pixels[oob] = (0, 0, 0)
-        return PngImage(width, height, ColorType.RGB, pixels)
+        # (has_alpha_in_trns, src/decode/png.rs:70-73).
+        # The LUT is padded to 256 entries so uint8 samples can never
+        # index past it — out-of-range indices land on the opaque-black
+        # padding, replacing the oob mask-and-patch with a pure gather
+        # (NumPy's 2D fancy-indexing here cost 3 ms of a 3.3 ms decode).
+        from ..native import native_palette_expand
+
+        lut = np.zeros((256, 4), np.uint8)
+        lut[:, 3] = 255
+        lut[: len(plte), :3] = plte
+        has_alpha = trns is not None and bool((np.asarray(trns) != 0xFF).any())
+        if has_alpha:
+            lut[: min(len(trns), len(plte)), 3] = trns[: len(plte)]
+        channels_out = 4 if has_alpha else 3
+        pixels = native_palette_expand(samples, lut, channels_out)
+        if pixels is None:
+            pixels = (
+                lut[:, :channels_out]
+                .take(samples.reshape(-1), axis=0)
+                .reshape(samples.shape + (channels_out,))
+            )
+        ct_out = ColorType.RGBA if has_alpha else ColorType.RGB
+        return PngImage(width, height, ct_out, pixels)
 
     ct = {0: ColorType.GRAY, 2: ColorType.RGB, 4: ColorType.GRAY_ALPHA,
           6: ColorType.RGBA}[color_type]

@@ -255,6 +255,11 @@ def _configure(lib) -> None:
         u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, u8p,
     ]
 
+    lib.png_palette_expand.restype = None
+    lib.png_palette_expand.argtypes = [
+        u8p, ctypes.c_int64, u8p, ctypes.c_int32, u8p,
+    ]
+
     lib.png_filter_apply.restype = ctypes.c_int32
     lib.png_filter_apply.argtypes = [
         u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
@@ -1193,6 +1198,23 @@ def native_png_unfilter(rows, bpp: int):
     if rc != 0:
         return None
     return out
+
+
+def native_palette_expand(samples, lut_rgba, channels: int):
+    """Gather a padded 256x4 RGBA LUT over uint8 samples -> [N, channels].
+
+    ``lut_rgba`` must be a [256, 4] uint8 array (3-channel output reads
+    the rgb prefix of each row). Returns None when the library is absent.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "png_palette_expand"):
+        return None
+    samples = np.ascontiguousarray(samples, dtype=np.uint8)
+    lut = np.ascontiguousarray(lut_rgba, dtype=np.uint8)
+    n = samples.size
+    out = np.empty(n * channels, dtype=np.uint8)
+    lib.png_palette_expand(_u8(samples), n, _u8(lut), channels, _u8(out))
+    return out.reshape(samples.shape + (channels,))
 
 
 def native_trellis_quantize(

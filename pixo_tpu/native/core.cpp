@@ -2103,6 +2103,30 @@ EXPORT int32_t png_unfilter(const uint8_t* rows, int64_t height,
     return 0;
 }
 
+// Indexed-PNG palette expansion (decode): gather a 256-entry LUT over the
+// sample plane. The caller pre-pads the LUT to 256 rows (out-of-range
+// indices land on the padding = opaque black, reference parity with
+// src/decode/png.rs:492-530), so the loop is a pure gather — NumPy's
+// 2D fancy-indexing equivalent ran ~30x slower. lut is [256, 4] RGBA
+// (channels==3 reads only rgb from each row).
+EXPORT void png_palette_expand(const uint8_t* idx, int64_t n,
+                               const uint8_t* lut, int32_t channels,
+                               uint8_t* out) {
+    uint32_t lut32[256];
+    memcpy(lut32, lut, sizeof(lut32));
+    if (channels == 4) {
+        uint32_t* o = (uint32_t*)out;
+        for (int64_t i = 0; i < n; i++) o[i] = lut32[idx[i]];
+        return;
+    }
+    // 3-channel: overlapping 4-byte stores (each write's 4th byte is
+    // overwritten by the next pixel); the final pixel is written exactly.
+    int64_t i = 0;
+    for (; i + 1 < n; i++)
+        memcpy(out + i * 3, &lut32[idx[i]], 4);
+    if (n) memcpy(out + i * 3, &lut32[idx[i]], 3);
+}
+
 // ---------------------------------------------------------------------------
 // Forward PNG filtering: the host tier of the filter bank. Bit-identical to
 // the device kernels in pixo_tpu/ops/png_filters.py (same candidates, same
@@ -5680,20 +5704,36 @@ struct BitReader {
     }
 };
 
-// canonical decode table: fast 10-bit lookup + slow path
+// Canonical decode table, two-level (libdeflate/zlib style): a 10-bit
+// root indexed by the low (LSB-first) bits of the code, plus linked
+// subtables for 11-15-bit codes so every symbol decodes in at most two
+// loads — no bit-by-bit fallback. Entries pack sym << 8 | code_len;
+// a root entry with low byte 16+k points at a 2^k-entry subtable whose
+// offset sits in the high bits; 0 = unassigned (invalid stream).
 struct DecTable {
     static const int FAST_BITS = 10;
-    // packed: sym << 8 | code_len; 0 = slow path (one load per symbol)
+    // Subtable arena. For a valid (Kraft-satisfying) canonical code the
+    // total subtable space is bounded well under 1024 (zlib's ENOUGH
+    // analysis; long codes are consecutive in canonical order so they
+    // share prefixes); 2048 leaves slack for over-subscribed garbage
+    // headers, which instead mark the table invalid.
+    static const int SUB_SIZE = 2048;
     uint32_t fast[1 << FAST_BITS];
-    // slow path: first code/offset per length
-    uint32_t first_code[16];
-    int first_sym_idx[16];
-    uint16_t sorted_syms[288];
-    int count[16];
+    uint32_t sub[SUB_SIZE];
     bool valid;
+
+    static inline uint32_t reverse_code(uint32_t x, int b) {
+        uint32_t r = 0;
+        for (int j = 0; j < b; j++) { r = (r << 1) | (x & 1); x >>= 1; }
+        return r;
+    }
 
     void build(const uint8_t* lengths, int n) {
         valid = true;
+        int count[16];
+        uint32_t first_code[16];
+        int first_sym_idx[16], offs[16];
+        uint16_t sorted_syms[288];
         memset(count, 0, sizeof(count));
         for (int i = 0; i < n; i++) count[lengths[i]]++;
         count[0] = 0;
@@ -5703,7 +5743,6 @@ struct DecTable {
         // canonical first codes
         uint32_t code = 0;
         int idx = 0;
-        int offs[16];
         for (int b = 1; b < 16; b++) {
             code = (code + count[b - 1]) << 1;
             first_code[b] = code;
@@ -5713,46 +5752,85 @@ struct DecTable {
         }
         for (int i = 0; i < n; i++)
             if (lengths[i]) sorted_syms[offs[lengths[i]]++] = (uint16_t)i;
-        // fast table (LSB-first bit order: reverse the code)
+        // root entries for codes that fit FAST_BITS (LSB-first: reversed)
         memset(fast, 0, sizeof(fast));
-        code = 0;
-        idx = 0;
         for (int b = 1; b <= FAST_BITS; b++) {
             uint32_t c = first_code[b];
             for (int k = 0; k < count[b]; k++, c++) {
-                // reverse b bits of c
-                uint32_t r = 0, x = c;
-                for (int j = 0; j < b; j++) { r = (r << 1) | (x & 1); x >>= 1; }
+                uint32_t r = reverse_code(c, b);
                 uint32_t ent = ((uint32_t)sorted_syms[first_sym_idx[b] + k] << 8) |
                                (uint32_t)b;
                 for (uint32_t hi = 0; hi < (1u << (FAST_BITS - b)); hi++)
                     fast[r | (hi << b)] = ent;
             }
         }
+        // subtables for 11-15-bit codes: pass 1 sizes each root prefix by
+        // the longest code under it, pass 2 assigns arena offsets, pass 3
+        // fills (replicating within the subtable's unused high bits)
+        uint8_t sub_bits[1 << FAST_BITS];
+        int32_t sub_off[1 << FAST_BITS];
+        bool any_long = false;
+        for (int b = FAST_BITS + 1; b < 16; b++)
+            if (count[b]) { any_long = true; break; }
+        if (!any_long) return;
+        memset(sub_bits, 0, sizeof(sub_bits));
+        for (int b = FAST_BITS + 1; b < 16; b++) {
+            uint32_t c = first_code[b];
+            for (int k = 0; k < count[b]; k++, c++) {
+                uint32_t prefix = reverse_code(c, b) & ((1 << FAST_BITS) - 1);
+                uint8_t need = (uint8_t)(b - FAST_BITS);
+                if (need > sub_bits[prefix]) sub_bits[prefix] = need;
+            }
+        }
+        int arena = 0;
+        for (int p = 0; p < (1 << FAST_BITS); p++) {
+            if (!sub_bits[p]) continue;
+            sub_off[p] = arena;
+            arena += 1 << sub_bits[p];
+            if (arena > SUB_SIZE) { valid = false; return; }
+            fast[p] = ((uint32_t)sub_off[p] << 8) |
+                      (uint32_t)(16 + sub_bits[p]);
+        }
+        memset(sub, 0, (size_t)arena * sizeof(uint32_t));
+        for (int b = FAST_BITS + 1; b < 16; b++) {
+            uint32_t c = first_code[b];
+            for (int k = 0; k < count[b]; k++, c++) {
+                uint32_t r = reverse_code(c, b);
+                uint32_t prefix = r & ((1 << FAST_BITS) - 1);
+                uint32_t lo = r >> FAST_BITS;  // (b - FAST_BITS) bits
+                uint32_t ent = ((uint32_t)sorted_syms[first_sym_idx[b] + k] << 8) |
+                               (uint32_t)b;
+                int rep = sub_bits[prefix] - (b - FAST_BITS);
+                for (uint32_t hi = 0; hi < (1u << rep); hi++)
+                    sub[sub_off[prefix] + (lo | (hi << (b - FAST_BITS)))] = ent;
+            }
+        }
     }
 
+    // Peek-decode from br.acc without consuming. Returns the packed entry
+    // (sym << 8 | len), or 0 for an unassigned pattern. Safe whenever the
+    // accumulator's bits above br.nbits are zero (BitReader maintains
+    // this): a short-code entry reached through zero padding is the
+    // correct decode by the prefix property, and a long entry fails the
+    // caller's len <= nbits check.
+    inline uint32_t peek(uint64_t acc) const {
+        uint32_t e = fast[acc & ((1 << FAST_BITS) - 1)];
+        uint32_t b = e & 0xFF;
+        if (b > 16)
+            e = sub[(e >> 8) +
+                    ((acc >> FAST_BITS) & ((1u << (b - 16)) - 1))];
+        return e;
+    }
+
+    // Careful decode: refills as needed, errors at true end-of-input.
     inline int decode(BitReader& br) {
         if (br.nbits < 16) br.fill();
-        uint32_t e = fast[br.acc & ((1 << FAST_BITS) - 1)];
+        uint32_t e = peek(br.acc);
         int b = (int)(e & 0xFF);
-        if (b && b <= br.nbits) {
-            br.acc >>= b;
-            br.nbits -= b;
-            return (int)(e >> 8);
-        }
-        // slow path: accumulate MSB-first code bit by bit
-        uint32_t code = 0;
-        for (int b = 1; b < 16; b++) {
-            if (br.nbits < 1) br.fill();
-            if (br.nbits < 1) { br.error = true; return -1; }
-            code = (code << 1) | (uint32_t)(br.acc & 1);
-            br.acc >>= 1;
-            br.nbits -= 1;
-            if (count[b] && code >= first_code[b] && code < first_code[b] + (uint32_t)count[b])
-                return sorted_syms[first_sym_idx[b] + (code - first_code[b])];
-        }
-        br.error = true;
-        return -1;
+        if (!b || b > br.nbits) { br.error = true; return -1; }
+        br.acc >>= b;
+        br.nbits -= b;
+        return (int)(e >> 8);
     }
 };
 
@@ -5793,11 +5871,18 @@ EXPORT int64_t inflate_decompress(const uint8_t* data, int64_t len,
             uint32_t lenv = br.read(16);
             uint32_t nlen = br.read(16);
             if (br.error || (lenv ^ 0xFFFF) != nlen) return -1;
-            for (uint32_t i = 0; i < lenv; i++) {
-                uint32_t b = br.read(8);
-                if (br.error || opos >= out_cap) return -1;
-                out[opos++] = (uint8_t)b;
-            }
+            // the reader is byte-aligned: rewind to the underlying byte
+            // position and copy the payload in one memcpy instead of
+            // 8-bit reads (stored blocks carry incompressible content —
+            // this path was 2x slower than zlib per byte)
+            int64_t src = br.pos - (br.nbits >> 3);
+            if (src + (int64_t)lenv > br.len || opos + (int64_t)lenv > out_cap)
+                return -1;
+            memcpy(out + opos, br.data + src, (size_t)lenv);
+            opos += lenv;
+            br.pos = src + lenv;
+            br.acc = 0;
+            br.nbits = 0;
         } else if (btype == 1 || btype == 2) {
             if (btype == 1) {
                 uint8_t ll[288];
@@ -5842,35 +5927,84 @@ EXPORT int64_t inflate_decompress(const uint8_t* data, int64_t len,
                 dist_table.build(lens + hlit, hdist);
                 if (!lit_table.valid) return -1;
             }
+            // Fast loop invariant: with >= 48 buffered bits, one whole
+            // match decode needs no refill checks — litlen code (<=15) +
+            // length extra (<=5) + distance code (<=15) + distance extra
+            // (<=13) = 48 — and with opos <= out_fast_end the 258-byte
+            // worst-case copy plus 8 bytes of chunk overshoot needs no
+            // output bound checks. Outside either invariant (stream tail
+            // or output tail) each symbol takes the careful path below.
+            const int64_t out_fast_end = out_cap - (258 + 8);
             for (;;) {
                 if (br.nbits < 48) br.fill();
                 int sym;
-                uint32_t e = lit_table.fast[br.acc & ((1 << DecTable::FAST_BITS) - 1)];
-                int cl = (int)(e & 0xFF);
-                if (cl && cl <= br.nbits) {
+                if (br.nbits >= 48 && opos <= out_fast_end) {
+                    uint32_t e = lit_table.peek(br.acc);
+                    int cl = (int)(e & 0xFF);
+                    if (!cl) return -1;
                     br.acc >>= cl;
                     br.nbits -= cl;
                     sym = (int)(e >> 8);
-                } else {
-                    sym = lit_table.decode(br);
-                    if (sym < 0) return -1;
+                    if (sym < 256) {
+                        out[opos++] = (uint8_t)sym;
+                        // literal burst: >=15 buffered bits decode any
+                        // one more code without a refill check
+                        while (br.nbits >= 15 && opos <= out_fast_end) {
+                            e = lit_table.peek(br.acc);
+                            cl = (int)(e & 0xFF);
+                            int s2 = (int)(e >> 8);
+                            if (!cl || s2 >= 256) break;
+                            br.acc >>= cl;
+                            br.nbits -= cl;
+                            out[opos++] = (uint8_t)s2;
+                        }
+                        continue;
+                    }
+                    if (sym == 256) break;
+                    int ls = sym - 257;
+                    if (ls >= 29) return -1;
+                    uint32_t eb = (uint32_t)LEN_EXTRA[ls];
+                    int mlen = LEN_BASE[ls] +
+                               (int)(br.acc & ((1u << eb) - 1));
+                    br.acc >>= eb;
+                    br.nbits -= (int)eb;
+                    e = dist_table.peek(br.acc);
+                    cl = (int)(e & 0xFF);
+                    if (!cl) return -1;
+                    br.acc >>= cl;
+                    br.nbits -= cl;
+                    int ds = (int)(e >> 8);
+                    if (ds >= 30) return -1;
+                    uint32_t db = (uint32_t)DIST_EXTRA[ds];
+                    int dist = DIST_BASE[ds] +
+                               (int)(br.acc & ((1u << db) - 1));
+                    br.acc >>= db;
+                    br.nbits -= (int)db;
+                    if (dist > opos) return -1;
+                    uint8_t* dst = out + opos;
+                    const uint8_t* src = dst - dist;
+                    if (dist == 1) {
+                        memset(dst, src[0], (size_t)mlen);   // RLE run
+                    } else if (dist >= 8) {
+                        // non-overlapping 8-byte chunks (may overshoot
+                        // into the slack below out_fast_end)
+                        int i = 0;
+                        do {
+                            memcpy(dst + i, src + i, 8);
+                            i += 8;
+                        } while (i < mlen);
+                    } else {
+                        for (int i = 0; i < mlen; i++) dst[i] = src[i];
+                    }
+                    opos += mlen;
+                    continue;
                 }
+                // careful path: per-read refills, per-byte output bounds
+                sym = lit_table.decode(br);
+                if (sym < 0) return -1;
                 if (sym < 256) {
                     if (opos >= out_cap) return -1;
                     out[opos++] = (uint8_t)sym;
-                    // literal burst: >=15 bits buffered decodes any one
-                    // more code without a refill check
-                    for (;;) {
-                        if (br.nbits < 15) break;
-                        e = lit_table.fast[br.acc & ((1 << DecTable::FAST_BITS) - 1)];
-                        cl = (int)(e & 0xFF);
-                        int s2 = (int)(e >> 8);
-                        if (!cl || cl > br.nbits || s2 >= 256) break;
-                        br.acc >>= cl;
-                        br.nbits -= cl;
-                        if (opos >= out_cap) return -1;
-                        out[opos++] = (uint8_t)s2;
-                    }
                 } else if (sym == 256) {
                     break;
                 } else {
@@ -5881,24 +6015,8 @@ EXPORT int64_t inflate_decompress(const uint8_t* data, int64_t len,
                     if (ds < 0 || ds >= 30) return -1;
                     int dist = DIST_BASE[ds] + (int)br.read(DIST_EXTRA[ds]);
                     if (br.error || dist > opos || opos + mlen > out_cap) return -1;
-                    uint8_t* dst = out + opos;
-                    const uint8_t* src = dst - dist;
-                    if (dist == 1 && opos + mlen <= out_cap) {
-                        memset(dst, src[0], (size_t)mlen);   // RLE run
-                        opos += mlen;
-                    } else if (dist >= 8 && opos + mlen + 8 <= out_cap) {
-                        // non-overlapping 8-byte chunks (may overshoot
-                        // into the +8 slack, never past out_cap)
-                        int i = 0;
-                        do {
-                            memcpy(dst + i, src + i, 8);
-                            i += 8;
-                        } while (i < mlen);
-                        opos += mlen;
-                    } else {
-                        for (int i = 0; i < mlen; i++, opos++)
-                            out[opos] = out[opos - dist];
-                    }
+                    for (int i = 0; i < mlen; i++, opos++)
+                        out[opos] = out[opos - dist];
                 }
             }
         } else {
