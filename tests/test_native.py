@@ -120,6 +120,76 @@ class TestDeflate:
             ref = len(zlib.compress(data, level))
             assert ours <= ref * 1.10, (level, ours, ref)
 
+    def test_inflate_long_codes_subtable_path(self, rng):
+        """Skewed histograms force 11-15-bit Huffman codes, exercising the
+        two-level decode table's subtables (the 10-bit root alone cannot
+        resolve them)."""
+        # one dominant symbol + a tail of rare ones -> rare symbols get
+        # the longest code lengths zlib will assign
+        parts = [b"a" * 200000]
+        for b in range(256):
+            parts.append(bytes([b]) * (1 + b % 3))
+        data = b"".join(parts)
+        for level in (6, 9):
+            c = zlib.compress(data, level)
+            assert inflate_zlib(c, len(data)) == data
+
+    def test_inflate_stored_block_boundaries(self, rng):
+        """Stored (btype 0) blocks now memcpy from the byte-aligned input:
+        cover multi-block payloads, the 65535-byte block cap, and tails."""
+        for n in (1, 65535, 65536, 200001):
+            data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            co = zlib.compressobj(0)  # level 0 = stored blocks only
+            c = co.compress(data) + co.flush()
+            assert inflate_zlib(c, len(data)) == data
+        # mixed: huffman block then stored (compressible head, random tail)
+        data = b"abc" * 40000 + rng.integers(0, 256, 150000, dtype=np.uint8).tobytes()
+        c = deflate_zlib(data, 6)
+        assert inflate_zlib(c, len(data)) == data
+
+    def test_inflate_truncation_and_cap_errors(self, rng):
+        """The fast loop's careful-path handoff: truncated streams return
+        short output (callers compare against the expected size — the PNG
+        decoder raises there) and an undersized output cap raises; neither
+        may crash or overrun."""
+        data = rng.integers(0, 256, 50000, dtype=np.uint8).tobytes()
+        c = zlib.compress(data, 6)
+        for cut in (len(c) // 3, len(c) - 5):
+            out = inflate_zlib(c[:cut], len(data))
+            assert len(out) < len(data)
+            assert out == data[: len(out)]
+        with pytest.raises(Exception):
+            inflate_zlib(c, len(data) - 1)
+
+
+@needs_native
+class TestPaletteExpand:
+    """Native LUT gather == NumPy take fallback, including out-of-range
+    indices resolving to the opaque-black padding rows."""
+
+    def test_matches_take_fallback(self, rng):
+        from pixo_tpu.native import native_palette_expand
+
+        lut = np.zeros((256, 4), np.uint8)
+        lut[:, 3] = 255
+        lut[:37, :3] = rng.integers(0, 256, (37, 3), dtype=np.uint8)
+        lut[:10, 3] = rng.integers(0, 255, 10, dtype=np.uint8)
+        # samples beyond the 37-entry palette land on the black padding
+        samples = rng.integers(0, 256, (41, 53), dtype=np.uint8)
+        for ch in (3, 4):
+            got = native_palette_expand(samples, lut, ch)
+            assert got is not None
+            want = (
+                lut[:, :ch]
+                .take(samples.reshape(-1), axis=0)
+                .reshape(samples.shape + (ch,))
+            )
+            assert np.array_equal(got, want), ch
+        # single-pixel edge (the 3-channel tail write)
+        one = np.array([[255]], np.uint8)
+        got = native_palette_expand(one, lut, 3)
+        assert np.array_equal(got, lut[255:256, :3].reshape(1, 1, 3))
+
 
 @needs_native
 class TestSparsePack:
