@@ -270,6 +270,15 @@ def _pack(
 def _count(
     zz: np.ndarray, pattern: Sequence[int], restart_interval: Optional[int]
 ):
+    # PIXO_TPU_HUFFMAN=device computes the optimize-Huffman histograms
+    # on device (BASELINE.json's histogram-pass mapping; the d2h payload
+    # is four small histograms instead of a second host pass over the
+    # [N, 64] stream). Default stays host: the coefficients land on the
+    # host for entropy packing anyway, so host counting adds no transfer.
+    if os.environ.get("PIXO_TPU_HUFFMAN") == "device":
+        from ..ops.huffman_device import count_symbols_device
+
+        return count_symbols_device(zz, pattern, restart_interval)
     from ..native import native_available, native_count_symbols
 
     if native_available():

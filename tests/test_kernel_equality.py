@@ -636,3 +636,49 @@ class TestUnfilterDevice:
             )
             host = np.asarray(unfilter(raw, 16, 48, 3)).reshape(16, 48)
             assert np.array_equal(host, dev[i])
+
+
+class TestHuffmanCountDevice:
+    """Device symbol histograms == host counter (the optimize-Huffman
+    histogram pass BASELINE.json maps to device), across subsampling
+    patterns and restart intervals, including ZRL splits, all-zero
+    blocks, DC-only blocks, and a nonzero in the last zigzag slot."""
+
+    PATTERNS = [(0,), (0, 1, 2), (0, 0, 0, 0, 1, 2), (0, 0, 1, 2)]
+
+    @pytest.mark.parametrize("pattern", PATTERNS)
+    @pytest.mark.parametrize("ri", [None, 1, 3, 7])
+    def test_matches_host_counter(self, pattern, ri):
+        from pixo_tpu.jpeg import packer
+        from pixo_tpu.ops.huffman_device import count_symbols_device
+
+        rng = np.random.default_rng(len(pattern) * 10 + (ri or 0))
+        n = len(pattern) * 13
+        zz = rng.integers(-40, 40, (n, 64)).astype(np.int16)
+        zz[rng.random((n, 64)) < 0.85] = 0
+        zz[:, 0] = rng.integers(-1023, 1024, n)
+        zz[5] = 0                      # all-zero block (bare EOB)
+        zz[6, 1:] = 0                  # DC-only block
+        zz[7, 63] = 9                  # last slot nonzero (no EOB)
+        zz[8, 1:] = 0
+        zz[8, 40] = -1                 # two ZRLs then a symbol
+        want = packer.count_symbols(zz, pattern, ri)
+        got = count_symbols_device(zz, pattern, ri)
+        for w, g in zip(want, got):
+            assert np.array_equal(np.asarray(w), g)
+
+    def test_encode_bytes_identical_under_device_tier(self, monkeypatch):
+        """optimize_huffman encode with PIXO_TPU_HUFFMAN=device emits the
+        same file as the host counter."""
+        from pixo_tpu.jpeg import encoder as jenc
+        from pixo_tpu.options import JpegOptions
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+        opts = JpegOptions.balanced(40, 24, quality=80)
+        assert opts.optimize_huffman
+        monkeypatch.delenv("PIXO_TPU_HUFFMAN", raising=False)
+        host_bytes = jenc.encode(img, opts)
+        monkeypatch.setenv("PIXO_TPU_HUFFMAN", "device")
+        dev_bytes = jenc.encode(img, opts)
+        assert host_bytes == dev_bytes
