@@ -162,6 +162,7 @@ def main() -> None:
         popts.color_type = ColorType.RGB
         mp = size * size / 1e6
         rows = {}
+        encs = {}
         for pname, img in (("gradient", base), ("photo", photo)):
             with Watchdog(WATCHDOG_S):
                 out = penc.encode(img, popts)
@@ -171,6 +172,7 @@ def main() -> None:
                     out = penc.encode(img, popts)
                     rates.append(mp / (time.perf_counter() - t0))
             rows[pname] = (band(rates), len(out))
+            encs[pname] = out
         print(
             f"bench PNG balanced {size}x{size} (host tier): "
             + " | ".join(
@@ -184,6 +186,69 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"bench: png measurement failed: {exc}", file=sys.stderr)
         png_bands = None
+        encs = {}
+
+    # --- Decode-side rows (host tier, no TPU dependency): decode_png on
+    # the files just produced, plus bare INFLATE vs the same host's zlib
+    # on the photo IDAT stream (round 5: two-level tables + single-refill
+    # match loop moved INFLATE past zlib on every payload class).
+    png_decode_bands = None
+    inflate_ratio = None
+    try:
+        import struct
+        import zlib as _zlib
+
+        from pixo_tpu.compress.deflate import inflate_zlib
+        from pixo_tpu.decode import decode_png
+
+        mp = size * size / 1e6
+        png_decode_bands = {}
+        for pname, blob in encs.items():
+            with Watchdog(WATCHDOG_S):
+                decode_png(blob)
+                rates = []
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    decode_png(blob)
+                    rates.append(mp / (time.perf_counter() - t0))
+            png_decode_bands[pname] = band(rates)
+        if "photo" in encs:
+            pos, idat = 8, bytearray()
+            blob = encs["photo"]
+            while pos + 8 <= len(blob):
+                ln = struct.unpack(">I", blob[pos : pos + 4])[0]
+                if blob[pos + 4 : pos + 8] == b"IDAT":
+                    idat += blob[pos + 8 : pos + 8 + ln]
+                pos += 12 + ln
+            idat = bytes(idat)
+            raw_len = len(_zlib.decompress(idat))
+            with Watchdog(WATCHDOG_S):
+                ours, zl = [], []
+                for _ in range(7):
+                    t0 = time.perf_counter()
+                    inflate_zlib(idat, raw_len)
+                    ours.append(time.perf_counter() - t0)
+                    t0 = time.perf_counter()
+                    _zlib.decompress(idat)
+                    zl.append(time.perf_counter() - t0)
+            inflate_ratio = round(
+                sorted(zl)[len(zl) // 2] / sorted(ours)[len(ours) // 2], 2
+            )
+        print(
+            "bench decode (host tier): "
+            + " | ".join(
+                f"decode_png {k} {v[0]:.1f} MP/s [{v[1]}..{v[2]}]"
+                for k, v in png_decode_bands.items()
+            )
+            + (
+                f" | INFLATE {inflate_ratio}x zlib on the photo stream"
+                if inflate_ratio is not None
+                else ""
+            ),
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: decode measurement failed: {exc}", file=sys.stderr)
 
     quant = QuantizationTables(85)
     lum = jnp.asarray(quant.luminance_table.reshape(8, 8))
@@ -612,6 +677,10 @@ def main() -> None:
         record["pack_format_ab_mps"] = pack_ab
     if png_bands is not None:
         record["png_balanced_mps"] = png_bands
+    if png_decode_bands is not None:
+        record["png_decode_mps"] = png_decode_bands
+    if inflate_ratio is not None:
+        record["inflate_vs_zlib_x"] = inflate_ratio
     if cpu_fallback:
         # machine-readable marker: this run measured only the binding
         # host stage (TPU tunnel unavailable); consumers must not read
