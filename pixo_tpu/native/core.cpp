@@ -2061,10 +2061,114 @@ EXPORT int32_t jpeg_prog_ac_segment(
 // host handles them; rows arrive as [height, row_bytes+1] with the filter
 // type byte leading each row.
 
+#if defined(__AVX2__)
+// Per-pixel SSE unfilter for the left-dependent filters at bpp 3/4: the
+// o[i-bpp] dependence makes Sub/Average/Paeth serial per chain, so the
+// scalar loops pay a store-to-load-forward latency per BYTE; widening
+// the whole pixel into one 16-bit vector step pays it once per PIXEL
+// (libpng's SSE2 unfilter uses the same shape). Stores write 4 bytes:
+// for bpp=3 the 4th byte overlaps the next pixel and is recomputed by
+// the following store (or the scalar tail), and the `i + 4 <= row_bytes`
+// bound keeps every access inside the row.
+namespace pngunf {
+
+static inline __m128i load4w(const uint8_t* p) {
+    int32_t v;
+    memcpy(&v, p, 4);
+    return _mm_unpacklo_epi8(_mm_cvtsi32_si128(v), _mm_setzero_si128());
+}
+
+static inline void store4(uint8_t* p, __m128i w16) {
+    int32_t v = _mm_cvtsi128_si32(_mm_packus_epi16(w16, w16));
+    memcpy(p, &v, 4);
+}
+
+// The left pixel rides in a register carry, never through memory: the
+// result lanes (bytes i..i+3) ARE the next iteration's o[i'-bpp..] for
+// both bpp 3 and 4 (i' = i + bpp). For bpp=3 lane 3 of each result is
+// computed from a stale lane and is garbage — but it only ever feeds
+// lane-3 outputs, every lane-3 store is overwritten by the next
+// iteration's lane 0 (or the scalar tail), and the carry's lane 3
+// likewise only feeds lane 3, so lanes 0..2 stay exact by induction.
+// (A memory reload per pixel costs a partial-overlap store-forward
+// stall; measured 1.5x SLOWER than scalar. The carry wins 2x.)
+static inline __m128i carry_init(const uint8_t* o, int bpp) {
+    int32_t v = 0;
+    memcpy(&v, o, (size_t)(bpp < 4 ? bpp : 4));
+    return _mm_unpacklo_epi8(_mm_cvtsi32_si128(v), _mm_setzero_si128());
+}
+
+static inline void sub_px(const uint8_t* f, uint8_t* o,
+                          int64_t row_bytes, int bpp) {
+    int64_t i = 0;
+    for (; i < bpp; i++) o[i] = f[i];
+    __m128i a = carry_init(o, bpp);
+    const __m128i lo = _mm_set1_epi16(0xFF);
+    for (; i + 4 <= row_bytes; i += bpp) {
+        a = _mm_and_si128(_mm_add_epi16(a, load4w(f + i)), lo);
+        store4(o + i, a);
+    }
+    for (; i < row_bytes; i++) o[i] = (uint8_t)(f[i] + o[i - bpp]);
+}
+
+static inline void avg_px(const uint8_t* f, const uint8_t* prev, uint8_t* o,
+                          int64_t row_bytes, int bpp) {
+    int64_t i = 0;
+    for (; i < bpp; i++) o[i] = (uint8_t)(f[i] + (prev[i] >> 1));
+    __m128i a = carry_init(o, bpp);
+    const __m128i lo = _mm_set1_epi16(0xFF);
+    for (; i + 4 <= row_bytes; i += bpp) {
+        __m128i t = _mm_srli_epi16(_mm_add_epi16(a, load4w(prev + i)), 1);
+        a = _mm_and_si128(_mm_add_epi16(load4w(f + i), t), lo);
+        store4(o + i, a);
+    }
+    for (; i < row_bytes; i++)
+        o[i] = (uint8_t)(f[i] + ((o[i - bpp] + prev[i]) >> 1));
+}
+
+static inline void paeth_px(const uint8_t* f, const uint8_t* prev, uint8_t* o,
+                            int64_t row_bytes, int bpp) {
+    int64_t i = 0;
+    for (; i < bpp; i++) o[i] = (uint8_t)(f[i] + prev[i]);  // a=c=0 -> pred=b
+    __m128i a = carry_init(o, bpp);
+    const __m128i lo = _mm_set1_epi16(0xFF);
+    for (; i + 4 <= row_bytes; i += bpp) {
+        __m128i b = load4w(prev + i);
+        __m128i c = load4w(prev + i - bpp);
+        // p - a = b - c, p - b = a - c, p - c = (a - c) + (b - c)
+        __m128i bc = _mm_sub_epi16(b, c);
+        __m128i ac = _mm_sub_epi16(a, c);
+        __m128i pa = _mm_abs_epi16(bc);
+        __m128i pb = _mm_abs_epi16(ac);
+        __m128i pc = _mm_abs_epi16(_mm_add_epi16(ac, bc));
+        __m128i not_a = _mm_or_si128(_mm_cmpgt_epi16(pa, pb),
+                                     _mm_cmpgt_epi16(pa, pc));
+        __m128i b_over_c = _mm_cmpgt_epi16(pb, pc);  // pb > pc -> c
+        __m128i pred = _mm_blendv_epi8(b, c, b_over_c);
+        pred = _mm_blendv_epi8(a, pred, not_a);
+        a = _mm_and_si128(_mm_add_epi16(load4w(f + i), pred), lo);
+        store4(o + i, a);
+    }
+    for (; i < row_bytes; i++) {
+        int a2 = o[i - bpp], b = prev[i], c = prev[i - bpp];
+        int p = a2 + b - c;
+        int pa = p > a2 ? p - a2 : a2 - p;
+        int pb = p > b ? p - b : b - p;
+        int pc = p > c ? p - c : c - p;
+        o[i] = (uint8_t)(f[i] + ((pa <= pb && pa <= pc) ? a2 : (pb <= pc ? b : c)));
+    }
+}
+
+}  // namespace pngunf
+#endif  // __AVX2__
+
 EXPORT int32_t png_unfilter(const uint8_t* rows, int64_t height,
                             int64_t row_bytes, int32_t bpp, uint8_t* out) {
     std::vector<uint8_t> zero(row_bytes, 0);
     const uint8_t* prev = zero.data();
+#if defined(__AVX2__)
+    const bool px_simd = (bpp == 3 || bpp == 4) && row_bytes >= 2 * bpp + 4;
+#endif
     for (int64_t y = 0; y < height; y++) {
         const uint8_t* src = rows + y * (row_bytes + 1);
         uint8_t ftype = src[0];
@@ -2075,6 +2179,9 @@ EXPORT int32_t png_unfilter(const uint8_t* rows, int64_t height,
                 memcpy(o, f, row_bytes);
                 break;
             case 1:  // Sub
+#if defined(__AVX2__)
+                if (px_simd) { pngunf::sub_px(f, o, row_bytes, bpp); break; }
+#endif
                 for (int64_t i = 0; i < row_bytes; i++) {
                     uint8_t left = (i >= bpp) ? o[i - bpp] : 0;
                     o[i] = (uint8_t)(f[i] + left);
@@ -2084,12 +2191,18 @@ EXPORT int32_t png_unfilter(const uint8_t* rows, int64_t height,
                 for (int64_t i = 0; i < row_bytes; i++) o[i] = (uint8_t)(f[i] + prev[i]);
                 break;
             case 3:  // Average
+#if defined(__AVX2__)
+                if (px_simd) { pngunf::avg_px(f, prev, o, row_bytes, bpp); break; }
+#endif
                 for (int64_t i = 0; i < row_bytes; i++) {
                     int left = (i >= bpp) ? o[i - bpp] : 0;
                     o[i] = (uint8_t)(f[i] + ((left + prev[i]) >> 1));
                 }
                 break;
             case 4:  // Paeth
+#if defined(__AVX2__)
+                if (px_simd) { pngunf::paeth_px(f, prev, o, row_bytes, bpp); break; }
+#endif
                 for (int64_t i = 0; i < row_bytes; i++) {
                     int a = (i >= bpp) ? o[i - bpp] : 0;
                     int b = prev[i];
