@@ -426,6 +426,32 @@ def _decode_scan(
         if comp.dc_table not in dc_tables or comp.ac_table not in ac_tables:
             raise errors.InvalidDecode("missing Huffman table")
 
+    segments, _ = _split_entropy(scan_data)
+
+    comp_h = [c.h for c in components]
+    comp_v = [c.v for c in components]
+    if segments and _pixel_tier() == "host":
+        # Fused whole-image native decode (entropy + IDCT + upsample +
+        # color, one call, no coefficient round-trip).  None means the
+        # library is missing, the geometry declined, or the stream is
+        # corrupt — the two-stage path below re-runs and surfaces the
+        # proper error, so semantics are unchanged.
+        from ..native import native_jpeg_decode_baseline
+
+        nat = native_jpeg_decode_baseline(
+            segments, restart_interval, total_mcus, mcu_cols, mcu_rows,
+            comp_h, comp_v, max_h, max_v, width, height,
+            [dc_specs[c.dc_table] for c in components],
+            [ac_specs[c.ac_table] for c in components],
+            [qtables[c.quant_id].astype(np.uint16) for c in components],
+            fancy=fancy_upsampling,
+        )
+        if nat is not None:
+            if restart_interval and len(segments) < -(-total_mcus // restart_interval):
+                raise errors.InvalidDecode("missing restart segment")
+            ct = ColorType.GRAY if len(components) == 1 else ColorType.RGB
+            return JpegImage(width, height, ct, nat)
+
     # Per-component coefficient stores over the MCU-padded block grid.
     # np.empty is safe: both the native decoder (memset per block) and the
     # Python fallback (whole-block assignment) write every block of the
@@ -435,13 +461,9 @@ def _decode_scan(
         for c in components
     ]
 
-    segments, _ = _split_entropy(scan_data)
-
     from ..native import native_jpeg_decode_scan
 
     prev_dc_arr = np.zeros(len(components), np.int32)
-    comp_h = [c.h for c in components]
-    comp_v = [c.v for c in components]
     dcs = [dc_specs[c.dc_table] for c in components]
     acs = [ac_specs[c.ac_table] for c in components]
     # one native call for the whole scan: the segment loop (and the DC

@@ -92,6 +92,11 @@ def decode_png(data: bytes, *, keep_bit_depth: bool = False) -> PngImage:
         pos += 12 + length
 
         if ctype == b"IHDR":
+            # a 13-byte check, not just CRC: a truncated-but-CRC-consistent
+            # IHDR (rewritten length + matching CRC) must fail as invalid
+            # PNG, not as a struct.error leak (fuzz finding)
+            if length != 13:
+                raise errors.InvalidDecode("invalid IHDR length")
             ihdr = struct.unpack(">IIBBBBB", cdata)
         elif ctype == b"PLTE":
             if length % 3 != 0 or length == 0 or length > 768:

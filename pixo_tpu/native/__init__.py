@@ -1063,6 +1063,97 @@ def native_jpeg_decode_scan(
     return rc == 0
 
 
+def native_jpeg_decode_baseline(
+    segments,        # list of bytes (pre-split, unstuffed restart segments)
+    restart_interval: int,
+    total_mcus: int,
+    mcu_cols: int,
+    mcu_rows: int,
+    comp_h,
+    comp_v,
+    max_h: int,
+    max_v: int,
+    width: int,
+    height: int,
+    dc_specs,        # list of (bits16, vals) per component
+    ac_specs,
+    qtables_zz,      # list of [64] uint16 zigzag dequant tables
+    fancy: bool = False,
+):
+    """Whole-image fused baseline decode: entropy + IDCT + upsample +
+    color in one native call — the decode-side analog of
+    jpeg_encode_scan_fused (no [nblocks, 64] int16 coefficient
+    round-trip, one ctypes crossing instead of two).
+
+    Returns [H, W, 3] (or [H, W] gray) uint8, or None when the library
+    is missing, the geometry declines (caller falls back to the
+    two-stage native path, then the Python tiers), or the stream is
+    corrupt (the fallback re-decode surfaces the proper error)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "jpeg_decode_baseline"):
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    if not hasattr(lib.jpeg_decode_baseline, "_configured"):
+        lib.jpeg_decode_baseline.restype = ctypes.c_int32
+        lib.jpeg_decode_baseline.argtypes = [
+            u8p, i64p, ctypes.c_int32,                      # segs
+            ctypes.c_int64, ctypes.c_int64,                 # ri, total_mcus
+            ctypes.c_int32, ctypes.c_int32,                 # mcu_cols/rows
+            ctypes.c_int32, i32p, i32p,                     # ncomp, comp_h/v
+            ctypes.c_int32, ctypes.c_int32,                 # max_h/v
+            ctypes.c_int32, ctypes.c_int32,                 # width, height
+            u8p, u8p, i32p,                                 # dc tables
+            u8p, u8p, i32p,                                 # ac tables
+            u16p, ctypes.c_int32, u8p,                      # qt, fancy, out
+        ]
+        lib.jpeg_decode_baseline._configured = True
+    ncomp = len(comp_h)
+    joined = b"".join(segments)
+    seg_arr = np.frombuffer(joined, np.uint8) if joined else np.zeros(1, np.uint8)
+    seg_off = np.zeros(len(segments) + 1, np.int64)
+    np.cumsum([len(s) for s in segments], out=seg_off[1:])
+    ch = np.asarray(comp_h, dtype=np.int32)
+    cv = np.asarray(comp_v, dtype=np.int32)
+    dc_bits = np.concatenate([np.frombuffer(b, np.uint8) for b, _ in dc_specs])
+    ac_bits = np.concatenate([np.frombuffer(b, np.uint8) for b, _ in ac_specs])
+    dc_vals = np.concatenate(
+        [np.frombuffer(v, np.uint8) if v else np.zeros(1, np.uint8) for _, v in dc_specs]
+    )
+    ac_vals = np.concatenate(
+        [np.frombuffer(v, np.uint8) if v else np.zeros(1, np.uint8) for _, v in ac_specs]
+    )
+    dc_off = np.zeros(ncomp, np.int32)
+    ac_off = np.zeros(ncomp, np.int32)
+    o = 0
+    for i, (_, v) in enumerate(dc_specs):
+        dc_off[i] = o
+        o += max(len(v), 1)
+    o = 0
+    for i, (_, v) in enumerate(ac_specs):
+        ac_off[i] = o
+        o += max(len(v), 1)
+    qt = np.ascontiguousarray(
+        np.stack([np.asarray(q, np.uint16) for q in qtables_zz])
+    )
+    out = np.empty((height, width, 3) if ncomp == 3 else (height, width),
+                   np.uint8)
+    rc = lib.jpeg_decode_baseline(
+        _u8(seg_arr), seg_off.ctypes.data_as(i64p), len(segments),
+        restart_interval, total_mcus, mcu_cols, mcu_rows, ncomp,
+        ch.ctypes.data_as(i32p), cv.ctypes.data_as(i32p),
+        max_h, max_v, width, height,
+        _u8(dc_bits), _u8(dc_vals), dc_off.ctypes.data_as(i32p),
+        _u8(ac_bits), _u8(ac_vals), ac_off.ctypes.data_as(i32p),
+        qt.ctypes.data_as(u16p), 1 if fancy else 0, _u8(out),
+    )
+    if rc != 0:
+        return None
+    return out
+
+
 def native_jpeg_prog_dc_segment(
     seg: bytes,
     unit_start: int,

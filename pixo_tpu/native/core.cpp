@@ -1754,16 +1754,20 @@ struct AcLut {
 }  // namespace jdec
 
 // Decode one entropy segment covering MCUs [mcu_start, mcu_end).
-// comp_* arrays are per scan-component; coeff output planes are
-// row-major over each component's MCU-padded block grid.
-static int32_t jpeg_decode_segment_impl(
+// comp_* arrays are per scan-component.  The Sink supplies the per-block
+// destination (`at`, 64 int16 zeroed here) and a completion hook (`done`) —
+// the coefficient sink stores blocks in the component's MCU-padded grid,
+// the fused baseline sink (jpeg_decode_baseline below) IDCTs each block
+// straight into uint8 planes so coefficients never round-trip DRAM.
+template <class Sink>
+static int32_t jpeg_decode_segment_sink(
     const uint8_t* seg, int64_t seg_len,
     int64_t mcu_start, int64_t mcu_end, int32_t mcu_cols,
     int32_t ncomp,
     const int32_t* comp_h, const int32_t* comp_v,
     const jdec::HuffDec* dct, const jdec::HuffDec* act,
     const jdec::AcLut* aclut, const jdec::AcLut* dclut,
-    int16_t** coeff_planes /* per component */,
+    Sink& sink,
     int32_t* prev_dc /* per component, in/out */) {
     using namespace jdec;
     MsbReader r(seg, seg_len);
@@ -1775,9 +1779,11 @@ static int32_t jpeg_decode_segment_impl(
                 for (int bx = 0; bx < comp_h[c]; bx++) {
                     int64_t row = my * comp_v[c] + by;
                     int64_t col = mx * comp_h[c] + bx;
+                    // at() returns 64 zeroed int16 (the coeff sink memsets;
+                    // the fused sink keeps its scratch zero across blocks
+                    // and re-zeroes only [0, k) in done())
                     int16_t* block =
-                        coeff_planes[c] + (row * (int64_t)(mcu_cols * comp_h[c]) + col) * 64;
-                    memset(block, 0, 128);
+                        sink.at(c, row, col, (int64_t)mcu_cols * comp_h[c]);
                     if (r.nbits < 27) r.fill();
                     int diff;
                     uint32_t dent = 0;
@@ -1830,11 +1836,43 @@ static int32_t jpeg_decode_segment_impl(
                         k++;
                     }
                     if (r.error) return -1;
+                    // k bounds the written coefficients: every nonzero
+                    // zigzag index is < k (EOB leaves k just past the
+                    // last written entry; values are nonzero by T.81
+                    // construction).  Sinks use it for sparse shortcuts.
+                    sink.done(c, row, col, k);
                 }
             }
         }
     }
     return 0;
+}
+
+// Coefficient sink: the original behavior — store each block (zigzag
+// order) in the component's MCU-padded block grid.
+struct JpegCoeffSink {
+    int16_t** coeff_planes;
+    inline int16_t* at(int c, int64_t row, int64_t col, int64_t stride) {
+        int16_t* block = coeff_planes[c] + (row * stride + col) * 64;
+        memset(block, 0, 128);
+        return block;
+    }
+    inline void done(int, int64_t, int64_t, int) {}
+};
+
+static int32_t jpeg_decode_segment_impl(
+    const uint8_t* seg, int64_t seg_len,
+    int64_t mcu_start, int64_t mcu_end, int32_t mcu_cols,
+    int32_t ncomp,
+    const int32_t* comp_h, const int32_t* comp_v,
+    const jdec::HuffDec* dct, const jdec::HuffDec* act,
+    const jdec::AcLut* aclut, const jdec::AcLut* dclut,
+    int16_t** coeff_planes /* per component */,
+    int32_t* prev_dc /* per component, in/out */) {
+    JpegCoeffSink sink{coeff_planes};
+    return jpeg_decode_segment_sink(
+        seg, seg_len, mcu_start, mcu_end, mcu_cols, ncomp, comp_h, comp_v,
+        dct, act, aclut, dclut, sink, prev_dc);
 }
 
 // Whole-scan driver: loops restart segments inside the library so a
@@ -6193,12 +6231,10 @@ static inline void idct_1d(const int64_t d[8], int64_t o[8]) {
     o[6] = tmp11 - t2; o[7] = tmp10 - t3;
 }
 
-static void idct_block(const int16_t* zzc, const uint16_t* qzz,
-                       uint8_t out[64]) {
+static void idct_block_last(const int16_t* zzc, const uint16_t* qzz,
+                            uint8_t out[64], int last) {
     int64_t natural[64];
     for (int i = 0; i < 64; i++) natural[i] = 0;
-    int last = 63;
-    while (last > 0 && zzc[last] == 0) last--;
     for (int i = 0; i <= last; i++)
         natural[ZZ[i]] = (int64_t)zzc[i] * (int64_t)qzz[i];
 
@@ -6240,6 +6276,13 @@ static void idct_block(const int16_t* zzc, const uint16_t* qzz,
             out[r * 8 + c] = (uint8_t)(v < 0 ? 0 : v > 255 ? 255 : v);
         }
     }
+}
+
+static void idct_block(const int16_t* zzc, const uint16_t* qzz,
+                       uint8_t out[64]) {
+    int last = 63;
+    while (last > 0 && zzc[last] == 0) last--;
+    idct_block_last(zzc, qzz, out, last);
 }
 
 #if defined(__AVX2__)
@@ -6322,10 +6365,10 @@ static inline void idct_pass_avx2(const __m256i d[8], __m256i o[8],
     o[7] = ds(_mm256_sub_epi32(tmp10, t3));
 }
 
-static void idct_block_avx2(const int16_t* zzc, const uint16_t* qzz,
-                            uint8_t out[64]) {
-    int last = 63;
-    while (last > 0 && zzc[last] == 0) last--;
+// `last` = a known bound on the highest possibly-nonzero zigzag index
+// (callers that tracked the entropy decode pass it to skip the scan).
+static void idct_block_avx2_last(const int16_t* zzc, const uint16_t* qzz,
+                                 uint8_t out[64], int last) {
     if (last == 0) {
         // DC-only block: one sample replicated (both pass shortcuts)
         int32_t dq = (int32_t)zzc[0] * (int32_t)qzz[0];
@@ -6356,6 +6399,13 @@ static void idct_block_avx2(const int16_t* zzc, const uint16_t* qzz,
         _mm_storeu_si128((__m128i*)(out + r * 8), _mm256_castsi256_si128(p8));
     }
 }
+
+static void idct_block_avx2(const int16_t* zzc, const uint16_t* qzz,
+                            uint8_t out[64]) {
+    int last = 63;
+    while (last > 0 && zzc[last] == 0) last--;
+    idct_block_avx2_last(zzc, qzz, out, last);
+}
 #endif  // __AVX2__
 
 }  // namespace jpegpix
@@ -6363,52 +6413,35 @@ static void idct_block_avx2(const int16_t* zzc, const uint16_t* qzz,
 // coeffs: concatenated [nblocks_total, 64] int16 zigzag streams, component
 // blocks contiguous (offsets in comp_off[ncomp+1]); qtables [ncomp][64]
 // zigzag; comp_h/comp_v sampling factors. out: [height, width, ncomp==1?1:3].
-EXPORT int64_t jpeg_decode_pixels(
-    const int16_t* coeffs, const int64_t* comp_off, const uint16_t* qtables,
+// Shared geometry precheck for the two pixel-tail entries below: the
+// interleave loops index the first plane at full resolution, so
+// spec-legal files with subsampled luma must take the generic Python
+// upsampling tier; the scalar build has no fancy color tail.
+static int64_t jpeg_pixels_geometry_check(
     const int32_t* comp_h, const int32_t* comp_v, int32_t ncomp,
     int32_t mcu_cols, int32_t mcu_rows, int32_t max_h, int32_t max_v,
-    int32_t width, int32_t height, int32_t fancy, uint8_t* out) {
-    using namespace jpegpix;
+    int32_t width, int32_t height, int32_t fancy) {
     if (ncomp != 1 && ncomp != 3) return -1;
-    // the interleave loops index the first plane at full resolution;
-    // spec-legal files with subsampled luma (comp 0 below max factors)
-    // must take the generic Python upsampling tier instead of
-    // overreading plane rows here
     if (comp_h[0] != max_h || comp_v[0] != max_v) return -3;
     if ((int64_t)width > (int64_t)mcu_cols * max_h * 8 ||
         (int64_t)height > (int64_t)mcu_rows * max_v * 8)
         return -2;
 #if !defined(__AVX2__)
-    // scalar build has no fancy color tail: decline before paying for
-    // the IDCT/plane pass the jnp tier would redo anyway
     if (fancy) return -3;
-#endif
-
-    std::vector<std::vector<uint8_t>> planes(ncomp);
-    std::vector<int> pw(ncomp), ph(ncomp);
-    for (int ci = 0; ci < ncomp; ci++) {
-        int bw = mcu_cols * comp_h[ci];
-        int bh = mcu_rows * comp_v[ci];
-        pw[ci] = bw * 8; ph[ci] = bh * 8;
-        planes[ci].resize((size_t)pw[ci] * ph[ci]);
-        const int16_t* src = coeffs + comp_off[ci] * 64;
-        int64_t nb = comp_off[ci + 1] - comp_off[ci];
-        if (nb != (int64_t)bw * bh) return -2;
-        const uint16_t* q = qtables + (size_t)ci * 64;
-        uint8_t blk[64];
-        for (int64_t b = 0; b < nb; b++) {
-#if defined(__AVX2__)
-            idct_block_avx2(src + b * 64, q, blk);
 #else
-            idct_block(src + b * 64, q, blk);
+    (void)fancy;
 #endif
-            int by = (int)(b / bw), bx = (int)(b % bw);
-            uint8_t* dst = planes[ci].data() + (size_t)by * 8 * pw[ci] + bx * 8;
-            for (int r = 0; r < 8; r++)
-                memcpy(dst + (size_t)r * pw[ci], blk + r * 8, 8);
-        }
-    }
+    return 0;
+}
 
+// Plane -> pixel tail shared by jpeg_decode_pixels and the fused
+// jpeg_decode_baseline: nearest/fancy chroma upsample + fixed-point
+// BT.601 inverse (AVX2 16-px path with a scalar mirror).
+static int64_t jpeg_assemble_pixels(
+    std::vector<std::vector<uint8_t>>& planes, const int* pw, const int* ph,
+    const int32_t* comp_h, const int32_t* comp_v, int32_t ncomp,
+    int32_t max_h, int32_t max_v,
+    int32_t width, int32_t height, int32_t fancy, uint8_t* out) {
     if (ncomp == 1) {
         for (int y = 0; y < height; y++)
             memcpy(out + (size_t)y * width,
@@ -6606,6 +6639,176 @@ EXPORT int64_t jpeg_decode_pixels(
         }
     }
     return 0;
+}
+
+EXPORT int64_t jpeg_decode_pixels(
+    const int16_t* coeffs, const int64_t* comp_off, const uint16_t* qtables,
+    const int32_t* comp_h, const int32_t* comp_v, int32_t ncomp,
+    int32_t mcu_cols, int32_t mcu_rows, int32_t max_h, int32_t max_v,
+    int32_t width, int32_t height, int32_t fancy, uint8_t* out) {
+    using namespace jpegpix;
+    int64_t rc = jpeg_pixels_geometry_check(
+        comp_h, comp_v, ncomp, mcu_cols, mcu_rows, max_h, max_v,
+        width, height, fancy);
+    if (rc != 0) return rc;
+
+    std::vector<std::vector<uint8_t>> planes(ncomp);
+    std::vector<int> pw(ncomp), ph(ncomp);
+    for (int ci = 0; ci < ncomp; ci++) {
+        int bw = mcu_cols * comp_h[ci];
+        int bh = mcu_rows * comp_v[ci];
+        pw[ci] = bw * 8; ph[ci] = bh * 8;
+        planes[ci].resize((size_t)pw[ci] * ph[ci]);
+        const int16_t* src = coeffs + comp_off[ci] * 64;
+        int64_t nb = comp_off[ci + 1] - comp_off[ci];
+        if (nb != (int64_t)bw * bh) return -2;
+        const uint16_t* q = qtables + (size_t)ci * 64;
+        uint8_t blk[64];
+        for (int64_t b = 0; b < nb; b++) {
+#if defined(__AVX2__)
+            idct_block_avx2(src + b * 64, q, blk);
+#else
+            idct_block(src + b * 64, q, blk);
+#endif
+            int by = (int)(b / bw), bx = (int)(b % bw);
+            uint8_t* dst = planes[ci].data() + (size_t)by * 8 * pw[ci] + bx * 8;
+            for (int r = 0; r < 8; r++)
+                memcpy(dst + (size_t)r * pw[ci], blk + r * 8, 8);
+        }
+    }
+    return jpeg_assemble_pixels(planes, pw.data(), ph.data(), comp_h, comp_v,
+                                ncomp, max_h, max_v, width, height, fancy, out);
+}
+
+// Fused baseline sink for jpeg_decode_segment_sink: each entropy-decoded
+// block is IDCT'd straight into the component's uint8 plane while still
+// hot in L1, so the [nblocks, 64] int16 coefficient store never exists
+// (the analog of the encode-side jpeg_encode_scan_fused win: at 512x512
+// 4:2:0 that store is ~1.5 MB written + reread through a 1 MB L2).
+struct JpegFusedIdctSink {
+    uint8_t* planes[4];
+    const uint16_t* qzz[4];
+    int pw[4];
+    alignas(32) int16_t local[64];
+    JpegFusedIdctSink() { memset(local, 0, sizeof(local)); }
+    // The scratch block stays all-zero between blocks: done() re-zeroes
+    // exactly the prefix the entropy decode may have written ([0, k)),
+    // so the 128-byte per-block memset disappears.
+    inline int16_t* at(int, int64_t, int64_t, int64_t) { return local; }
+    inline void done(int c, int64_t row, int64_t col, int k) {
+        uint8_t* dst = planes[c] + (size_t)row * 8 * pw[c] + col * 8;
+        const uint16_t* q = qzz[c];
+        if (k <= 1) {
+            // DC-only block (the common case for photo chroma): both
+            // IDCT passes collapse to one replicated sample.  Arithmetic
+            // mirrors exactly what the two-stage path computes for these
+            // blocks per build: idct_block_avx2's int32-wrap last==0
+            // shortcut, or the scalar tier's int64 column/row shortcuts.
+#if defined(__AVX2__)
+            int32_t dq = (int32_t)local[0] * (int32_t)q[0];
+            int32_t ws = (int32_t)(dq << jpegpix::PB);
+            int64_t v = ((((int64_t)ws << jpegpix::CB) + jpegpix::R2) >>
+                         (jpegpix::CB + jpegpix::PB + 3)) + 128;
+#else
+            int64_t dq = (int64_t)local[0] * (int64_t)q[0];
+            int64_t ws = dq << jpegpix::PB;
+            int64_t v = (((ws << jpegpix::CB) + jpegpix::R2) >>
+                         (jpegpix::CB + jpegpix::PB + 3)) + 128;
+#endif
+            uint8_t s = (uint8_t)(v < 0 ? 0 : v > 255 ? 255 : v);
+            for (int r = 0; r < 8; r++)
+                memset(dst + (size_t)r * pw[c], s, 8);
+            local[0] = 0;
+            return;
+        }
+        // ZRL runs can push k past 64 without writes; the IDCT bound is
+        // a clamp (zeros above the true last coefficient are harmless)
+        int last = k - 1 > 63 ? 63 : k - 1;
+        uint8_t blk[64];
+#if defined(__AVX2__)
+        jpegpix::idct_block_avx2_last(local, q, blk, last);
+#else
+        jpegpix::idct_block_last(local, q, blk, last);
+#endif
+        for (int r = 0; r < 8; r++)
+            memcpy(dst + (size_t)r * pw[c], blk + r * 8, 8);
+        memset(local, 0, (size_t)(last + 1) * sizeof(int16_t));
+    }
+};
+
+// Whole-image fused baseline decode: entropy decode + IDCT + upsample +
+// color in ONE call (one ctypes crossing instead of two, no coefficient
+// DRAM round-trip).  Restart-segment handling mirrors jpeg_decode_scan;
+// the pixel tail is the same jpeg_assemble_pixels as the two-stage path,
+// so outputs are byte-identical by construction (asserted over a config
+// matrix in tests/test_decode_fused.py).  Returns 0 ok, -1 corrupt
+// stream, -2 bad geometry args, -3 decline (caller falls back to the
+// two-stage native path, then the Python tiers).
+EXPORT int32_t jpeg_decode_baseline(
+    const uint8_t* segs, const int64_t* seg_off, int32_t nseg,
+    int64_t restart_interval, int64_t total_mcus,
+    int32_t mcu_cols, int32_t mcu_rows,
+    int32_t ncomp, const int32_t* comp_h, const int32_t* comp_v,
+    int32_t max_h, int32_t max_v, int32_t width, int32_t height,
+    const uint8_t* dc_bits, const uint8_t* dc_vals_flat, const int32_t* dc_vals_off,
+    const uint8_t* ac_bits, const uint8_t* ac_vals_flat, const int32_t* ac_vals_off,
+    const uint16_t* qtables_zz /* ncomp x 64, zigzag order */,
+    int32_t fancy, uint8_t* out) {
+    using namespace jdec;
+    int64_t g = jpeg_pixels_geometry_check(
+        comp_h, comp_v, ncomp, mcu_cols, mcu_rows, max_h, max_v,
+        width, height, fancy);
+    if (g != 0) return (int32_t)g;
+    // power-of-two sampling-ratio check normally done by the assemble
+    // tail — run it up front so exotic ratios decline before the decode
+    if (ncomp == 3) {
+        for (int ci = 1; ci < 3; ci++) {
+            int hr = max_h / comp_h[ci], vr = max_v / comp_v[ci];
+            if ((hr != 1 && hr != 2 && hr != 4) ||
+                (vr != 1 && vr != 2 && vr != 4))
+                return -3;
+            if (fancy && (hr > 2 || vr > 2)) return -3;
+        }
+    }
+
+    HuffDec dct[4], act[4];
+    static thread_local AcLut aclut[4], dclut[4];
+    for (int c = 0; c < ncomp; c++) {
+        dct[c].build(dc_bits + 16 * c, dc_vals_flat + dc_vals_off[c]);
+        act[c].build(ac_bits + 16 * c, ac_vals_flat + ac_vals_off[c]);
+        aclut[c].build(ac_bits + 16 * c, ac_vals_flat + ac_vals_off[c]);
+        dclut[c].build(dc_bits + 16 * c, dc_vals_flat + dc_vals_off[c], true);
+    }
+
+    std::vector<std::vector<uint8_t>> planes(ncomp);
+    std::vector<int> pw(ncomp), ph(ncomp);
+    JpegFusedIdctSink sink;
+    for (int ci = 0; ci < ncomp; ci++) {
+        pw[ci] = mcu_cols * comp_h[ci] * 8;
+        ph[ci] = mcu_rows * comp_v[ci] * 8;
+        planes[ci].resize((size_t)pw[ci] * ph[ci]);
+        sink.planes[ci] = planes[ci].data();
+        sink.qzz[ci] = qtables_zz + (size_t)ci * 64;
+        sink.pw[ci] = pw[ci];
+    }
+
+    int32_t prev_dc[4];
+    for (int32_t si = 0; si < nseg; si++) {
+        int64_t m0 = restart_interval ? si * restart_interval : 0;
+        int64_t m1 = restart_interval ? (si + 1) * restart_interval : total_mcus;
+        if (m1 > total_mcus) m1 = total_mcus;
+        if (m0 >= m1) break;
+        for (int c = 0; c < ncomp; c++) prev_dc[c] = 0;
+        int32_t rc = jpeg_decode_segment_sink(
+            segs + seg_off[si], seg_off[si + 1] - seg_off[si], m0, m1,
+            mcu_cols, ncomp, comp_h, comp_v, dct, act, aclut, dclut,
+            sink, prev_dc);
+        if (rc != 0) return rc;
+        if (!restart_interval) break;
+    }
+    return (int32_t)jpeg_assemble_pixels(
+        planes, pw.data(), ph.data(), comp_h, comp_v, ncomp,
+        max_h, max_v, width, height, fancy, out);
 }
 
 // ===================== JPEG encode coefficient pipeline =====================
